@@ -1,0 +1,60 @@
+"""Benchmark: BA LM iterations/sec on one chip (South-Building scale).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no numbers (BASELINE.md); `vs_baseline` is measured
+against a documented proxy: Ceres SPARSE_SCHUR on a desktop CPU sustains
+~10 LM iterations/sec on a ~128-image / ~30k-point / ~200k-observation
+problem (order-of-magnitude from Ceres BAL benchmarks; see BASELINE.md).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+CERES_PROXY_ITERS_PER_SEC = 10.0
+
+
+def main():
+    from sba_tpu.optim.ba import BAOptions, _bundle_adjust_impl
+    from sba_tpu.utils.synthetic import make_ba_problem
+
+    # South-Building scale: 128 images, ~30k points, every point seen by ~7
+    # images -> ~200k observations.
+    problem, _ = make_ba_problem(
+        num_images=128, num_points=30_000, observations_per_point=7,
+        pose_noise=0.005, point_noise=0.02, pixel_noise=0.5, seed=0,
+        dtype=jnp.float32)
+
+    n_iters = 20
+    options = BAOptions(max_iterations=n_iters, cg_iterations=30,
+                        solver="schur_pcg", dtype="float32",
+                        function_tolerance=0.0, gradient_tolerance=0.0,
+                        parameter_tolerance=0.0)
+
+    run = jax.jit(lambda p: _bundle_adjust_impl(p, options, False))
+
+    # Warmup/compile.
+    out, summary = run(problem)
+    jax.block_until_ready(summary.final_cost)
+
+    t0 = time.perf_counter()
+    out, summary = run(problem)
+    jax.block_until_ready(summary.final_cost)
+    dt = time.perf_counter() - t0
+
+    iters = max(int(summary.num_iterations), 1)
+    iters_per_sec = iters / dt
+
+    print(json.dumps({
+        "metric": "ba_lm_iterations_per_sec_128img_200kobs",
+        "value": round(iters_per_sec, 3),
+        "unit": "iter/s",
+        "vs_baseline": round(iters_per_sec / CERES_PROXY_ITERS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

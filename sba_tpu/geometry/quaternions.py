@@ -117,13 +117,21 @@ def rotmat_to_quat(R):
 
 
 def angle_axis_to_quat(aa):
-    """Angle-axis [..., 3] (axis * angle) -> quaternion [..., 4]."""
-    angle = jnp.linalg.norm(aa, axis=-1, keepdims=True)
+    """Angle-axis [..., 3] (axis * angle) -> quaternion [..., 4].
+
+    Differentiable at aa = 0: the norm is never differentiated at zero
+    (the small-angle branch uses the polynomial Taylor series in |aa|^2,
+    and sqrt only sees values bounded away from 0). This matters because
+    the BA Jacobians are evaluated exactly at the zero retraction point.
+    """
+    n2 = jnp.sum(aa * aa, axis=-1, keepdims=True)
+    small = n2 < 1e-14
+    safe_n2 = jnp.where(small, 1.0, n2)  # sqrt grad safe
+    angle = jnp.sqrt(safe_n2)
     half = 0.5 * angle
-    # sinc-style guard at angle -> 0.
-    small = angle < 1e-8
-    k = jnp.where(small, 0.5, jnp.sin(half) / jnp.maximum(angle, 1e-20))
-    w = jnp.where(small, 1.0 - 0.5 * half * half, jnp.cos(half))
+    # sin(a/2)/a = 1/2 - a^2/48 + O(a^4);  cos(a/2) = 1 - a^2/8 + O(a^4)
+    k = jnp.where(small, 0.5 - n2 / 48.0, jnp.sin(half) / angle)
+    w = jnp.where(small, 1.0 - n2 / 8.0, jnp.cos(half))
     return jnp.concatenate([w, k * aa], axis=-1)
 
 
@@ -133,10 +141,13 @@ def quat_to_angle_axis(q):
     q = q * jnp.where(q[..., :1] < 0, -1.0, 1.0)
     w = jnp.clip(q[..., :1], -1.0, 1.0)
     v = q[..., 1:]
-    sin_half = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    s2 = jnp.sum(v * v, axis=-1, keepdims=True)
+    small = s2 < 1e-14
+    sin_half = jnp.sqrt(jnp.where(small, 1.0, s2))
     angle = 2.0 * jnp.arctan2(sin_half, w)
-    small = sin_half < 1e-8
-    k = jnp.where(small, 2.0, angle / jnp.maximum(sin_half, 1e-20))
+    # angle/sin_half -> 2/w - (2/(3 w^3)) s2 + ... ; near identity w ~ 1.
+    k = jnp.where(small, 2.0 / jnp.maximum(w, 1e-6) - 2.0 * s2 / 3.0,
+                  angle / sin_half)
     return k * v
 
 

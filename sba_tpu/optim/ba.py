@@ -96,6 +96,10 @@ class BAOptions:
     refine_extra_params: bool = True
     refine_extrinsics: bool = True
     dtype: str = "float64"
+    # SPMD: when set, the solve runs inside shard_map with observations
+    # sharded over this mesh axis; every reduction gains a psum over it
+    # (parallel/distributed_ba.py). None = single device.
+    axis_name: str | None = None
 
 
 class BASummary(NamedTuple):
@@ -198,8 +202,15 @@ def _intrinsic_refine_mask(opt: BAOptions) -> np.ndarray:
     return m
 
 
-def _segsum(x, idx, n):
-    return jax.ops.segment_sum(x, idx, num_segments=n)
+def _segsum(x, idx, n, axis_name=None):
+    out = jax.ops.segment_sum(x, idx, num_segments=n)
+    if axis_name is not None:
+        out = jax.lax.psum(out, axis_name)
+    return out
+
+
+def _allreduce(x, axis_name):
+    return jax.lax.psum(x, axis_name) if axis_name is not None else x
 
 
 def _sym3_inverse(A, eps=1e-12):
@@ -245,7 +256,8 @@ def _residuals_only(qvecs, tvecs, points, cam_params, problem: BAProblem, opt: B
 def _cost(qvecs, tvecs, points, cam_params, problem: BAProblem, opt: BAOptions):
     r = _residuals_only(qvecs, tvecs, points, cam_params, problem, opt)
     s = jnp.sum(r * r, axis=-1)
-    return 0.5 * jnp.sum(problem.obs_mask * loss_value(opt.loss, s, opt.loss_scale))
+    c = 0.5 * jnp.sum(problem.obs_mask * loss_value(opt.loss, s, opt.loss_scale))
+    return _allreduce(c, opt.axis_name)
 
 
 def evaluate_cost(problem: BAProblem, options: BAOptions):
@@ -257,7 +269,7 @@ def evaluate_cost(problem: BAProblem, options: BAOptions):
 # The LM solve
 # ---------------------------------------------------------------------------
 
-def _make_operators(problem, r, Jq, Jt, Jx, Jk, lam):
+def _make_operators(problem, r, Jq, Jt, Jx, Jk, lam, axis_name=None):
     """Build the implicit Schur operators for one linearization.
 
     Reduced unknowns u = (pose [N,6], cam [C,12]); eliminated unknowns are
@@ -271,21 +283,21 @@ def _make_operators(problem, r, Jq, Jt, Jx, Jk, lam):
     Jc = jnp.concatenate([Jq, Jt], axis=-1)  # [O, 2, 6]
 
     # Gradients g = J^T r.
-    g_pose = _segsum(jnp.einsum("oki,ok->oi", Jc, r), oi, N)      # [N, 6]
-    g_cam = _segsum(jnp.einsum("oki,ok->oi", Jk, r), oc, C)       # [C, 12]
-    g_pts = _segsum(jnp.einsum("oki,ok->oi", Jx, r), op, P)       # [P, 3]
+    g_pose = _segsum(jnp.einsum("oki,ok->oi", Jc, r), oi, N, axis_name)      # [N, 6]
+    g_cam = _segsum(jnp.einsum("oki,ok->oi", Jk, r), oc, C, axis_name)       # [C, 12]
+    g_pts = _segsum(jnp.einsum("oki,ok->oi", Jx, r), op, P, axis_name)       # [P, 3]
 
     # Diagonals of H (for LM damping, Ceres-style diag clamped).
-    d_pose = _segsum(jnp.einsum("oki,oki->oi", Jc, Jc), oi, N)
-    d_cam = _segsum(jnp.einsum("oki,oki->oi", Jk, Jk), oc, C)
-    d_pts = _segsum(jnp.einsum("oki,oki->oi", Jx, Jx), op, P)
+    d_pose = _segsum(jnp.einsum("oki,oki->oi", Jc, Jc), oi, N, axis_name)
+    d_cam = _segsum(jnp.einsum("oki,oki->oi", Jk, Jk), oc, C, axis_name)
+    d_pts = _segsum(jnp.einsum("oki,oki->oi", Jx, Jx), op, P, axis_name)
     clamp = lambda d: jnp.clip(d, 1e-6, 1e32)
     d_pose_l = lam * clamp(d_pose)
     d_cam_l = lam * clamp(d_cam)
     d_pts_l = lam * clamp(d_pts)
 
     # Point blocks Hpp + damping, and their inverses.
-    Hpp = _segsum(jnp.einsum("oki,okj->oij", Jx, Jx), op, P)
+    Hpp = _segsum(jnp.einsum("oki,okj->oij", Jx, Jx), op, P, axis_name)
     Hpp = Hpp + jax.vmap(jnp.diag)(d_pts_l)
     # Guard empty points (all-zero block) against singular inverse.
     Hpp = Hpp + jnp.eye(3, dtype=Hpp.dtype) * (1e-12)
@@ -301,11 +313,11 @@ def _make_operators(problem, r, Jq, Jt, Jx, Jk, lam):
 
     def JT_apply_cam(t):
         """J_cam^T t for t [O, 2] -> (pose [N,6], cam [C,12])."""
-        return (_segsum(jnp.einsum("oki,ok->oi", Jc, t), oi, N),
-                _segsum(jnp.einsum("oki,ok->oi", Jk, t), oc, C))
+        return (_segsum(jnp.einsum("oki,ok->oi", Jc, t), oi, N, axis_name),
+                _segsum(jnp.einsum("oki,ok->oi", Jk, t), oc, C, axis_name))
 
     def JT_apply_pts(t):
-        return _segsum(jnp.einsum("oki,ok->oi", Jx, t), op, P)
+        return _segsum(jnp.einsum("oki,ok->oi", Jx, t), op, P, axis_name)
 
     def hpp_solve(y):
         return jnp.einsum("pij,pj->pi", Hpp_inv, y)
@@ -319,13 +331,13 @@ def _make_operators(problem, r, Jq, Jt, Jx, Jk, lam):
         return a_pose + d_pose_l * u_pose, a_cam + d_cam_l * u_cam
 
     # SCHUR_JACOBI preconditioner blocks.
-    Hcc_pose = _segsum(jnp.einsum("oki,okj->oij", Jc, Jc), oi, N)
-    Hcc_cam = _segsum(jnp.einsum("oki,okj->oij", Jk, Jk), oc, C)
+    Hcc_pose = _segsum(jnp.einsum("oki,okj->oij", Jc, Jc), oi, N, axis_name)
+    Hcc_cam = _segsum(jnp.einsum("oki,okj->oij", Jk, Jk), oc, C, axis_name)
     Bp = jnp.einsum("oki,okj->oij", Jc, Jx)          # [O, 6, 3]
     Bc = jnp.einsum("oki,okj->oij", Jk, Jx)          # [O, 12, 3]
     HinvO = Hpp_inv[op]
-    S_pose = Hcc_pose - _segsum(jnp.einsum("oij,ojk,olk->oil", Bp, HinvO, Bp), oi, N)
-    S_cam = Hcc_cam - _segsum(jnp.einsum("oij,ojk,olk->oil", Bc, HinvO, Bc), oc, C)
+    S_pose = Hcc_pose - _segsum(jnp.einsum("oij,ojk,olk->oil", Bp, HinvO, Bp), oi, N, axis_name)
+    S_cam = Hcc_cam - _segsum(jnp.einsum("oij,ojk,olk->oil", Bc, HinvO, Bc), oc, C, axis_name)
     S_pose = S_pose + jax.vmap(jnp.diag)(d_pose_l + 1e-10)
     S_cam = S_cam + jax.vmap(jnp.diag)(d_cam_l + 1e-10)
     # Fixed parameters have all-zero rows; make the blocks invertible.
@@ -419,7 +431,7 @@ def _solve_step(problem: BAProblem, opt: BAOptions, lam, use_dense: bool):
     """One linearization + linear solve. Returns the masked step and
     diagnostic quantities."""
     r, Jq, Jt, Jx, Jk = _linearize(problem, opt)
-    ops = _make_operators(problem, r, Jq, Jt, Jx, Jk, lam)
+    ops = _make_operators(problem, r, Jq, Jt, Jx, Jk, lam, opt.axis_name)
 
     if use_dense:
         u_pose, u_cam = _dense_schur_solve(ops["schur_matvec"], ops["b_pose"], ops["b_cam"])
@@ -443,7 +455,7 @@ def _solve_step(problem: BAProblem, opt: BAOptions, lam, use_dense: bool):
     t = ops["J_apply"](u_pose, u_cam, d_pts)
     gTd = (jnp.sum(ops["g_pose"] * u_pose) + jnp.sum(ops["g_cam"] * u_cam)
            + jnp.sum(ops["g_pts"] * d_pts))
-    dHd = (jnp.sum(t * t)
+    dHd = (_allreduce(jnp.sum(t * t), opt.axis_name)
            + jnp.sum(ops["d_pose_l"] * u_pose * u_pose)
            + jnp.sum(ops["d_cam_l"] * u_cam * u_cam)
            + jnp.sum(ops["d_pts_l"] * d_pts * d_pts))
@@ -522,7 +534,7 @@ def _bundle_adjust_impl(problem: BAProblem, options: BAOptions, use_dense: bool)
     out = problem._replace(qvecs=q, tvecs=t, points=x, cam_params=k)
     summary = BASummary(
         initial_cost=cost0, final_cost=cost, num_iterations=it,
-        num_residuals=jnp.sum(problem.obs_mask).astype(jnp.int32),
+        num_residuals=_allreduce(jnp.sum(problem.obs_mask), opt.axis_name).astype(jnp.int32),
         gradient_norm=g_inf, cost_trace=trace)
     return out, summary
 

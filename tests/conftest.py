@@ -7,12 +7,17 @@ the env vars before the first jax import.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the outer env may point at TPU
 prev = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in prev:
     os.environ["XLA_FLAGS"] = (prev + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
+
+# jax may already be imported by a pytest plugin before this conftest runs,
+# in which case the env var above is too late — the config route works until
+# the first backend use.
+jax.config.update("jax_platforms", "cpu")
 
 # f64 for numeric parity with the reference's double-precision Ceres solves.
 # TPU production paths run f32; tests validate math at f64.

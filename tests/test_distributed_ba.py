@@ -1,0 +1,68 @@
+"""Distributed BA: SPMD solve on a virtual 8-device CPU mesh must agree with
+the single-device solver (the multi-host test the reference lacks —
+SURVEY.md section 4 implication (c))."""
+
+import jax
+import numpy as np
+import pytest
+
+from sba_tpu.optim import BAOptions, bundle_adjust
+from sba_tpu.parallel import distributed_bundle_adjust, make_mesh, shard_problem
+from sba_tpu.utils.synthetic import make_ba_problem
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    return make_mesh(8)
+
+
+def test_distributed_matches_single_device(mesh):
+    problem, truth = make_ba_problem(
+        num_images=6, num_points=80, pose_noise=0.02, point_noise=0.05, seed=11)
+    opt = BAOptions(solver="schur_pcg", max_iterations=30)
+
+    out_s, sum_s = bundle_adjust(problem, opt)
+    out_d, sum_d = distributed_bundle_adjust(problem, opt, mesh)
+
+    assert float(sum_d.final_cost) < 1e-10
+    np.testing.assert_allclose(np.asarray(out_d.qvecs), np.asarray(out_s.qvecs),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_d.tvecs), np.asarray(out_s.tvecs),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_d.points), np.asarray(out_s.points),
+                               atol=1e-4)
+
+
+def test_distributed_recovers_truth(mesh):
+    problem, truth = make_ba_problem(
+        num_images=8, num_points=120, pose_noise=0.03, point_noise=0.08, seed=12)
+    out, summary = distributed_bundle_adjust(
+        problem, BAOptions(max_iterations=40), mesh)
+    assert float(summary.final_cost) < 1e-10
+    dt = np.abs(np.asarray(out.tvecs) - truth["tvecs"]).max()
+    assert dt < 1e-4
+
+
+def test_padding_neutral(mesh):
+    """Observation count not divisible by mesh size: padded entries must not
+    change the solution."""
+    problem, _ = make_ba_problem(num_images=5, num_points=61, seed=13,
+                                 pose_noise=0.02, point_noise=0.02)
+    # make obs count odd-ish by dropping one
+    import jax.numpy as jnp
+    problem = problem._replace(
+        obs_image=problem.obs_image[:-3], obs_point=problem.obs_point[:-3],
+        obs_cam=problem.obs_cam[:-3], obs_xy=problem.obs_xy[:-3],
+        obs_mask=problem.obs_mask[:-3])
+    assert problem.obs_image.shape[0] % 8 != 0
+    out, summary = distributed_bundle_adjust(problem, BAOptions(max_iterations=30), mesh)
+    assert float(summary.final_cost) < 1e-10
+
+
+def test_shard_problem_placement(mesh):
+    problem, _ = make_ba_problem(num_images=4, num_points=40, seed=14)
+    sharded = shard_problem(problem, mesh)
+    assert sharded.obs_image.shape[0] % 8 == 0
+    shard_set = {d.device for d in sharded.obs_xy.addressable_shards}
+    assert len(shard_set) == 8
