@@ -1,0 +1,476 @@
+"""Semantic Bundle Adjustment: dense pairwise semantic-consistency, pose-only.
+
+TPU-native redesign of the fork's flagship workload
+(ref: src/optim/semantic_bundle_adjustment.{h,cc},
+src/base/semantic_cost_functions.h). What the reference does:
+
+- For every ORDERED registered image pair (1, 2) and every pixel of image 1
+  on a stride grid (``error_computation_pixel_step``, default 10; ref
+  .cc:796-799), skipping zero-depth pixels (ref .cc:809), it adds one Ceres
+  residual: unproject the pixel with image 1's depth map, transform through
+  pose1^-1 then pose2, project into image 2 (SIMPLE_PINHOLE only, ref
+  semantic_cost_functions.h:50), round to the nearest pixel, then
+  - OUT_OF_BOUNDS  -> residual 0          (ref :163-181)
+  - |depth2(px) - projected depth| > depth_error_threshold -> residual 0
+    (INVALID_DEPTH, ref :183-196)
+  - else residual = 0/1 on semantic label equality (ref :199-205).
+- Gradients via numeric CENTRAL differences (relative step 1e-3; ref
+  :254-257) because nothing above is differentiable.
+- Intrinsics constant, first pose constant + one tvec component of the
+  second pose (gauge; ref controllers/semantic_bundle_adjustment.cc:106-115).
+
+TPU-first redesign:
+
+- ALL (pair, pixel) residuals evaluate as one batched array program
+  ``[Q, S]`` (Q ordered pairs x S grid pixels): gather source depth/labels
+  once into ``[N, S]`` tables, then the whole residual field is VPU math +
+  two map gathers. This replaces the reference's per-residual-block virtual
+  calls (the hot path of SURVEY.md section 3.2).
+- Differentiability (the 'hard part' in SURVEY.md section 7): the *soft*
+  mode replaces rounding with bilinear map sampling, the depth gate with a
+  sigmoid, the bounds gate with a product of sigmoids, and the 0/1 label
+  residual with 1 - bilinear label-agreement probability — exact autodiff
+  Jacobians via jacfwd over the 12 local pose DoF of each pair.
+- The *hard* mode reproduces the reference residual exactly (same gates,
+  nearest rounding, 0/1 values) for cost/status parity, and a
+  numeric-central-difference Jacobian mode matches the reference's
+  optimization behavior for validation.
+- The normal equations are pose-only: per-pair 12x12 blocks scatter-added
+  into a dense [6N, 6N] H solved by Cholesky — N is image count, so dense
+  is the right call (the reference's DENSE/SPARSE/ITERATIVE switch at
+  .cc:489-500 exists only because Ceres treats pairs generically).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sba_tpu.geometry.quaternions import (
+    pose_inverse,
+    pose_transform,
+    quat_retract,
+)
+from sba_tpu.ops.interpolation import (
+    bilinear_label_agreement,
+    bilinear_sample2d,
+    nearest_sample2d,
+)
+from sba_tpu.optim.losses import loss_value, loss_weight
+
+# Reprojection status codes (ref: src/base/semantic_cost_functions.h:45).
+OUT_OF_BOUNDS = -1
+INVALID_DEPTH = -2
+VALID = 10
+
+
+class SBAProblem(NamedTuple):
+    """Pose-only dense semantic BA state (pytree).
+
+    cam_params are per-image SIMPLE_PINHOLE (f, cx, cy) — the reference
+    asserts this model and keeps intrinsics constant
+    (ref: src/optim/semantic_bundle_adjustment.cc:604-644).
+    """
+
+    qvecs: jnp.ndarray        # [N, 4]
+    tvecs: jnp.ndarray        # [N, 3]
+    cam_params: jnp.ndarray   # [N, 3]
+    depth_maps: jnp.ndarray   # [N, H, W]
+    semantic_maps: jnp.ndarray  # [N, H, W]
+    pix_xy: jnp.ndarray       # [S, 2] float (x, y) sample grid
+    src_depth: jnp.ndarray    # [N, S] depth_1 at grid
+    src_label: jnp.ndarray    # [N, S] semantic_1 at grid
+    pair_src: jnp.ndarray     # [Q] int32
+    pair_dst: jnp.ndarray     # [Q] int32
+    pair_mask: jnp.ndarray    # [Q] float
+    free_rot: jnp.ndarray     # [N]
+    free_trans: jnp.ndarray   # [N, 3]
+
+
+@dataclass(frozen=True)
+class SBAOptions:
+    """Mirrors SemanticBundleAdjustmentOptions
+    (ref: src/optim/semantic_bundle_adjustment.h:53-133)."""
+
+    depth_error_threshold: float = 2.0
+    pixel_step: int = 10
+    loss: str = "trivial"            # TRIVIAL | SOFT_L1 | CAUCHY in ref
+    loss_scale: float = 1.0
+    max_iterations: int = 50
+    mode: str = "soft"               # soft | hard_numeric
+    tau_depth: float = 0.25          # soft depth-gate sharpness (x threshold)
+    tau_bounds: float = 2.0          # soft bounds-gate sharpness, pixels
+    numeric_step: float = 1e-3       # ref numeric_relative_step_size
+    function_tolerance: float = 1e-8
+    gradient_tolerance: float = 1e-12
+    parameter_tolerance: float = 1e-10
+    # Conservative initial damping: the dense-semantic basin is ~1 pixel
+    # wide (bilinear agreement), so early steps must stay local — unlike
+    # reprojection BA where the quadratic model is globally decent.
+    initial_trust_radius: float = 1e2
+
+
+class SBASummary(NamedTuple):
+    initial_cost: jnp.ndarray
+    final_cost: jnp.ndarray
+    num_iterations: jnp.ndarray
+    num_residuals: jnp.ndarray
+    cost_trace: jnp.ndarray
+    # Hard-mode status counts at the solution (parity with the reference's
+    # setup/status reports, ref .cc:277-428).
+    num_valid: jnp.ndarray
+    num_out_of_bounds: jnp.ndarray
+    num_invalid_depth: jnp.ndarray
+    num_label_mismatch: jnp.ndarray
+
+
+# ---------------------------------------------------------------------------
+# Geometry core shared by both modes: warp pixels of src into dst.
+# ---------------------------------------------------------------------------
+
+def _warp_pair(q_src, t_src, q_dst, t_dst, cam_src, cam_dst, pix_xy, src_depth):
+    """For one ordered pair: unproject src grid pixels -> world -> project
+    into dst. Returns (xy2 [S,2] continuous, projected depth [S]).
+
+    Math parity with compute_semantic_error steps 1-5
+    (ref: src/base/semantic_cost_functions.h:100-151).
+    """
+    f = cam_src[0]
+    c = cam_src[1:3]
+    uv1 = (pix_xy - c) / f
+    p3 = jnp.concatenate([uv1 * src_depth[:, None], src_depth[:, None]], axis=-1)
+    qi, ti = pose_inverse(q_src, t_src)
+    world = pose_transform(qi, ti, p3)
+    p_cam2 = pose_transform(q_dst, t_dst, world)
+    z2 = p_cam2[:, 2]
+    safe_z = jnp.where(jnp.abs(z2) > 1e-12, z2, 1e-12)
+    uv2 = p_cam2[:, :2] / safe_z[:, None]
+    xy2 = cam_dst[0] * uv2 + cam_dst[1:3]
+    return xy2, z2
+
+
+def _pair_residual_soft(q_src, t_src, q_dst, t_dst, cam_src, cam_dst,
+                        depth_dst, sem_dst, pix_xy, src_depth, src_label, opt: SBAOptions):
+    """Differentiable residual field for one pair: [S]."""
+    xy2, z2 = _warp_pair(q_src, t_src, q_dst, t_dst, cam_src, cam_dst,
+                         pix_xy, src_depth)
+    H, W = depth_dst.shape
+    # Soft bounds gate (product of sigmoids), sharp over tau_bounds pixels.
+    tb = opt.tau_bounds
+    gb = (jax.nn.sigmoid(xy2[:, 0] / tb)
+          * jax.nn.sigmoid((W - 1 - xy2[:, 0]) / tb)
+          * jax.nn.sigmoid(xy2[:, 1] / tb)
+          * jax.nn.sigmoid((H - 1 - xy2[:, 1]) / tb))
+    # Also require the point in front of the dst camera.
+    gb = gb * jax.nn.sigmoid(z2 / 0.01)
+    depth2 = bilinear_sample2d(depth_dst, xy2, fill=-1e6)
+    derr = jnp.abs(depth2 - z2)
+    gd = jax.nn.sigmoid((opt.depth_error_threshold - derr)
+                        / (opt.tau_depth * opt.depth_error_threshold))
+    agree = bilinear_label_agreement(sem_dst, xy2, src_label, fill=0.0)
+    valid_src = (src_depth > 0).astype(xy2.dtype)  # ref .cc:809 skip
+    # Soft objective design: r = valid_src * (1 - gate * agreement).
+    # The reference's hard residual zeroes gated-away pixels; a smooth
+    # relaxation of THAT form lets the optimizer game the cost by pushing
+    # pixels out of bounds / out of the depth gate (residual -> 0). Charging
+    # invalidity the same unit cost as a mismatch removes the escape route
+    # AND makes the gate gradients purely attractive
+    # (d r / d gate = -agree <= 0): the differentiable depth gate then
+    # contributes the geometric depth-consistency signal that localizes
+    # poses — the part the reference's hard 0/1 residual cannot express.
+    return valid_src * (1.0 - gb * gd * agree)
+
+
+def _pair_residual_hard(q_src, t_src, q_dst, t_dst, cam_src, cam_dst,
+                        depth_dst, sem_dst, pix_xy, src_depth, src_label, opt: SBAOptions):
+    """Exact reference semantics: returns (residual [S], status [S] int32)."""
+    xy2, z2 = _warp_pair(q_src, t_src, q_dst, t_dst, cam_src, cam_dst,
+                         pix_xy, src_depth)
+    H, W = depth_dst.shape
+    xi = jnp.round(xy2[:, 0])
+    yi = jnp.round(xy2[:, 1])
+    inb = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+    depth2 = nearest_sample2d(depth_dst, xy2, fill=0.0)
+    depth_ok = jnp.abs(depth2 - z2) <= opt.depth_error_threshold
+    label2 = nearest_sample2d(sem_dst, xy2, fill=jnp.nan)
+    mismatch = label2 != src_label
+    valid_src = src_depth > 0
+
+    status = jnp.where(~inb, OUT_OF_BOUNDS,
+                       jnp.where(~depth_ok, INVALID_DEPTH, VALID))
+    r = jnp.where(inb & depth_ok & valid_src,
+                  mismatch.astype(xy2.dtype), 0.0)
+    status = jnp.where(valid_src, status, OUT_OF_BOUNDS)
+    return r, status
+
+
+# ---------------------------------------------------------------------------
+# Residual fields over all pairs
+# ---------------------------------------------------------------------------
+
+def _all_residuals(qvecs, tvecs, problem: SBAProblem, opt: SBAOptions, soft: bool):
+    def one(ps, pd):
+        args = (qvecs[ps], tvecs[ps], qvecs[pd], tvecs[pd],
+                problem.cam_params[ps], problem.cam_params[pd],
+                problem.depth_maps[pd], problem.semantic_maps[pd],
+                problem.pix_xy, problem.src_depth[ps], problem.src_label[ps])
+        if soft:
+            return _pair_residual_soft(*args, opt)
+        return _pair_residual_hard(*args, opt)[0]
+
+    r = jax.vmap(one)(problem.pair_src, problem.pair_dst)  # [Q, S]
+    return r * problem.pair_mask[:, None]
+
+
+def evaluate_hard(problem: SBAProblem, opt: Optional[SBAOptions] = None):
+    """Reference-parity evaluation: robust cost + status counts."""
+    opt = opt or SBAOptions()
+
+    def one(ps, pd):
+        return _pair_residual_hard(
+            problem.qvecs[ps], problem.tvecs[ps], problem.qvecs[pd], problem.tvecs[pd],
+            problem.cam_params[ps], problem.cam_params[pd],
+            problem.depth_maps[pd], problem.semantic_maps[pd],
+            problem.pix_xy, problem.src_depth[ps], problem.src_label[ps], opt)
+
+    r, status = jax.vmap(one)(problem.pair_src, problem.pair_dst)
+    m = problem.pair_mask[:, None]
+    r = r * m
+    s = r * r
+    cost = 0.5 * jnp.sum(loss_value(opt.loss, s, opt.loss_scale) * m)
+    mb = m > 0
+    return dict(
+        cost=cost,
+        num_valid=jnp.sum((status == VALID) & mb),
+        num_out_of_bounds=jnp.sum((status == OUT_OF_BOUNDS) & mb),
+        num_invalid_depth=jnp.sum((status == INVALID_DEPTH) & mb),
+        num_label_mismatch=jnp.sum((r > 0.5) & mb),
+        residuals=r,
+        status=status,
+    )
+
+
+def _cost(qvecs, tvecs, problem, opt, soft: bool):
+    r = _all_residuals(qvecs, tvecs, problem, opt, soft)
+    s = r * r
+    return 0.5 * jnp.sum(loss_value(opt.loss, s, opt.loss_scale)
+                         * problem.pair_mask[:, None])
+
+
+# ---------------------------------------------------------------------------
+# Pose-only LM with dense normal equations from per-pair 12x12 blocks
+# ---------------------------------------------------------------------------
+
+def _pair_jacobians(problem: SBAProblem, opt: SBAOptions):
+    """r [Q,S] and J [Q,S,12] wrt the 12 local DoF (src 6, dst 6)."""
+    qvecs, tvecs = problem.qvecs, problem.tvecs
+
+    def pair_fn(d_src, d_dst, ps, pd):
+        q_s = quat_retract(qvecs[ps], d_src[:3])
+        t_s = tvecs[ps] + d_src[3:]
+        q_d = quat_retract(qvecs[pd], d_dst[:3])
+        t_d = tvecs[pd] + d_dst[3:]
+        args = (q_s, t_s, q_d, t_d,
+                problem.cam_params[ps], problem.cam_params[pd],
+                problem.depth_maps[pd], problem.semantic_maps[pd],
+                problem.pix_xy, problem.src_depth[ps], problem.src_label[ps])
+        if opt.mode == "soft":
+            return _pair_residual_soft(*args, opt)
+        return _pair_residual_hard(*args, opt)[0]
+
+    z6 = jnp.zeros(6, problem.tvecs.dtype)
+
+    if opt.mode == "soft":
+        def one(ps, pd):
+            r = pair_fn(z6, z6, ps, pd)
+            js, jd = jax.jacfwd(pair_fn, argnums=(0, 1))(z6, z6, ps, pd)
+            return r, jnp.concatenate([js, jd], axis=-1)
+    else:
+        # Numeric central differences over the 12 local DoF — the batched
+        # equivalent of ceres::NumericDiffCostFunction<..., CENTRAL>
+        # (ref: src/base/semantic_cost_functions.h:254-257).
+        h = opt.numeric_step
+
+        def one(ps, pd):
+            r = pair_fn(z6, z6, ps, pd)
+
+            def col(i):
+                e = jnp.zeros(12, problem.tvecs.dtype).at[i].set(h)
+                rp = pair_fn(e[:6], e[6:], ps, pd)
+                rm = pair_fn(-e[:6], -e[6:], ps, pd)
+                return (rp - rm) / (2.0 * h)
+
+            J = jax.vmap(col)(jnp.arange(12))  # [12, S]
+            return r, jnp.moveaxis(J, 0, -1)
+
+    r, J = jax.vmap(one)(problem.pair_src, problem.pair_dst)
+    # Mask + IRLS weights.
+    s = r * r
+    w = problem.pair_mask[:, None] * loss_weight(opt.loss, s, opt.loss_scale)
+    sw = jnp.sqrt(w)
+    r = r * sw
+    J = J * sw[..., None]
+    # Free-parameter masks.
+    free_pose = jnp.concatenate(
+        [jnp.repeat(problem.free_rot[:, None], 3, axis=1), problem.free_trans],
+        axis=1)  # [N, 6]
+    msrc = free_pose[problem.pair_src][:, None, :]  # [Q,1,6]
+    mdst = free_pose[problem.pair_dst][:, None, :]
+    J = J * jnp.concatenate([msrc, mdst], axis=-1)
+    return r, J
+
+
+def _assemble_dense(problem: SBAProblem, r, J):
+    """Scatter per-pair blocks into dense H [6N,6N], g [6N]."""
+    N = problem.qvecs.shape[0]
+    Q = r.shape[0]
+    Hq = jnp.einsum("qsi,qsj->qij", J, J)        # [Q,12,12]
+    gq = jnp.einsum("qsi,qs->qi", J, r)          # [Q,12]
+
+    H = jnp.zeros((N, 6, N, 6), J.dtype)
+    g = jnp.zeros((N, 6), J.dtype)
+    ps, pd = problem.pair_src, problem.pair_dst
+    H = H.at[ps, :, ps, :].add(Hq[:, :6, :6])
+    H = H.at[ps, :, pd, :].add(Hq[:, :6, 6:])
+    H = H.at[pd, :, ps, :].add(Hq[:, 6:, :6])
+    H = H.at[pd, :, pd, :].add(Hq[:, 6:, 6:])
+    g = g.at[ps].add(gq[:, :6])
+    g = g.at[pd].add(gq[:, 6:])
+    return H.reshape(6 * N, 6 * N), g.reshape(6 * N)
+
+
+@functools.partial(jax.jit, static_argnames=("opt",))
+def _sba_impl(problem: SBAProblem, opt: SBAOptions):
+    N = problem.qvecs.shape[0]
+    soft = opt.mode == "soft"
+    max_it = opt.max_iterations
+
+    free_pose = jnp.concatenate(
+        [jnp.repeat(problem.free_rot[:, None], 3, axis=1), problem.free_trans],
+        axis=1).reshape(-1)
+
+    cost0 = _cost(problem.qvecs, problem.tvecs, problem, opt, soft)
+
+    def body(state):
+        it, q, t, lam, nu, cost, done, trace = state
+        prob = problem._replace(qvecs=q, tvecs=t)
+        r, J = _pair_jacobians(prob, opt)
+        H, g = _assemble_dense(prob, r, J)
+        d = jnp.clip(jnp.diag(H), 1e-6, 1e32)
+        Hd = H + jnp.diag(lam * d + (1.0 - free_pose))
+        delta = -jax.scipy.linalg.solve(Hd, g, assume_a="pos")
+        delta = delta * free_pose
+        du = delta.reshape(N, 6)
+
+        q2 = quat_retract(q, du[:, :3])
+        t2 = t + du[:, 3:]
+        new_cost = _cost(q2, t2, problem, opt, soft)
+        actual = cost - new_cost
+        predicted = -(jnp.dot(g, delta)
+                      + 0.5 * jnp.dot(delta, H @ delta)
+                      + 0.5 * jnp.sum(lam * d * delta * delta))
+        rho = actual / jnp.maximum(predicted, 1e-30)
+        accept = (actual > 0) & (predicted > 0)
+
+        lam = jnp.where(accept,
+                        jnp.maximum(lam * jnp.maximum(1.0 / 3.0, 1.0 - (2 * rho - 1.0) ** 3), 1e-14),
+                        jnp.minimum(lam * nu, 1e10))
+        nu = jnp.where(accept, 2.0, nu * 2.0)
+        q = jnp.where(accept, q2, q)
+        t = jnp.where(accept, t2, t)
+        cost_new = jnp.where(accept, new_cost, cost)
+
+        g_inf = jnp.max(jnp.abs(g))
+        step_norm = jnp.linalg.norm(delta)
+        done = ((accept & (jnp.abs(actual) < opt.function_tolerance * jnp.maximum(cost, 1e-30)))
+                | (g_inf < opt.gradient_tolerance)
+                | (accept & (step_norm < opt.parameter_tolerance * (1.0 + jnp.linalg.norm(t))))
+                | (lam >= 1e10))
+        trace = trace.at[it + 1].set(cost_new)
+        return it + 1, q, t, lam, nu, cost_new, done, trace
+
+    def cond(state):
+        it, q, t, lam, nu, cost, done, trace = state
+        return (it < max_it) & (~done)
+
+    trace0 = jnp.full((max_it + 1,), jnp.nan, cost0.dtype).at[0].set(cost0)
+    init = (0, problem.qvecs, problem.tvecs,
+            jnp.asarray(1.0 / opt.initial_trust_radius, cost0.dtype),
+            jnp.asarray(2.0, cost0.dtype), cost0, jnp.asarray(False), trace0)
+    it, q, t, lam, nu, cost, done, trace = jax.lax.while_loop(cond, body, init)
+
+    out = problem._replace(qvecs=q, tvecs=t)
+    hard = evaluate_hard(out, opt)
+    summary = SBASummary(
+        initial_cost=cost0, final_cost=cost, num_iterations=it,
+        num_residuals=(jnp.sum(problem.pair_mask) * problem.pix_xy.shape[0]).astype(jnp.int32),
+        cost_trace=trace,
+        num_valid=hard["num_valid"], num_out_of_bounds=hard["num_out_of_bounds"],
+        num_invalid_depth=hard["num_invalid_depth"],
+        num_label_mismatch=hard["num_label_mismatch"])
+    return out, summary
+
+
+def semantic_bundle_adjust(problem: SBAProblem, options: Optional[SBAOptions] = None):
+    return _sba_impl(problem, options or SBAOptions())
+
+
+# ---------------------------------------------------------------------------
+# Problem construction
+# ---------------------------------------------------------------------------
+
+def build_sba_problem(qvecs, tvecs, cam_params, depth_maps, semantic_maps,
+                      options: Optional[SBAOptions] = None,
+                      pairs=None, dtype=jnp.float64) -> SBAProblem:
+    """Assemble from pose arrays + stacked maps.
+
+    The pixel grid mirrors the reference's strided double loop
+    (ref .cc:796-799): x, y in steps of `pixel_step` over the full map.
+    Gauge fixing follows the SBA controller: pose 0 fully constant, tvec x
+    of image 1 constant (ref: controllers/semantic_bundle_adjustment.cc:106-109).
+    """
+    opt = options or SBAOptions()
+    qvecs = np.asarray(qvecs)
+    N = qvecs.shape[0]
+    Hm, Wm = np.asarray(depth_maps).shape[-2:]
+
+    ys = np.arange(0, Hm, opt.pixel_step)
+    xs = np.arange(0, Wm, opt.pixel_step)
+    gx, gy = np.meshgrid(xs, ys)
+    pix = np.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1)  # [S, 2]
+
+    depth_np = np.asarray(depth_maps)
+    sem_np = np.asarray(semantic_maps)
+    src_depth = depth_np[:, pix[:, 1], pix[:, 0]]
+    src_label = sem_np[:, pix[:, 1], pix[:, 0]]
+
+    if pairs is None:
+        pairs = [(i, j) for i in range(N) for j in range(N) if i != j]
+    pair_src = np.array([p[0] for p in pairs], np.int32)
+    pair_dst = np.array([p[1] for p in pairs], np.int32)
+
+    free_rot = np.ones(N)
+    free_trans = np.ones((N, 3))
+    free_rot[0] = 0.0
+    free_trans[0] = 0.0
+    if N > 1:
+        free_trans[1, 0] = 0.0
+
+    return SBAProblem(
+        qvecs=jnp.asarray(qvecs, dtype), tvecs=jnp.asarray(tvecs, dtype),
+        cam_params=jnp.asarray(cam_params, dtype),
+        depth_maps=jnp.asarray(depth_np, dtype),
+        semantic_maps=jnp.asarray(sem_np, dtype),
+        pix_xy=jnp.asarray(pix, dtype),
+        src_depth=jnp.asarray(src_depth, dtype),
+        src_label=jnp.asarray(src_label, dtype),
+        pair_src=jnp.asarray(pair_src), pair_dst=jnp.asarray(pair_dst),
+        pair_mask=jnp.ones(len(pairs), dtype),
+        free_rot=jnp.asarray(free_rot, dtype),
+        free_trans=jnp.asarray(free_trans, dtype),
+    )

@@ -112,3 +112,85 @@ def make_ba_problem(
         free_cam=jnp.zeros((1, MAXP), dtype),  # intrinsics constant by default
     )
     return problem, truth
+
+
+def make_sba_scene(
+    num_images: int = 4,
+    image_size=(64, 48),
+    focal: float = 60.0,
+    plane_z: float = 5.0,
+    cell: float = 1.0,
+    num_labels: int = 5,
+    pose_noise: float = 0.0,
+    seed: int = 0,
+    relief: float = 0.6,
+):
+    """Synthetic scene for semantic BA: cameras above a labeled relief
+    surface z = plane_z + relief * sin(1.3 x) sin(1.7 y), with ray-marched
+    depth + aperiodic semantic maps.
+
+    A flat plane would be DEGENERATE for the pairwise dense cost: the
+    plane-induced homography ambiguity (delta_R = -delta_t n^T / d) leaves
+    the pixel warp invariant and the loose depth gate cannot pin it down —
+    so the surface must be non-planar for pose observability. Returns
+    (qvecs_gt [N,4], tvecs_gt [N,3], cam_params [N,3], depth [N,H,W],
+    semantic [N,H,W], qvecs_init, tvecs_init).
+    """
+    from sba_tpu.geometry.quaternions import quat_rotate, quat_normalize, pose_inverse
+
+    rng = np.random.default_rng(seed)
+    w, h = image_size
+    cam = np.array([focal, w / 2.0, h / 2.0])
+
+    qvecs = np.zeros((num_images, 4))
+    tvecs = np.zeros((num_images, 3))
+    centers = np.zeros((num_images, 3))
+    for i in range(num_images):
+        aa = rng.normal(scale=0.05, size=3)
+        angle = np.linalg.norm(aa)
+        axis = aa / max(angle, 1e-12)
+        qvecs[i] = np.concatenate([[np.cos(angle / 2)], np.sin(angle / 2) * axis])
+        centers[i] = np.array([rng.uniform(-1, 1), rng.uniform(-1, 1), rng.uniform(-0.3, 0.3)])
+        tvecs[i] = -np.array(quat_rotate(jnp.asarray(qvecs[i]), jnp.asarray(centers[i])))
+
+    xs, ys = np.meshgrid(np.arange(w, dtype=np.float64), np.arange(h, dtype=np.float64))
+    dir_cam = np.stack([(xs - cam[1]) / cam[0], (ys - cam[2]) / cam[0],
+                        np.ones_like(xs)], axis=-1)  # [H, W, 3]
+
+    def surface_z(x, y):
+        return plane_z + relief * np.sin(1.3 * x) * np.sin(1.7 * y)
+
+    depth = np.zeros((num_images, h, w))
+    semantic = np.zeros((num_images, h, w))
+    for i in range(num_images):
+        qi, ci = pose_inverse(jnp.asarray(qvecs[i]), jnp.asarray(tvecs[i]))
+        d_world = np.array(quat_rotate(qi, jnp.asarray(dir_cam.reshape(-1, 3)))).reshape(h, w, 3)
+        # Ray-march the gentle relief: fixed-point iteration on the ray
+        # parameter (converges fast for |relief| << plane_z and near-nadir
+        # views; exact for relief = 0).
+        s = (plane_z - centers[i, 2]) / d_world[..., 2]
+        for _ in range(25):
+            hit = centers[i][None, None, :] + s[..., None] * d_world
+            s = (surface_z(hit[..., 0], hit[..., 1]) - centers[i, 2]) / d_world[..., 2]
+        hit = centers[i][None, None, :] + s[..., None] * d_world
+        depth[i] = s
+        # Aperiodic label field: random label per cell from a large lookup
+        # tile. (A periodic pattern like (ix + 2*iy) mod K has alias minima —
+        # shifting by whole periods realigns labels at wrong poses.)
+        lut = np.random.default_rng(seed + 1000).integers(0, num_labels, size=(97, 89))
+        ix = np.floor(hit[..., 0] / cell).astype(np.int64) % 97
+        iy = np.floor(hit[..., 1] / cell).astype(np.int64) % 89
+        semantic[i] = lut[ix, iy].astype(np.float64)
+
+    q0 = qvecs.copy()
+    t0 = tvecs.copy()
+    if pose_noise > 0:
+        q0 = q0 + rng.normal(scale=pose_noise, size=q0.shape)
+        q0 = np.array(quat_normalize(jnp.asarray(q0)))
+        t0 = t0 + rng.normal(scale=pose_noise, size=t0.shape)
+        q0[0], t0[0] = qvecs[0], tvecs[0]
+        if num_images > 1:
+            t0[1, 0] = tvecs[1, 0]
+
+    cam_params = np.tile(cam, (num_images, 1))
+    return qvecs, tvecs, cam_params, depth, semantic, q0, t0

@@ -1,0 +1,158 @@
+"""Semantic BA tests: hard-residual parity semantics + soft-mode recovery.
+
+The reference ships ZERO tests for its fork code (SURVEY.md section 4);
+these are designed from the cost-function spec
+(ref: src/base/semantic_cost_functions.h:88-208).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sba_tpu.optim.sba import (
+    INVALID_DEPTH,
+    OUT_OF_BOUNDS,
+    VALID,
+    SBAOptions,
+    build_sba_problem,
+    evaluate_hard,
+    semantic_bundle_adjust,
+)
+from sba_tpu.utils.synthetic import make_sba_scene
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return make_sba_scene(num_images=4, image_size=(64, 48), pose_noise=0.0, seed=0)
+
+
+def test_ground_truth_is_consistent(scene):
+    """At ground-truth poses every in-bounds residual must be VALID with
+    matching labels (maps were rendered from one world model)."""
+    q, t, cam, depth, sem, _, _ = scene
+    problem = build_sba_problem(q, t, cam, depth, sem,
+                                SBAOptions(pixel_step=4))
+    out = evaluate_hard(problem, SBAOptions(pixel_step=4))
+    n_valid = int(out["num_valid"])
+    n_mismatch = int(out["num_label_mismatch"])
+    assert n_valid > 1000
+    # Label mismatches only from nearest-rounding at checker boundaries.
+    assert n_mismatch / n_valid < 0.12
+    # The bulk of the energy: valid >> gated.
+    assert n_valid > int(out["num_invalid_depth"])
+
+
+def test_status_codes_small_case():
+    """Hand-crafted gates: OOB, depth mismatch, label mismatch."""
+    # Two identical cameras at identity; maps 8x8.
+    H, W = 8, 8
+    q = np.tile([1.0, 0, 0, 0], (2, 1))
+    t = np.zeros((2, 3))
+    cam = np.tile([4.0, 4.0, 4.0], (2, 1))
+    depth = np.full((2, H, W), 2.0)
+    sem = np.zeros((2, H, W))
+    sem[1, :, :4] = 1.0  # half-plane label difference in image 2
+
+    problem = build_sba_problem(q, t, cam, depth, sem, SBAOptions(pixel_step=1),
+                                pairs=[(0, 1)])
+    out = evaluate_hard(problem, SBAOptions(pixel_step=1))
+    # Identical poses: every pixel projects onto itself -> all in-bounds,
+    # depth exact; mismatches exactly where labels differ (left half).
+    assert int(out["num_out_of_bounds"]) == 0
+    assert int(out["num_invalid_depth"]) == 0
+    assert int(out["num_valid"]) == H * W
+    assert int(out["num_label_mismatch"]) == H * (W // 2)
+
+    # Now break the depth map beyond the threshold.
+    depth2 = depth.copy()
+    depth2[1] += 5.0
+    p2 = build_sba_problem(q, t, cam, depth, sem, SBAOptions(pixel_step=1),
+                           pairs=[(0, 1)])
+    p2 = p2._replace(depth_maps=jnp.asarray(depth2))
+    out2 = evaluate_hard(p2, SBAOptions(pixel_step=1, depth_error_threshold=2.0))
+    assert int(out2["num_invalid_depth"]) == H * W
+
+    # Shift camera 2 far away -> everything lands out of bounds.
+    t3 = t.copy()
+    t3[1, 0] = 100.0
+    p3 = build_sba_problem(q, t3, cam, depth, sem, SBAOptions(pixel_step=1),
+                           pairs=[(0, 1)])
+    out3 = evaluate_hard(p3, SBAOptions(pixel_step=1))
+    assert int(out3["num_out_of_bounds"]) == H * W
+
+
+def test_zero_depth_pixels_skipped():
+    H, W = 8, 8
+    q = np.tile([1.0, 0, 0, 0], (2, 1))
+    t = np.zeros((2, 3))
+    cam = np.tile([4.0, 4.0, 4.0], (2, 1))
+    depth = np.full((2, H, W), 2.0)
+    depth[0, 0, :] = 0.0  # first row of source has no depth (ref .cc:809)
+    sem = np.zeros((2, H, W))
+    sem[1] = 1.0  # all labels differ
+    problem = build_sba_problem(q, t, cam, depth, sem, SBAOptions(pixel_step=1),
+                                pairs=[(0, 1)])
+    out = evaluate_hard(problem, SBAOptions(pixel_step=1))
+    assert int(out["num_label_mismatch"]) == H * W - W  # skipped row drops out
+
+
+def test_soft_residual_gradient_nonzero(scene):
+    q, t, cam, depth, sem, _, _ = scene
+    import jax
+
+    opt = SBAOptions(pixel_step=4, mode="soft")
+    problem = build_sba_problem(q, t, cam, depth, sem, opt)
+
+    from sba_tpu.optim.sba import _cost
+
+    def f(tv):
+        return _cost(problem.qvecs, tv, problem, opt, True)
+
+    g = jax.grad(f)(problem.tvecs)
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert np.abs(np.asarray(g)[1:]).max() > 0  # non-gauge poses get gradient
+
+
+def test_sba_soft_drives_mismatch_to_gt_level():
+    """Pose precision of a 0/1 label objective is bounded by boundary
+    alignment (~1 px); the contract is: from a grossly misaligned start,
+    the semantic mismatch count returns to ground-truth level and poses
+    stay at the pixel-scale optimum (the reference's numeric-diff LM on the
+    same residual cannot do better — its gradient is zero a.e.)."""
+    q_gt, t_gt, cam, depth, sem, q0, t0 = make_sba_scene(
+        num_images=4, image_size=(64, 48), pose_noise=0.02, cell=0.5, seed=2)
+    opt = SBAOptions(pixel_step=2, mode="soft", max_iterations=40)
+    problem = build_sba_problem(q0, t0, cam, depth, sem, opt)
+
+    gt_prob = problem._replace(qvecs=jnp.asarray(q_gt), tvecs=jnp.asarray(t_gt))
+    mis_gt = int(evaluate_hard(gt_prob, opt)["num_label_mismatch"])
+    mis0 = int(evaluate_hard(problem, opt)["num_label_mismatch"])
+    out, summary = semantic_bundle_adjust(problem, opt)
+    mis1 = int(evaluate_hard(out, opt)["num_label_mismatch"])
+
+    assert mis0 > 3 * mis_gt          # start grossly misaligned
+    assert mis1 < 1.25 * mis_gt       # returns to GT-level consistency
+    # Poses bounded at the pixel-scale observability limit
+    # (1 px ~ z/f ~ 0.08 world units here).
+    t_err1 = np.abs(np.asarray(out.tvecs) - t_gt).max()
+    assert t_err1 < 0.12
+
+    # Gauge: first pose untouched, tvec x of second image untouched.
+    np.testing.assert_allclose(np.asarray(out.qvecs[0]), q0[0])
+    np.testing.assert_allclose(np.asarray(out.tvecs[0]), t0[0])
+    assert float(out.tvecs[1, 0]) == pytest.approx(t0[1, 0])
+
+
+def test_sba_hard_numeric_mode_runs_and_does_not_worsen():
+    """Reference-parity optimization mode: numeric central differences on
+    the hard 0/1 residual (ref: semantic_cost_functions.h:254-257). The
+    gradient is zero almost everywhere, so expect small, non-destructive
+    pose updates and a non-increasing robust cost."""
+    q_gt, t_gt, cam, depth, sem, q0, t0 = make_sba_scene(
+        num_images=3, image_size=(64, 48), pose_noise=0.01, cell=0.5, seed=5)
+    opt = SBAOptions(pixel_step=2, mode="hard_numeric", max_iterations=15)
+    problem = build_sba_problem(q0, t0, cam, depth, sem, opt)
+    out, summary = semantic_bundle_adjust(problem, opt)
+    assert float(summary.final_cost) <= float(summary.initial_cost) + 1e-9
+    # Bounded updates (no divergence).
+    assert np.abs(np.asarray(out.tvecs) - t0).max() < 0.5
