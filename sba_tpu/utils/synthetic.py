@@ -194,3 +194,92 @@ def make_sba_scene(
 
     cam_params = np.tile(cam, (num_images, 1))
     return qvecs, tvecs, cam_params, depth, semantic, q0, t0
+
+
+def _lookat_pose(center, target, up=(0.0, 0.0, 1.0)):
+    """World->camera pose (qvec, tvec) for a camera at `center` looking at
+    `target` (camera z forward, y down-ish)."""
+    from sba_tpu.geometry.quaternions import rotmat_to_quat
+
+    c = np.asarray(center, np.float64)
+    z = np.asarray(target, np.float64) - c
+    z /= np.linalg.norm(z)
+    upv = np.asarray(up, np.float64)
+    x = np.cross(z, upv)
+    if np.linalg.norm(x) < 1e-8:
+        x = np.cross(z, np.array([0.0, 1.0, 0.0]))
+    x /= np.linalg.norm(x)
+    y = np.cross(z, x)
+    R = np.stack([x, y, z])  # rows = camera axes in world
+    q = np.array(rotmat_to_quat(jnp.asarray(R)))
+    t = -R @ c
+    return q, t
+
+
+def make_gsba_scene(
+    num_images: int = 4,
+    image_size=(64, 48),
+    focal: float = 55.0,
+    radius: float = 0.4,
+    height: float = 3.0,
+    cam_dist: float = 8.0,
+    trunk_class: float = 250.0,
+    pose_noise: float = 0.0,
+    cylinder_noise: float = 0.0,
+    seed: int = 0,
+):
+    """Synthetic scene for geometric-semantic BA: one vertical cylinder at
+    the origin, cameras on a circle looking at it; semantic masks are the
+    hard-rendered ground-truth silhouettes (trunk_class where inside).
+
+    Returns (qvecs_gt, tvecs_gt, cam_params [N,3], semantic_maps [N,H,W],
+    cylinder_gt, qvecs_init, tvecs_init, cylinder_init).
+    """
+    from sba_tpu.models.cylinder import (
+        Cylinder, project_quadrilateral, quadrilateral_mask)
+    from sba_tpu.geometry.quaternions import quat_normalize
+
+    rng = np.random.default_rng(seed)
+    w, h = image_size
+    cam = np.array([focal, w / 2.0, h / 2.0])
+    cyl = Cylinder(qvec=[1.0, 0, 0, 0], tvec=[0.0, 0.0, -height / 2], radius=radius,
+                   height=height)
+
+    qvecs = np.zeros((num_images, 4))
+    tvecs = np.zeros((num_images, 3))
+    for i in range(num_images):
+        ang = 2 * np.pi * i / num_images + rng.uniform(-0.1, 0.1)
+        center = np.array([cam_dist * np.cos(ang), cam_dist * np.sin(ang),
+                           rng.uniform(-0.5, 0.5)])
+        qvecs[i], tvecs[i] = _lookat_pose(center, [0.0, 0.0, 0.0])
+
+    # Render hard GT silhouettes with the same projective model.
+    quad, valid = project_quadrilateral(
+        jnp.asarray(np.tile(cyl.qvec, (num_images, 1))),
+        jnp.asarray(np.tile(cyl.tvec, (num_images, 1))),
+        jnp.asarray(np.full(num_images, cyl.radius)),
+        jnp.asarray(np.full(num_images, cyl.height)),
+        jnp.asarray(qvecs), jnp.asarray(tvecs),
+        jnp.asarray(np.tile(cam, (num_images, 1))))
+    assert bool(np.all(np.asarray(valid))), "cameras must see the cylinder"
+    masks = np.array(quadrilateral_mask(quad, h, w, hard=True))
+    semantic = np.where(masks > 0.5, trunk_class, 0.0)
+
+    q0 = qvecs.copy()
+    t0 = tvecs.copy()
+    if pose_noise > 0:
+        q0 = q0 + rng.normal(scale=pose_noise, size=q0.shape)
+        q0 = np.array(quat_normalize(jnp.asarray(q0)))
+        t0 = t0 + rng.normal(scale=pose_noise, size=t0.shape)
+        q0[0], t0[0] = qvecs[0], tvecs[0]
+        if num_images > 1:
+            t0[1, 0] = tvecs[1, 0]
+
+    cyl0 = Cylinder(
+        qvec=cyl.qvec + rng.normal(scale=cylinder_noise, size=4) if cylinder_noise else cyl.qvec,
+        tvec=cyl.tvec + rng.normal(scale=cylinder_noise, size=3) if cylinder_noise else cyl.tvec,
+        radius=cyl.radius * float(np.exp(rng.normal(scale=cylinder_noise))) if cylinder_noise else cyl.radius,
+        height=cyl.height * float(np.exp(rng.normal(scale=cylinder_noise))) if cylinder_noise else cyl.height,
+    )
+    cam_params = np.tile(cam, (num_images, 1))
+    return qvecs, tvecs, cam_params, semantic, cyl, q0, t0, cyl0

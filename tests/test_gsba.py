@@ -1,0 +1,177 @@
+"""Geometric-semantic BA tests: cylinder math + soft-IoU recovery.
+
+The reference ships zero tests for this code; designed from
+ref: src/util/cylinder.h and src/optim/geometric_semantic_bundle_adjustment.cc.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sba_tpu.models.cylinder import (
+    Cylinder,
+    cylinder_edge_points,
+    cylinder_from_two_points,
+    project_quadrilateral,
+    quadrilateral_mask,
+    semantic_iou,
+    two_points_from_cylinder,
+)
+from sba_tpu.optim.gsba import (
+    GSBAOptions,
+    build_gsba_problem,
+    evaluate_iou,
+    geometric_semantic_bundle_adjust,
+)
+from sba_tpu.utils.synthetic import make_gsba_scene
+
+
+def test_edge_points_geometry():
+    """Tangent points must lie on the cylinder surface, at z=0 and z=h in
+    the cylinder frame, and be tangent (perpendicularity of radius and
+    view ray in the xy-plane)."""
+    cq = jnp.array([1.0, 0, 0, 0])
+    ct = jnp.array([0.0, 0.0, 0.0])
+    r = jnp.asarray(0.5)
+    h = jnp.asarray(2.0)
+    # Camera at (5, 0, 1) looking anywhere; pose world->cam with center c:
+    from sba_tpu.utils.synthetic import _lookat_pose
+    q, t = _lookat_pose([5.0, 0.0, 1.0], [0.0, 0.0, 0.0])
+    p1, p2, p3, p4, valid = cylinder_edge_points(cq, ct, r, h,
+                                                 jnp.asarray(q), jnp.asarray(t))
+    assert bool(valid)
+    for p in [p1, p2]:
+        assert float(jnp.linalg.norm(p[:2])) == pytest.approx(0.5, abs=1e-9)
+        assert float(p[2]) == pytest.approx(0.0, abs=1e-9)
+    for p in [p3, p4]:
+        assert float(jnp.linalg.norm(p[:2])) == pytest.approx(0.5, abs=1e-9)
+        assert float(p[2]) == pytest.approx(2.0, abs=1e-9)
+    # Tangency: radius vector perpendicular to (camera - point) in xy.
+    cam_center = jnp.asarray([5.0, 0.0, 1.0])
+    for p in [p1, p2]:
+        radial = p[:2]
+        to_cam = (cam_center - p)[:2]
+        assert float(jnp.dot(radial, to_cam)) == pytest.approx(0.0, abs=1e-8)
+    # p3/p4 stacked above p2/p1.
+    np.testing.assert_allclose(np.asarray(p4[:2]), np.asarray(p1[:2]), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(p3[:2]), np.asarray(p2[:2]), atol=1e-9)
+
+
+def test_camera_inside_cylinder_invalid():
+    cq = jnp.array([1.0, 0, 0, 0])
+    ct = jnp.zeros(3)
+    # Camera at distance 0.3 < radius 0.5.
+    from sba_tpu.utils.synthetic import _lookat_pose
+    q, t = _lookat_pose([0.3, 0.0, 1.0], [0.0, 0.0, 0.0])
+    *_, valid = cylinder_edge_points(cq, ct, jnp.asarray(0.5), jnp.asarray(2.0),
+                                     jnp.asarray(q), jnp.asarray(t))
+    assert not bool(valid)
+
+
+def test_two_point_parametrization_roundtrip():
+    c = Cylinder(qvec=[0.9, 0.1, 0.3, -0.2], tvec=[1.0, -2.0, 0.5],
+                 radius=0.3, height=2.5)
+    t1, t2, r = two_points_from_cylinder(c)
+    c2 = cylinder_from_two_points(t1, t2, r)
+    # Base point, axis direction, radius, height survive the roundtrip
+    # (the roll about the axis is not represented by 2 points).
+    np.testing.assert_allclose(c2.tvec, c.tvec, atol=1e-12)
+    assert c2.radius == pytest.approx(c.radius)
+    assert c2.height == pytest.approx(c.height, abs=1e-9)
+    np.testing.assert_allclose(c2.upper_tvec(), c.upper_tvec(), atol=1e-9)
+
+
+def test_hard_mask_matches_quad_area():
+    """Hard rasterization of an axis-aligned rectangle quad."""
+    quad = jnp.asarray([[10.0, 5.0], [30.0, 5.0], [30.0, 25.0], [10.0, 25.0]])
+    m = quadrilateral_mask(quad, 32, 48, hard=True)
+    # Pixels strictly inside all four CCW (image coords) edges.
+    assert m.shape == (32, 48)
+    area = float(jnp.sum(m))
+    assert area == pytest.approx(21 * 21, rel=0.1)
+    iou_self = float(semantic_iou(m, m))
+    assert iou_self == pytest.approx(1.0)
+
+
+def test_soft_mask_approaches_hard():
+    quad = jnp.asarray([[10.0, 5.0], [30.0, 5.0], [30.0, 25.0], [10.0, 25.0]])
+    hard = quadrilateral_mask(quad, 32, 48, hard=True)
+    soft = quadrilateral_mask(quad, 32, 48, soft_tau=0.1)
+    iou = float(semantic_iou(soft, hard))
+    assert iou > 0.9
+
+
+def test_gt_scene_iou_is_one():
+    q, t, cam, sem, cyl, q0, t0, cyl0 = make_gsba_scene(num_images=4, seed=0)
+    problem = build_gsba_problem(q, t, cam, sem, [cyl])
+    iou = np.asarray(evaluate_iou(problem))
+    assert iou.shape == (4, 1)
+    np.testing.assert_array_less(0.999, iou)  # self-rendered masks
+
+
+def test_gsba_recovers_cylinder():
+    """Fixed (true) poses, perturbed cylinder: IoU must return to ~1."""
+    q, t, cam, sem, cyl, _, _, cyl0 = make_gsba_scene(
+        num_images=4, seed=1, cylinder_noise=0.05)
+    opt = GSBAOptions(mode="soft", max_iterations=40, refine_extrinsics=False)
+    problem = build_gsba_problem(q, t, cam, sem, [cyl0], opt)
+    iou0 = float(np.mean(np.asarray(evaluate_iou(problem, opt))))
+    out, summary = geometric_semantic_bundle_adjust(problem, opt)
+    iou1 = float(summary.mean_iou)
+    assert iou1 > iou0
+    assert iou1 > 0.9
+    # Radius/height recovered.
+    assert float(jnp.exp(out.cyl_log_radius[0])) == pytest.approx(cyl.radius, rel=0.1)
+    assert float(jnp.exp(out.cyl_log_height[0])) == pytest.approx(cyl.height, rel=0.1)
+
+
+def test_gsba_recovers_poses():
+    """True cylinder, perturbed poses: IoU returns toward 1."""
+    q_gt, t_gt, cam, sem, cyl, q0, t0, _ = make_gsba_scene(
+        num_images=4, seed=2, pose_noise=0.03)
+    opt = GSBAOptions(mode="soft", max_iterations=40, refine_geometry=False)
+    problem = build_gsba_problem(q0, t0, cam, sem, [cyl], opt)
+    iou0 = float(np.mean(np.asarray(evaluate_iou(problem, opt))))
+    assert iou0 < 0.98  # start visibly misaligned
+    out, summary = geometric_semantic_bundle_adjust(problem, opt)
+    iou1 = float(summary.mean_iou)
+    assert iou1 > iou0
+    assert iou1 > 0.85
+    # Gauge respected.
+    np.testing.assert_allclose(np.asarray(out.qvecs[0]), q0[0])
+    np.testing.assert_allclose(np.asarray(out.tvecs[0]), t0[0])
+
+
+def test_gsba_two_point_parametrization():
+    q, t, cam, sem, cyl, _, _, cyl0 = make_gsba_scene(
+        num_images=4, seed=3, cylinder_noise=0.04)
+    opt = GSBAOptions(mode="soft", max_iterations=60, refine_extrinsics=False,
+                      cylinder_parametrization="by_2_points")
+    problem = build_gsba_problem(q, t, cam, sem, [cyl0], opt)
+    out, summary = geometric_semantic_bundle_adjust(problem, opt)
+    assert float(summary.mean_iou) > 0.85
+
+
+def test_gsba_joint_with_landmarks():
+    """Joint pose+cylinder with the optional landmark reprojection term."""
+    q_gt, t_gt, cam, sem, cyl, q0, t0, cyl0 = make_gsba_scene(
+        num_images=4, seed=4, pose_noise=0.005, cylinder_noise=0.03)
+    rng = np.random.default_rng(0)
+    pts = rng.uniform([-2, -2, -1], [2, 2, 1], size=(30, 3))
+    from sba_tpu.geometry.quaternions import quat_rotate
+    obs_image, obs_point, obs_xy = [], [], []
+    for i in range(4):
+        pc = np.array(quat_rotate(jnp.asarray(q_gt[i]), jnp.asarray(pts))) + t_gt[i]
+        xy = cam[i, 0] * pc[:, :2] / pc[:, 2:3] + cam[i, 1:3]
+        obs_image += [i] * len(pts)
+        obs_point += list(range(len(pts)))
+        obs_xy.append(xy)
+    obs = (np.array(obs_image, np.int32), np.array(obs_point, np.int32),
+           np.concatenate(obs_xy))
+    opt = GSBAOptions(mode="soft", max_iterations=40, landmark_error_weight=10.0)
+    problem = build_gsba_problem(q0, t0, cam, sem, [cyl0], opt,
+                                 points=pts, obs=obs)
+    out, summary = geometric_semantic_bundle_adjust(problem, opt)
+    assert float(summary.mean_iou) > 0.85
+    # Landmark term pins the poses near truth.
+    assert np.abs(np.asarray(out.tvecs) - t_gt).max() < 0.05
