@@ -1,0 +1,296 @@
+"""Essential matrix solvers: Nister 5-point, normalized 8-point, pose recovery.
+
+Capability parity with ref: src/estimators/essential_matrix.{h,cc}
+(`EssentialMatrixFivePointEstimator` :53 — Nister's method,
+`EssentialMatrixEightPointEstimator` :93) and
+src/base/essential_matrix.cc (`PoseFromEssentialMatrix`,
+`DecomposeEssentialMatrix`).
+
+TPU-native 5-point: the reference builds Nister's 10x20 action system with
+a generated Mathematica expansion and finds roots of the degree-10
+polynomial via companion-matrix eigenvalues. Here the 10x20 coefficient
+matrix is built by POLYNOMIAL ARITHMETIC AT TRACE TIME (monomials keyed
+statically, coefficients batched jnp scalars), Gauss-Jordan is one batched
+10x10 solve, Nister's elimination to the 3x3 polynomial matrix B(z) is
+coefficient bookkeeping, and the degree-10 roots come from the jittable
+Durand-Kerner iteration. Everything vmaps over RANSAC samples.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax.numpy as jnp
+
+from sba_tpu.ops.polynomial import real_roots
+
+Mono = Tuple[int, int, int]  # (deg_x, deg_y, deg_z); w = 1 absorbed
+Poly = Dict[Mono, jnp.ndarray]
+
+
+def _pmul(a: Poly, b: Poly) -> Poly:
+    out: Poly = {}
+    for (i1, j1, k1), ca in a.items():
+        for (i2, j2, k2), cb in b.items():
+            key = (i1 + i2, j1 + j2, k1 + k2)
+            term = ca * cb
+            out[key] = out.get(key, 0.0) + term
+    return out
+
+
+def _padd(*ps: Poly) -> Poly:
+    out: Poly = {}
+    for p in ps:
+        for k, v in p.items():
+            out[k] = out.get(k, 0.0) + v
+    return out
+
+
+def _pscale(a: Poly, s) -> Poly:
+    return {k: v * s for k, v in a.items()}
+
+
+# Nister's 20-monomial order (first 10 eliminated by Gauss-Jordan).
+_MONOS = [
+    (3, 0, 0), (0, 3, 0), (2, 1, 0), (1, 2, 0), (2, 0, 1), (2, 0, 0),
+    (0, 2, 1), (0, 2, 0), (1, 1, 1), (1, 1, 0),
+    (1, 0, 2), (1, 0, 1), (1, 0, 0), (0, 1, 2), (0, 1, 1), (0, 1, 0),
+    (0, 0, 3), (0, 0, 2), (0, 0, 1), (0, 0, 0),
+]
+_MONO_IDX = {m: i for i, m in enumerate(_MONOS)}
+
+
+def _epipolar_rows(xy1, xy2):
+    x1, y1 = xy1[..., 0], xy1[..., 1]
+    x2, y2 = xy2[..., 0], xy2[..., 1]
+    one = jnp.ones_like(x1)
+    return jnp.stack([x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1, one], -1)
+
+
+def essential_5pt(xy1, xy2):
+    """Nister 5-point: up to 10 essential matrices.
+
+    xy*: [..., 5, 2] NORMALIZED image coordinates.
+    Returns (E [..., 10, 3, 3], valid [..., 10]).
+    """
+    A = _epipolar_rows(xy1, xy2)  # [..., 5, 9]
+    # Nullspace via full SVD of A (NOT eigh of A^T A — squaring the matrix
+    # squares the condition number and the quartic constraints amplify the
+    # lost digits). Basis: E = x E1 + y E2 + z E3 + E4.
+    _, _, Vt = jnp.linalg.svd(A, full_matrices=True)  # Vt: [..., 9, 9]
+    basis = [Vt[..., 8 - i, :].reshape(Vt.shape[:-2] + (3, 3)) for i in range(4)]
+
+    # E entries as degree-1 polynomials in (x, y, z).
+    def entry(r, c) -> Poly:
+        return {
+            (1, 0, 0): basis[0][..., r, c],
+            (0, 1, 0): basis[1][..., r, c],
+            (0, 0, 1): basis[2][..., r, c],
+            (0, 0, 0): basis[3][..., r, c],
+        }
+
+    E = [[entry(r, c) for c in range(3)] for r in range(3)]
+
+    # det(E) = 0 (1 cubic equation).
+    def det3(M):
+        t1 = _pmul(M[0][0], _padd(_pmul(M[1][1], M[2][2]), _pscale(_pmul(M[1][2], M[2][1]), -1.0)))
+        t2 = _pmul(M[0][1], _padd(_pmul(M[1][2], M[2][0]), _pscale(_pmul(M[1][0], M[2][2]), -1.0)))
+        t3 = _pmul(M[0][2], _padd(_pmul(M[1][0], M[2][1]), _pscale(_pmul(M[1][1], M[2][0]), -1.0)))
+        return _padd(t1, t2, t3)
+
+    eqs = [det3(E)]
+
+    # Trace constraint: 2 E E^T E - tr(E E^T) E = 0 (9 cubic equations).
+    EEt = [[_padd(*[_pmul(E[r][k], E[c][k]) for k in range(3)]) for c in range(3)]
+           for r in range(3)]
+    tr = _padd(EEt[0][0], EEt[1][1], EEt[2][2])
+    for r in range(3):
+        for c in range(3):
+            lhs = _padd(*[_pmul(EEt[r][k], E[k][c]) for k in range(3)])
+            eq = _padd(_pscale(lhs, 2.0), _pscale(_pmul(tr, E[r][c]), -1.0))
+            eqs.append(eq)
+
+    # Assemble the 10x20 coefficient matrix in Nister's monomial order.
+    batch = A.shape[:-2]
+    zeros = jnp.zeros(batch, xy1.dtype)
+    rows = []
+    for eq in eqs:
+        row = [eq.get(m, zeros) + zeros for m in _MONOS]
+        rows.append(jnp.stack(row, -1))
+    C = jnp.stack(rows, -2)  # [..., 10, 20]
+
+    # Gauss-Jordan on the first 10 columns.
+    lhs10 = C[..., :, :10]
+    rhs10 = C[..., :, 10:]
+    Mred = jnp.linalg.solve(lhs10, rhs10)  # [..., 10, 10]
+
+    # Nister rows <e>..<j> are indices 4..9 (leading monomials x2z, x2,
+    # y2z, y2, xyz, xy). <k> = <e> - z<f>, <l> = <g> - z<h>, <m> = <i> - z<j>.
+    # Remaining monomial columns (10): xz2, xz, x, yz2, yz, y, z3, z2, z, 1.
+    def z_polys(row):
+        """Split a reduced row into coefficient arrays (highest-first) for
+        the x, y, 1 groups. Row encodes: x*(c0 z^2 + c1 z + c2)
+        + y*(c3 z^2 + c4 z + c5) + (c6 z^3 + c7 z^2 + c8 z + c9)."""
+        px = jnp.stack([row[..., 0], row[..., 1], row[..., 2]], -1)      # z^2..z^0
+        py = jnp.stack([row[..., 3], row[..., 4], row[..., 5]], -1)
+        p1 = jnp.stack([row[..., 6], row[..., 7], row[..., 8], row[..., 9]], -1)  # z^3..z^0
+        return px, py, p1
+
+    def shift_z(p):
+        """Multiply a z-polynomial (highest-first) by z."""
+        return jnp.concatenate([p, jnp.zeros(p.shape[:-1] + (1,), p.dtype)], -1)
+
+    def pad_to(p, n):
+        pad = n - p.shape[-1]
+        return jnp.concatenate([jnp.zeros(p.shape[:-1] + (pad,), p.dtype), p], -1)
+
+    def combine(rA, rB):
+        """<A> - z <B> for reduced rows -> (Bx deg3, By deg3, B1 deg4)."""
+        ax, ay, a1 = z_polys(rA)
+        bx, by, b1 = z_polys(rB)
+        # NOTE the sign: the reduced system is I * m10 + M * m_rest = 0, so
+        # the equation for row r is monomial_r + tail = 0; subtracting rows
+        # <A> - z<B> cancels the leading monomials and combines tails.
+        kx = pad_to(ax, 4) - shift_z(bx)                    # deg 3 (4 coeffs)
+        ky = pad_to(ay, 4) - shift_z(by)
+        k1 = pad_to(a1, 5) - shift_z(b1)                    # deg 4 (5 coeffs)
+        return kx, ky, k1
+
+    k = combine(Mred[..., 4, :], Mred[..., 5, :])
+    l = combine(Mred[..., 6, :], Mred[..., 7, :])
+    m = combine(Mred[..., 8, :], Mred[..., 9, :])
+
+    # det B(z): expand along the third column (the degree-4 polys).
+    def conv(p, q):
+        """Polynomial product, highest-first coefficient arrays."""
+        n1, n2 = p.shape[-1], q.shape[-1]
+        out = jnp.zeros(p.shape[:-1] + (n1 + n2 - 1,), p.dtype)
+        for i in range(n1):
+            for j in range(n2):
+                out = out.at[..., i + j].add(p[..., i] * q[..., j])
+        return out
+
+    def psub(p, q):
+        n = max(p.shape[-1], q.shape[-1])
+        return pad_to(p, n) - pad_to(q, n)
+
+    def _pscale_arr(p, s):
+        return p * s
+
+    kx, ky, k1 = k
+    lx, ly, l1 = l
+    mx, my, m1 = m
+    # det = k1*(lx*my - ly*mx) - l1*(kx*my - ky*mx) + m1*(kx*ly - ky*lx)
+    d1 = conv(k1, psub(conv(lx, my), conv(ly, mx)))
+    d2 = conv(l1, psub(conv(kx, my), conv(ky, mx)))
+    d3 = conv(m1, psub(conv(kx, ly), conv(ky, lx)))
+    det = psub(psub(d1, d2), _pscale_arr(d3, -1.0))  # d1 - d2 + d3
+
+    z, ok = real_roots(det, iters=80)  # [..., 10]
+
+    # Back-substitute x, y for each root from rows <k>, <l>.
+    def evalp(p, zz):
+        out = p[..., 0:1] * jnp.ones_like(zz)
+        for i in range(1, p.shape[-1]):
+            out = out * zz + p[..., i:i + 1]
+        return out
+
+    Kx = evalp(kx, z)
+    Ky = evalp(ky, z)
+    K1 = evalp(k1, z)
+    Lx = evalp(lx, z)
+    Ly = evalp(ly, z)
+    L1 = evalp(l1, z)
+    detM = Kx * Ly - Ky * Lx
+    safe = jnp.where(jnp.abs(detM) > 1e-20, detM, 1e-20)
+    x = (-K1 * Ly + L1 * Ky) / safe
+    y = (-Kx * L1 + Lx * K1) / safe
+
+    Es = (x[..., None, None] * basis[0][..., None, :, :]
+          + y[..., None, None] * basis[1][..., None, :, :]
+          + z[..., None, None] * basis[2][..., None, :, :]
+          + basis[3][..., None, :, :])
+    norm = jnp.linalg.norm(Es.reshape(Es.shape[:-2] + (9,)), axis=-1)
+    Es = Es / jnp.maximum(norm, 1e-12)[..., None, None]
+    ok = ok & (jnp.abs(detM) > 1e-18) & jnp.isfinite(x) & jnp.isfinite(y)
+    return Es, ok
+
+
+def essential_8pt(xy1, xy2):
+    """Normalized 8-point for E with (s, s, 0) singular enforcement.
+    xy*: [..., M >= 8, 2] normalized coords. Returns E [..., 3, 3]."""
+    from sba_tpu.estimators.fundamental_matrix import _normalize_points
+
+    n1, T1 = _normalize_points(xy1)
+    n2, T2 = _normalize_points(xy2)
+    A = _epipolar_rows(n1, n2)
+    AtA = jnp.einsum("...mi,...mj->...ij", A, A)
+    w, V = jnp.linalg.eigh(AtA)
+    e = V[..., :, 0]
+    E = e.reshape(e.shape[:-1] + (3, 3))
+    E = jnp.einsum("...ji,...jk,...kl->...il", T2, E, T1)
+    U, S, Vt = jnp.linalg.svd(E)
+    s = (S[..., 0] + S[..., 1]) / 2.0
+    S2 = jnp.stack([s, s, jnp.zeros_like(s)], -1)
+    E = jnp.einsum("...ik,...k,...kj->...ij", U, S2, Vt)
+    norm = jnp.linalg.norm(E.reshape(E.shape[:-2] + (9,)), axis=-1)
+    return E / jnp.maximum(norm, 1e-12)[..., None, None]
+
+
+def decompose_essential(E):
+    """E -> (R1, R2, t) candidate decomposition
+    (ref: src/base/essential_matrix.cc DecomposeEssentialMatrix)."""
+    U, S, Vt = jnp.linalg.svd(E)
+    # Enforce proper rotations.
+    U = U * jnp.sign(jnp.linalg.det(U))[..., None, None]
+    Vt = Vt * jnp.sign(jnp.linalg.det(Vt))[..., None, None]
+    W = jnp.asarray([[0.0, 1.0, 0.0], [-1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], E.dtype)
+    R1 = jnp.einsum("...ik,kl,...lj->...ij", U, W, Vt)
+    R2 = jnp.einsum("...ik,lk,...lj->...ij", U, W, Vt)
+    t = U[..., :, 2]
+    return R1, R2, t
+
+
+def pose_from_essential(E, xy1, xy2, mask=None):
+    """Cheirality-resolved relative pose from E + correspondences.
+
+    xy*: [..., M, 2] normalized coords; mask optional [..., M].
+    Returns (R [..., 3, 3], t [..., 3], num_in_front [...]) for the best of
+    the 4 candidate decompositions (ref: essential_matrix.cc
+    PoseFromEssentialMatrix; cheirality check via triangulated depths).
+    """
+    from sba_tpu.geometry.quaternions import rotmat_to_quat
+    from sba_tpu.geometry.triangulation import triangulate_point
+    from sba_tpu.geometry.projection import pose_matrix
+
+    if mask is None:
+        mask = jnp.ones(xy1.shape[:-1], E.dtype)
+
+    R1, R2, t = decompose_essential(E)
+    cands = [(R1, t), (R1, -t), (R2, t), (R2, -t)]
+
+    def count_front(R, tv):
+        q = rotmat_to_quat(R)
+        p1 = pose_matrix(jnp.zeros_like(q).at[..., 0].set(1.0), jnp.zeros_like(tv))
+        p2 = pose_matrix(q, tv)
+        X = triangulate_point(p1[..., None, :, :], p2[..., None, :, :], xy1, xy2)
+        z1 = X[..., 2]
+        Xc2 = jnp.einsum("...ij,...mj->...mi", R, X) + tv[..., None, :]
+        z2 = Xc2[..., 2]
+        # Max-depth guard as the reference (points at infinity rejected).
+        ok = (z1 > 0) & (z2 > 0) & (z1 < 1000.0) & (z2 < 1000.0)
+        return jnp.sum(ok * mask, -1)
+
+    counts = jnp.stack([count_front(R, tv) for R, tv in cands], -1)  # [..., 4]
+    best = jnp.argmax(counts, -1)
+    Rs = jnp.stack([c[0] for c in cands], -3)
+    ts = jnp.stack([c[1] for c in cands], -2)
+    R = jnp.take_along_axis(Rs, best[..., None, None, None], -3)[..., 0, :, :]
+    tv = jnp.take_along_axis(ts, best[..., None, None], -2)[..., 0, :]
+    return R, tv, jnp.max(counts, -1)
+
+
+def sampson_error_e(E, xy1, xy2, eps=1e-12):
+    from sba_tpu.estimators.fundamental_matrix import sampson_error_f
+
+    return sampson_error_f(E, xy1, xy2, eps)

@@ -1,0 +1,152 @@
+"""RANSAC / LO-RANSAC as fixed-size batched hypothesis evaluation.
+
+TPU-native redesign of ref: src/optim/ransac.h:80 (`RANSAC<Estimator,...>`),
+loransac.h:54 (`LORANSAC`), sampler.h + random/progressive/combination
+samplers, support_measurement.h.
+
+The reference's sequential adaptive loop (draw sample -> estimate -> count
+inliers -> update trial bound, ref ransac.h:143-182) is replaced by one
+batched program: K minimal samples drawn up front, all hypotheses solved by
+one vmapped minimal solver, all residuals evaluated as one [models x points]
+pass, arg-max support. K is chosen with the SAME stopping theory
+(log(1-conf)/log(1-w^k)) evaluated at the pessimistic prior inlier ratio,
+so the batch covers what the adaptive loop would have needed; the hardware
+prefers one big launch over data-dependent trip counts.
+
+LO step (LORANSAC): one non-minimal weighted refit on the best model's
+inliers (the reference runs the estimator's Refine; here the caller passes
+a weighted least-squares refitter).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclass(frozen=True)
+class RANSACOptions:
+    """Mirrors ref: src/optim/ransac.h RANSACOptions."""
+
+    max_error: float = 4.0           # inlier threshold on sqrt(residual)
+    min_inlier_ratio: float = 0.25   # pessimistic prior -> batch size
+    confidence: float = 0.999
+    min_num_trials: int = 32
+    max_num_trials: int = 4096
+    num_lo_steps: int = 2            # LO-RANSAC refinement rounds
+
+
+def num_required_trials(sample_size: int, opt: RANSACOptions) -> int:
+    """Static trial count from the reference's stopping criterion
+    (ref: ransac.h:143-182), evaluated at the prior inlier ratio."""
+    w = max(opt.min_inlier_ratio, 1e-3) ** sample_size
+    if w >= 1.0:
+        return opt.min_num_trials
+    n = math.log(max(1.0 - opt.confidence, 1e-12)) / math.log(1.0 - w + 1e-300)
+    return int(min(max(n, opt.min_num_trials), opt.max_num_trials))
+
+
+class RANSACReport(NamedTuple):
+    model: jnp.ndarray        # best model parameters (solver-specific pytree)
+    num_inliers: jnp.ndarray  # scalar int
+    inlier_mask: jnp.ndarray  # [N] bool
+    support_trace: jnp.ndarray  # [num_trials] inlier counts (diagnostics)
+
+
+def draw_samples(key, num_points, num_trials: int, sample_size: int,
+                 mask=None, progressive: bool = False):
+    """[num_trials, sample_size] index samples (duplicates within a sample
+    are avoided by Gumbel top-k over per-trial random scores; invalid points
+    masked out). `progressive=True` biases early trials toward low indices —
+    the PROSAC idea (ref: progressive_sampler.cc) for match lists sorted by
+    score."""
+    scores = jax.random.uniform(key, (num_trials, num_points))
+    if mask is not None:
+        scores = jnp.where(mask[None, :] > 0, scores, -jnp.inf)
+    if progressive:
+        # Trial t draws from a prefix that grows from 2*sample_size to n.
+        t = jnp.arange(num_trials)[:, None]
+        frac = jnp.minimum(1.0, (t + 1) / max(num_trials * 0.7, 1.0))
+        prefix = jnp.maximum(2 * sample_size, (frac * num_points)).astype(jnp.int32)
+        idx = jnp.arange(num_points)[None, :]
+        scores = jnp.where(idx < prefix, scores, -jnp.inf)
+    _, samples = jax.lax.top_k(scores, sample_size)
+    return samples
+
+
+def ransac(
+    key,
+    data,                       # tuple of [N, ...] arrays, indexed by samples
+    solve_fn: Callable,         # (*sampled_data) -> (models [M, ...], valid [M])
+    residual_fn: Callable,      # (model, *data) -> [N] squared residuals
+    sample_size: int,
+    options: Optional[RANSACOptions] = None,
+    mask=None,                  # [N] valid-point mask
+    refit_fn: Optional[Callable] = None,  # (weights [N], *data) -> model
+    progressive: bool = False,
+):
+    """Batched (LO-)RANSAC. Returns RANSACReport.
+
+    All shapes static: `num_trials` from options, models per sample from the
+    solver. `residual_fn` must return SQUARED residuals (the threshold is
+    squared internally, matching the reference's support measurement).
+    """
+    opt = options or RANSACOptions()
+    n = data[0].shape[0]
+    num_trials = num_required_trials(sample_size, opt)
+    thr2 = opt.max_error ** 2
+    valid_mask = jnp.ones(n, bool) if mask is None else (mask > 0)
+
+    samples = draw_samples(key, n, num_trials, sample_size, mask=mask,
+                           progressive=progressive)
+
+    def solve_one(sample_idx):
+        sampled = tuple(d[sample_idx] for d in data)
+        models, valid = solve_fn(*sampled)
+        return models, valid
+
+    models, valid = jax.vmap(solve_one)(samples)
+    # Flatten [num_trials, M, ...] -> [num_trials * M, ...].
+    flat_models = jax.tree.map(lambda a: a.reshape((-1,) + a.shape[2:]), models)
+    flat_valid = valid.reshape(-1)
+
+    def support_of(model, is_valid):
+        r = residual_fn(model, *data)
+        inl = (r <= thr2) & valid_mask
+        return jnp.where(is_valid, jnp.sum(inl), -1)
+
+    support = jax.vmap(support_of)(flat_models, flat_valid)  # [T*M]
+    best = jnp.argmax(support)
+    best_model = jax.tree.map(lambda a: a[best], flat_models)
+    best_support = support[best]
+
+    # LO refinement: weighted non-minimal refit on the inlier set; keep the
+    # refit only if support does not drop (ref: loransac.h:54 Estimate).
+    if refit_fn is not None:
+        def lo_step(_, carry):
+            model, sup = carry
+            r = residual_fn(model, *data)
+            w = ((r <= thr2) & valid_mask).astype(data[0].dtype)
+            refined = refit_fn(w, *data)
+            r2 = residual_fn(refined, *data)
+            sup2 = jnp.sum((r2 <= thr2) & valid_mask)
+            better = sup2 >= sup
+            model = jax.tree.map(
+                lambda a, b: jnp.where(better, b, a), model, refined)
+            return model, jnp.maximum(sup, sup2)
+
+        best_model, best_support = jax.lax.fori_loop(
+            0, opt.num_lo_steps, lo_step, (best_model, best_support))
+
+    r_final = residual_fn(best_model, *data)
+    inlier_mask = (r_final <= thr2) & valid_mask
+    return RANSACReport(
+        model=best_model,
+        num_inliers=jnp.sum(inlier_mask),
+        inlier_mask=inlier_mask,
+        support_trace=support,
+    )
