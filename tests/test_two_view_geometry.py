@@ -1,0 +1,104 @@
+"""Two-view geometry classification tests (ref style:
+estimators/two_view_geometry usage in matching verification)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sba_tpu.estimators.two_view_geometry import (
+    TwoViewConfig,
+    TwoViewGeometryOptions,
+    estimate_two_view_geometry,
+)
+from sba_tpu.geometry.quaternions import angle_axis_to_quat, quat_rotate, \
+    quat_to_rotmat
+
+
+def make_pair(planar=False, n=120, noise=0.0, outlier_frac=0.0, seed=0):
+    rng = np.random.default_rng(seed)
+    f, cx, cy = 500.0, 320.0, 240.0
+    if planar:
+        pts = np.concatenate(
+            [rng.uniform(-1, 1, (n, 2)), np.zeros((n, 1))], axis=1)
+        pts[:, 2] += 4.0  # plane z = 4 (constant depth in cam1 frame-ish)
+    else:
+        pts = rng.uniform(-1, 1, (n, 3))
+        pts[:, 2] = rng.uniform(3, 8, n)
+    q = np.asarray(angle_axis_to_quat(jnp.array([0.05, 0.1, 0.02])))
+    t = np.array([0.4, 0.05, 0.1])
+    p1 = pts
+    p2 = np.asarray(quat_rotate(jnp.asarray(q)[None], jnp.asarray(pts))) + t
+    xy1 = p1[:, :2] / p1[:, 2:] * f + [cx, cy]
+    xy2 = p2[:, :2] / p2[:, 2:] * f + [cx, cy]
+    xy1 += rng.normal(0, noise, xy1.shape)
+    xy2 += rng.normal(0, noise, xy2.shape)
+    n_out = int(outlier_frac * n)
+    if n_out:
+        xy2[:n_out] = rng.uniform(0, 640, (n_out, 2))
+    return xy1, xy2, (f, f, cx, cy), q, t
+
+
+def test_calibrated_pair():
+    xy1, xy2, K, q_true, t_true = make_pair(noise=0.2, outlier_frac=0.2)
+    res = estimate_two_view_geometry(
+        xy1, xy2, K, K, image_size1=(640, 480), image_size2=(640, 480))
+    assert res.config == int(TwoViewConfig.CALIBRATED)
+    assert res.num_inliers > 80
+    # Relative pose recovered (t up to scale): MSAC scoring + Sampson-GN
+    # LO refit give near-noise-floor accuracy despite 20% outliers.
+    R_est = np.asarray(quat_to_rotmat(jnp.asarray(res.qvec)))
+    R_true = np.asarray(quat_to_rotmat(jnp.asarray(q_true)))
+    assert np.abs(R_est - R_true).max() < 0.01
+    t_dir = t_true / np.linalg.norm(t_true)
+    assert np.abs(res.tvec - t_dir).max() < 0.02
+
+
+def test_planar_pair_detected():
+    xy1, xy2, K, _, _ = make_pair(planar=True, noise=0.1)
+    res = estimate_two_view_geometry(
+        xy1, xy2, K, K, image_size1=(640, 480), image_size2=(640, 480))
+    assert res.config in (int(TwoViewConfig.PLANAR_OR_PANORAMIC),
+                          int(TwoViewConfig.CALIBRATED))
+    # H must explain nearly everything on a plane.
+    assert res.num_inliers > 90
+
+
+def test_uncalibrated_pair():
+    xy1, xy2, K, _, _ = make_pair(noise=0.2)
+    res = estimate_two_view_geometry(xy1, xy2)  # no intrinsics
+    assert res.config in (int(TwoViewConfig.UNCALIBRATED),
+                          int(TwoViewConfig.PLANAR_OR_PANORAMIC))
+    assert res.num_inliers > 80
+
+
+def test_degenerate_too_few():
+    xy1 = np.random.default_rng(0).uniform(0, 100, (5, 2))
+    res = estimate_two_view_geometry(xy1, xy1)
+    assert res.config == int(TwoViewConfig.DEGENERATE)
+
+
+def test_watermark_detected():
+    """Identical border translation -> WATERMARK demotion
+    (ref: two_view_geometry.cc:514 DetectWatermark)."""
+    rng = np.random.default_rng(1)
+    n = 60
+    # All matches on the bottom border, pure small translation.
+    xy1 = np.stack([rng.uniform(0, 640, n),
+                    rng.uniform(465, 478, n)], -1)
+    xy2 = xy1 + [1.5, 0.0]
+    res = estimate_two_view_geometry(
+        xy1, xy2, (500, 500, 320, 240), (500, 500, 320, 240),
+        image_size1=(640, 480), image_size2=(640, 480))
+    assert res.config == int(TwoViewConfig.WATERMARK)
+
+
+def test_pure_random_degenerate():
+    rng = np.random.default_rng(2)
+    xy1 = rng.uniform(0, 640, (100, 2))
+    xy2 = rng.uniform(0, 640, (100, 2))
+    res = estimate_two_view_geometry(
+        xy1, xy2, (500, 500, 320, 240), (500, 500, 320, 240),
+        options=TwoViewGeometryOptions(max_error=1.0, detect_watermark=False))
+    assert res.config == int(TwoViewConfig.DEGENERATE) \
+        or res.num_inliers < 30
