@@ -1,0 +1,176 @@
+"""Image/camera undistortion + bitmap warping.
+
+Capability parity with ref: src/base/undistortion.{h,cc}
+(`UndistortCameraOptions`, `UndistortCamera`, `UndistortImage`,
+`COLMAPUndistorter` — export of pinhole images + model for MVS) and
+src/base/warp.{h,cc} (`WarpImageBetweenCameras`).
+
+TPU-first: a warp IS a dense gather — one [H*W] batched
+image_to_world/world_to_image round trip through the camera models plus a
+bilinear sample, jitted once per (src_model, dst_model, shape). The
+reference's per-pixel C++ loops with per-pixel iterative undistortion
+(warp.cc) become a single fused device program (the Newton undistortion
+in camera_models.py vectorizes over all pixels at once).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sba_tpu.geometry import camera_models
+from sba_tpu.io.colmap_models import Camera
+from sba_tpu.ops.interpolation import bilinear_sample2d
+
+
+@dataclass(frozen=True)
+class UndistortCameraOptions:
+    """Mirrors ref: undistortion.h:44 UndistortCameraOptions."""
+
+    blank_pixels: float = 0.0   # 0 = no blank pixels, 1 = keep all source
+    min_scale: float = 0.2
+    max_scale: float = 2.0
+    max_image_size: int = -1
+    roi_min_x: float = 0.0
+    roi_min_y: float = 0.0
+    roi_max_x: float = 1.0
+    roi_max_y: float = 1.0
+
+
+def undistort_camera(camera: Camera,
+                     options: Optional[UndistortCameraOptions] = None
+                     ) -> Camera:
+    """Derive the undistorted PINHOLE camera (ref: undistortion.cc
+    UndistortCamera): same focal; principal point/size chosen from the
+    undistorted positions of the source border so that `blank_pixels`
+    interpolates between the largest inscribed (0) and smallest
+    circumscribed (1) pinhole viewport."""
+    opt = options or UndistortCameraOptions()
+    spec = camera_models.model_by_id(camera.model_id)
+    params = jnp.asarray(camera.params, jnp.float64)
+    fidx = spec.focal_idxs
+    fx = float(camera.params[fidx[0]])
+    fy = float(camera.params[fidx[-1]])
+    w, h = camera.width, camera.height
+
+    # Undistort the border (pixel EDGES, so an identity camera maps back
+    # to exactly the same viewport) into the normalized plane.
+    n = 256
+    xs = np.linspace(0.0, float(w), n)
+    ys = np.linspace(0.0, float(h), n)
+    border = np.concatenate([
+        np.stack([xs, np.zeros(n)], -1),
+        np.stack([xs, np.full(n, float(h))], -1),
+        np.stack([np.zeros(n), ys], -1),
+        np.stack([np.full(n, float(w)), ys], -1)])
+    uv = np.asarray(camera_models.image_to_world(
+        camera.model_id, params, jnp.asarray(border)))
+
+    left = uv[2 * n:3 * n, 0]
+    right = uv[3 * n:4 * n, 0]
+    top = uv[:n, 1]
+    bottom = uv[n:2 * n, 1]
+
+    # Inscribed box (no blank pixels): tightest interior bounds.
+    in_l, in_r = left.max(), right.min()
+    in_t, in_b = top.max(), bottom.min()
+    # Circumscribed box (all source pixels): loosest bounds.
+    out_l, out_r = left.min(), right.max()
+    out_t, out_b = top.min(), bottom.max()
+
+    a = np.clip(opt.blank_pixels, 0.0, 1.0)
+    l = in_l + a * (out_l - in_l)
+    r = in_r + a * (out_r - in_r)
+    t = in_t + a * (out_t - in_t)
+    b = in_b + a * (out_b - in_b)
+
+    new_w = max(1, int(np.ceil((r - l) * fx)))
+    new_h = max(1, int(np.ceil((b - t) * fy)))
+    scale_x = np.clip(new_w / w, opt.min_scale, opt.max_scale)
+    scale_y = np.clip(new_h / h, opt.min_scale, opt.max_scale)
+    new_w = max(1, int(w * scale_x)) if new_w / w != scale_x else new_w
+    new_h = max(1, int(h * scale_y)) if new_h / h != scale_y else new_h
+    if opt.max_image_size > 0:
+        s = opt.max_image_size / max(new_w, new_h)
+        if s < 1.0:
+            new_w = max(1, int(new_w * s))
+            new_h = max(1, int(new_h * s))
+            fx *= s
+            fy *= s
+    cx = -l * fx
+    cy = -t * fy
+
+    # ROI crop (ref: undistortion.cc roi handling).
+    if (opt.roi_min_x, opt.roi_min_y, opt.roi_max_x, opt.roi_max_y) != (
+            0.0, 0.0, 1.0, 1.0):
+        x0 = int(opt.roi_min_x * new_w)
+        y0 = int(opt.roi_min_y * new_h)
+        new_w = max(1, int((opt.roi_max_x - opt.roi_min_x) * new_w))
+        new_h = max(1, int((opt.roi_max_y - opt.roi_min_y) * new_h))
+        cx -= x0
+        cy -= y0
+
+    pinhole = camera_models.model_by_name("PINHOLE")
+    return Camera(camera_id=camera.camera_id, model_id=pinhole.model_id,
+                  width=new_w, height=new_h,
+                  params=np.array([fx, fy, cx, cy], np.float64))
+
+
+def warp_image_between_cameras(src_camera: Camera, dst_camera: Camera,
+                               image) -> jnp.ndarray:
+    """Resample `image` ([H, W] or [H, W, C], src geometry) into the dst
+    camera's geometry (ref: base/warp.cc WarpImageBetweenCameras).
+    One dense gather; jit-compatible for fixed shapes."""
+    dh, dw = dst_camera.height, dst_camera.width
+    yy, xx = jnp.meshgrid(jnp.arange(dh) + 0.5, jnp.arange(dw) + 0.5,
+                          indexing="ij")
+    dst_xy = jnp.stack([xx.reshape(-1), yy.reshape(-1)], -1)
+    uv = camera_models.image_to_world(
+        dst_camera.model_id, jnp.asarray(dst_camera.params, jnp.float64),
+        dst_xy)
+    src_xy = camera_models.world_to_image(
+        src_camera.model_id, jnp.asarray(src_camera.params, jnp.float64),
+        uv)
+    img = jnp.asarray(image)
+    if img.ndim == 2:
+        out = bilinear_sample2d(img, src_xy - 0.5)
+        return out.reshape(dh, dw)
+    chans = [bilinear_sample2d(img[..., c], src_xy - 0.5).reshape(dh, dw)
+             for c in range(img.shape[-1])]
+    return jnp.stack(chans, -1)
+
+
+def undistort_image(image, camera: Camera,
+                    options: Optional[UndistortCameraOptions] = None
+                    ) -> Tuple[jnp.ndarray, Camera]:
+    """Undistort one image; returns (undistorted image, pinhole camera)
+    (ref: undistortion.cc UndistortImage)."""
+    new_cam = undistort_camera(camera, options)
+    return warp_image_between_cameras(camera, new_cam, image), new_cam
+
+
+def undistort_reconstruction(reconstruction,
+                             options: Optional[UndistortCameraOptions] = None):
+    """Undistort all cameras + keypoint coordinates of a reconstruction
+    in place (ref: COLMAPUndistorter::Run model part). Returns the map
+    {camera_id: undistorted Camera}."""
+    new_cams = {}
+    for cid, cam in reconstruction.cameras.items():
+        new_cams[cid] = undistort_camera(cam, options)
+    for image in reconstruction.images.values():
+        src = reconstruction.cameras[image.camera_id]
+        dst = new_cams[image.camera_id]
+        if len(image.xys) == 0:
+            continue
+        uv = camera_models.image_to_world(
+            src.model_id, jnp.asarray(src.params, jnp.float64),
+            jnp.asarray(image.xys, jnp.float64))
+        xy = camera_models.world_to_image(
+            dst.model_id, jnp.asarray(dst.params, jnp.float64), uv)
+        image.xys = np.asarray(xy)
+    reconstruction.cameras.update(new_cams)
+    return new_cams

@@ -191,7 +191,26 @@ class Reconstruction:
         n = self.num_registered_images()
         return self.compute_num_observations() / n if n else 0.0
 
+    def update_point_errors(self) -> None:
+        """Set every Point3D.error to its track's mean reprojection error
+        (the reference maintains this during track ops; batch recompute
+        is cheaper here)."""
+        from sba_tpu.geometry.projection import project_points
+
+        for p in self.points3D.values():
+            errs = []
+            for image_id, idx in zip(p.image_ids, p.point2D_idxs):
+                im = self.images[int(image_id)]
+                cam = self.cameras[im.camera_id]
+                xy, z = project_points(im.qvec, im.tvec, p.xyz,
+                                       cam.model_id, cam.params)
+                errs.append(float(np.linalg.norm(
+                    np.asarray(xy) - im.xys[int(idx)])))
+            p.error = float(np.mean(errs)) if errs else -1.0
+
     def compute_mean_reprojection_error(self) -> float:
+        if any(p.error < 0 for p in self.points3D.values()):
+            self.update_point_errors()
         errs = [p.error for p in self.points3D.values() if p.error >= 0]
         return float(np.mean(errs)) if errs else 0.0
 
