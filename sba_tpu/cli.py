@@ -261,6 +261,67 @@ def run_spatial_matcher(flags):
     print(f"verified {n}/{len(pairs)} pairs")
 
 
+def run_vocab_tree_builder(flags):
+    """Train a vocabulary tree from database descriptors
+    (ref: exe/vocab_tree.cc RunVocabTreeBuilder)."""
+    from sba_tpu.io.database import Database
+    from sba_tpu.retrieval.vocab_tree import build_vocab_tree, \
+        save_vocab_tree
+
+    db_path, out = _require(flags, "database_path", "vocab_tree_path")
+    branching = int(flags.get("VocabTree.branching", "16"))
+    depth = int(flags.get("VocabTree.depth", "2"))
+    max_train = int(flags.get("VocabTree.max_num_descriptors", "100000"))
+    db = Database(db_path)
+    descs = []
+    for iid in sorted(db.read_images()):
+        d = db.read_descriptors(iid).astype(np.float32)
+        if len(d):
+            descs.append(d / np.maximum(
+                np.linalg.norm(d, axis=-1, keepdims=True), 1e-9))
+    db.close()
+    if not descs:
+        raise SystemExit("no descriptors in database")
+    d = np.concatenate(descs)
+    if len(d) > max_train:
+        d = d[np.random.default_rng(0).choice(len(d), max_train,
+                                              replace=False)]
+    tree = build_vocab_tree(d, branching=branching, depth=depth)
+    save_vocab_tree(tree, out)
+    print(f"trained {tree.num_words}-word tree on {len(d)} descriptors "
+          f"-> {out}")
+
+
+def run_vocab_tree_matcher(flags):
+    """Retrieval-based matching (ref: exe/feature.cc:385
+    RunVocabTreeMatcher)."""
+    from sba_tpu.io.database import Database
+    from sba_tpu.retrieval.visual_index import VisualIndex, vocab_tree_pairs
+    from sba_tpu.retrieval.vocab_tree import load_vocab_tree
+
+    db_path, tree_path = _require(flags, "database_path", "vocab_tree_path")
+    num_imgs = int(flags.get("VocabTreeMatching.num_images", "10"))
+    tree = load_vocab_tree(tree_path)
+    db = Database(db_path)
+    image_ids = sorted(db.read_images())
+    index = VisualIndex(tree)
+    queries = {}
+    for iid in image_ids:
+        d = db.read_descriptors(iid).astype(np.float32)
+        d = d / np.maximum(np.linalg.norm(d, axis=-1, keepdims=True), 1e-9)
+        index.add_image(iid, d)
+        queries[iid] = d
+    index.prepare()
+    id_pairs = vocab_tree_pairs(index, queries, num_images=num_imgs)
+    # vocab_tree_pairs returns IMAGE-ID pairs; _match_and_verify takes
+    # positional indices into image_ids.
+    pos = {iid: k for k, iid in enumerate(image_ids)}
+    pairs = np.asarray([[pos[a], pos[b]] for a, b in id_pairs], np.int64)
+    n = _match_and_verify(db, pairs, image_ids, flags)
+    db.close()
+    print(f"verified {n}/{len(pairs)} retrieved pairs")
+
+
 def run_matches_importer(flags):
     """Ref: exe/feature.cc RunMatchesImporter (from-file pairs)."""
     from sba_tpu.features.pairing import pairs_from_file
@@ -575,6 +636,150 @@ def run_image_undistorter(flags):
     print(f"undistorted {len(rec.images)} images -> {output_path}")
 
 
+def run_patch_match_stereo(flags):
+    """Dense stereo over an undistorted workspace
+    (ref: exe/mvs.cc:81 RunPatchMatchStereo; workspace layout =
+    images/ + sparse/ + stereo/{depth_maps,normal_maps})."""
+    import jax
+    import jax.numpy as jnp
+
+    from sba_tpu.features.sift import load_image_gray
+    from sba_tpu.geometry import camera_models
+    from sba_tpu.models.reconstruction import Reconstruction
+    from sba_tpu.mvs import PatchMatchOptions, patch_match_stereo, \
+        write_colmap_map
+    from sba_tpu.mvs.patch_match import relative_pose
+
+    (workspace,) = _require(flags, "workspace_path")
+    opt = apply_flags(PatchMatchOptions(), "PatchMatchStereo", flags)
+    max_src = int(flags.get("PatchMatchStereo.max_num_src_images", "4"))
+    rec = Reconstruction.read(os.path.join(workspace, "sparse"))
+    img_dir = os.path.join(workspace, "images")
+    stereo = os.path.join(workspace, "stereo")
+    os.makedirs(os.path.join(stereo, "depth_maps"), exist_ok=True)
+    os.makedirs(os.path.join(stereo, "normal_maps"), exist_ok=True)
+
+    reg = sorted(i for i in rec.images if rec.is_registered(i))
+    imgs = {}
+    for iid in reg:
+        imgs[iid] = load_image_gray(
+            os.path.join(img_dir, rec.images[iid].name))
+
+    def K_of(iid):
+        cam = rec.cameras[rec.images[iid].camera_id]
+        spec = camera_models.model_by_id(cam.model_id)
+        p = cam.params
+        fi = spec.focal_idxs
+        return np.array([[p[fi[0]], 0, p[spec.principal_idxs[0]]],
+                         [0, p[fi[-1]], p[spec.principal_idxs[1]]],
+                         [0, 0, 1.0]])
+
+    # Source selection: most shared 3D points (ref: Workspace/model
+    # source-image ranking).
+    shared = {a: {} for a in reg}
+    for p in rec.points3D.values():
+        track = [int(i) for i in p.image_ids]
+        for a in track:
+            for b in track:
+                if a != b and a in shared:
+                    shared[a][b] = shared[a].get(b, 0) + 1
+
+    # Scene depth range from sparse points per image.
+    for iid in reg:
+        srcs = sorted(shared[iid], key=lambda b: -shared[iid][b])[:max_src]
+        if not srcs:
+            continue
+        image = rec.images[iid]
+        pids = [int(p) for p in image.point3D_ids if p != -1]
+        if pids:
+            from sba_tpu.sfm.incremental_triangulator import _rotmat
+            R0 = _rotmat(image.qvec)
+            zs = np.array([
+                (R0 @ rec.points3D[p].xyz + image.tvec)[2]
+                for p in pids if p in rec.points3D])
+            zs = zs[zs > 0]
+            dmin = float(np.percentile(zs, 2) * 0.5) if len(zs) else 0.1
+            dmax = float(np.percentile(zs, 98) * 2.0) if len(zs) else 100.0
+        else:
+            dmin, dmax = opt.depth_min, opt.depth_max
+        import dataclasses
+
+        o = dataclasses.replace(opt, depth_min=max(dmin, 1e-3),
+                                depth_max=max(dmax, dmin * 2))
+        Rs, ts = [], []
+        for s in srcs:
+            R, t = relative_pose(image.qvec, image.tvec,
+                                 rec.images[s].qvec, rec.images[s].tvec)
+            Rs.append(R)
+            ts.append(t)
+        res = patch_match_stereo(
+            jnp.asarray(imgs[iid], jnp.float32),
+            jnp.asarray(np.stack([imgs[s] for s in srcs]), jnp.float32),
+            jnp.asarray(K_of(iid), jnp.float32),
+            jnp.asarray(np.stack([K_of(s) for s in srcs]), jnp.float32),
+            jnp.asarray(np.stack(Rs), jnp.float32),
+            jnp.asarray(np.stack(ts), jnp.float32),
+            key=jax.random.PRNGKey(iid), options=o)
+        name = image.name
+        write_colmap_map(np.asarray(res.depth), os.path.join(
+            stereo, "depth_maps", f"{name}.geometric.bin"))
+        write_colmap_map(np.asarray(res.normal), os.path.join(
+            stereo, "normal_maps", f"{name}.geometric.bin"))
+        print(f"  {name}: depth [{o.depth_min:.2f}, {o.depth_max:.2f}], "
+              f"{len(srcs)} sources, mean cost "
+              f"{float(np.asarray(res.cost).mean()):.3f}")
+    print(f"stereo maps -> {stereo}")
+
+
+def run_stereo_fuser(flags):
+    """Fuse stereo depth maps into a dense cloud
+    (ref: exe/mvs.cc:138 RunStereoFuser)."""
+    from sba_tpu.features.sift import load_image_gray
+    from sba_tpu.geometry import camera_models
+    from sba_tpu.models.reconstruction import Reconstruction
+    from sba_tpu.mvs import StereoFusionOptions, fuse_depth_maps, \
+        read_colmap_map
+    from sba_tpu.mvs.fusion import write_fused_ply
+
+    workspace, output_path = _require(flags, "workspace_path", "output_path")
+    opt = apply_flags(StereoFusionOptions(), "StereoFusion", flags)
+    rec = Reconstruction.read(os.path.join(workspace, "sparse"))
+    stereo = os.path.join(workspace, "stereo")
+    reg = sorted(i for i in rec.images if rec.is_registered(i))
+
+    def K_of(iid):
+        cam = rec.cameras[rec.images[iid].camera_id]
+        spec = camera_models.model_by_id(cam.model_id)
+        p = cam.params
+        fi = spec.focal_idxs
+        return np.array([[p[fi[0]], 0, p[spec.principal_idxs[0]]],
+                         [0, p[fi[-1]], p[spec.principal_idxs[1]]],
+                         [0, 0, 1.0]])
+
+    depths, normals, images_g, Ks, qs, tvs = [], [], [], [], [], []
+    for iid in reg:
+        name = rec.images[iid].name
+        dp = os.path.join(stereo, "depth_maps", f"{name}.geometric.bin")
+        npth = os.path.join(stereo, "normal_maps", f"{name}.geometric.bin")
+        if not os.path.exists(dp):
+            continue
+        depths.append(read_colmap_map(dp))
+        normals.append(read_colmap_map(npth))
+        images_g.append(load_image_gray(
+            os.path.join(workspace, "images", name)))
+        Ks.append(K_of(iid))
+        qs.append(rec.images[iid].qvec)
+        tvs.append(rec.images[iid].tvec)
+    if not depths:
+        raise SystemExit("no depth maps in workspace; run "
+                         "patch_match_stereo first")
+    cloud = fuse_depth_maps(
+        np.stack(depths), np.stack(normals), np.stack(images_g),
+        np.stack(Ks), np.stack(qs), np.stack(tvs), opt)
+    write_fused_ply(cloud, output_path)
+    print(f"fused {len(cloud.xyz)} points -> {output_path}")
+
+
 def run_project_generator(flags):
     from sba_tpu.features.matching import SiftMatchingOptions
     from sba_tpu.features.sift import SiftExtractionOptions
@@ -598,6 +803,8 @@ COMMANDS = {
     "sequential_matcher": run_sequential_matcher,
     "spatial_matcher": run_spatial_matcher,
     "matches_importer": run_matches_importer,
+    "vocab_tree_builder": run_vocab_tree_builder,
+    "vocab_tree_matcher": run_vocab_tree_matcher,
     "mapper": run_mapper,
     "point_triangulator": run_point_triangulator,
     "bundle_adjuster": run_bundle_adjuster,
@@ -605,6 +812,8 @@ COMMANDS = {
     "geometric_semantic_bundle_adjuster":
         run_geometric_semantic_bundle_adjuster,
     "image_undistorter": run_image_undistorter,
+    "patch_match_stereo": run_patch_match_stereo,
+    "stereo_fuser": run_stereo_fuser,
     "model_converter": run_model_converter,
     "model_analyzer": run_model_analyzer,
     "model_aligner": run_model_aligner,

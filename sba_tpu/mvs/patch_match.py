@@ -85,10 +85,11 @@ def _plane_homographies(K_ref_inv, K_src, R, t, depth, normal, xy):
     xh = jnp.concatenate([xy, ones], -1)
     ray = jnp.einsum("ij,...j->...i", K_ref_inv, xh)
     X = depth[..., None] * ray
-    d_plane = jnp.sum(normal * X, -1)  # n·X (negative of plane offset)
-    # H = K_src (R - t n^T / (n·X)) K_ref_inv  with x_src ~ H x_ref.
+    d_plane = jnp.sum(normal * X, -1)  # n·X (plane offset along n)
+    # x_src ~ K_src (R X + t) with X = (n·X / n·ray) ray
+    # => H = K_src (R + t n^T / (n·X)) K_ref_inv.
     tn = t[..., :, None] * normal[..., None, :]  # [..., 3, 3]
-    M = R - tn / jnp.where(jnp.abs(d_plane) > 1e-9, d_plane,
+    M = R + tn / jnp.where(jnp.abs(d_plane) > 1e-9, d_plane,
                            1e-9)[..., None, None]
     return jnp.einsum("ij,...jk,kl->...il", K_src, M, K_ref_inv)
 
@@ -124,10 +125,12 @@ def _bilinear(img, xy):
 # ---------------------------------------------------------------------------
 
 
-def _window_offsets(radius: int, step: int):
-    r = jnp.arange(-radius, radius + 1, step)
-    oy, ox = jnp.meshgrid(r, r, indexing="ij")
-    return jnp.stack([ox.reshape(-1), oy.reshape(-1)], -1)  # [K, 2] (dx, dy)
+def _window_offsets(radius: int, step: int) -> np.ndarray:
+    """Static (trace-time) window offsets — numpy so `int()` works under
+    jit tracing."""
+    r = np.arange(-radius, radius + 1, step)
+    oy, ox = np.meshgrid(r, r, indexing="ij")
+    return np.stack([ox.reshape(-1), oy.reshape(-1)], -1)  # [K, 2] (dx, dy)
 
 
 def _cost_for_hypothesis(ref_img, src_imgs, K_ref_inv, K_srcs, Rs, ts,
@@ -144,15 +147,15 @@ def _cost_for_hypothesis(ref_img, src_imgs, K_ref_inv, K_srcs, Rs, ts,
                           indexing="ij")
     xy = jnp.stack([xx, yy], -1)  # [H, W, 2] center coords
 
-    offs = _window_offsets(opt.window_radius, opt.window_step) \
-        .astype(ref_img.dtype)  # [K, 2]
-    K = offs.shape[0]
+    offs_np = _window_offsets(opt.window_radius, opt.window_step)
+    offs = jnp.asarray(offs_np, ref_img.dtype)  # [K, 2]
+    K = offs_np.shape[0]
 
     # Reference window values (static shifts -> cheap).
     ref_w = []
     for k in range(K):
-        dx = int(offs[k, 0])
-        dy = int(offs[k, 1])
+        dx = int(offs_np[k, 0])
+        dy = int(offs_np[k, 1])
         ref_w.append(jnp.roll(jnp.roll(ref_img, -dy, 0), -dx, 1))
     ref_w = jnp.stack(ref_w, -1)  # [H, W, K]
 

@@ -1,0 +1,192 @@
+"""MVS tests: PatchMatch depth recovery on a synthetic textured plane +
+fusion + dense-map IO (ref: mvs/depth_map_test.cc style, plus the
+synthetic-recovery pattern for the stereo kernel the reference never
+unit-tested)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sba_tpu.mvs import (
+    PatchMatchOptions,
+    StereoFusionOptions,
+    fuse_depth_maps,
+    patch_match_stereo,
+    read_colmap_map,
+    write_colmap_map,
+)
+from sba_tpu.mvs.patch_match import relative_pose
+from sba_tpu.geometry.quaternions import rotmat_to_quat
+
+
+H, W = 60, 80
+F = 70.0
+
+
+def _camera():
+    return np.array([[F, 0, W / 2], [0, F, H / 2], [0, 0, 1.0]])
+
+
+def _textured_plane_views(depth0=4.0, slope=0.0, n_src=2, seed=0):
+    """Reference view at origin sees plane z = depth0 + slope * X.
+    Sources are translated copies. Returns images + geometry + gt depth."""
+    from scipy.ndimage import gaussian_filter
+
+    rng = np.random.default_rng(seed)
+    K = _camera()
+    Kinv = np.linalg.inv(K)
+
+    # World texture on the plane: APERIODIC smooth random grid with
+    # bilinear lookup (a periodic texture creates ghost matches at
+    # depth offsets matching the period — a real PatchMatch failure mode
+    # the test should not manufacture).
+    G, EXT = 256, 16.0  # grid cells over [-EXT/2, EXT/2]^2 world units
+    tex_grid = gaussian_filter(
+        rng.standard_normal((G, G)), 1.2).astype(np.float64)
+    tex_grid = (tex_grid - tex_grid.min()) \
+        / (tex_grid.max() - tex_grid.min() + 1e-9)
+
+    def texture(Xw, Yw):
+        gx = (Xw / EXT + 0.5) * (G - 1)
+        gy = (Yw / EXT + 0.5) * (G - 1)
+        x0 = np.clip(np.floor(gx).astype(int), 0, G - 2)
+        y0 = np.clip(np.floor(gy).astype(int), 0, G - 2)
+        fx = np.clip(gx - x0, 0, 1)
+        fy = np.clip(gy - y0, 0, 1)
+        return (tex_grid[y0, x0] * (1 - fy) * (1 - fx)
+                + tex_grid[y0, x0 + 1] * (1 - fy) * fx
+                + tex_grid[y0 + 1, x0] * fy * (1 - fx)
+                + tex_grid[y0 + 1, x0 + 1] * fy * fx)
+
+    yy, xx = np.meshgrid(np.arange(H) + 0.5, np.arange(W) + 0.5,
+                         indexing="ij")
+    rays = np.stack([xx, yy, np.ones_like(xx)], -1) @ Kinv.T
+
+    # Ref depth: plane z = depth0 + slope * X with X = z * rx =>
+    # z (1 - slope*rx) = depth0.
+    z_ref = depth0 / np.maximum(1.0 - slope * rays[..., 0], 1e-3)
+    P_world = rays * z_ref[..., None]  # ref cam == world
+    ref_img = texture(P_world[..., 0], P_world[..., 1]).astype(np.float32)
+
+    src_imgs, Rs, ts = [], [], []
+    for s in range(n_src):
+        t = np.array([0.4 * (s + 1) * (-1) ** s, 0.15 * s, 0.0])
+        R = np.eye(3)
+        pc = P_world @ R.T + t
+        # For each SOURCE pixel, intersect its ray with the plane to get
+        # the texture value (plane in src frame: z' = depth0 + slope X'
+        # with X' = X + tx, z' = z).
+        z_src = (depth0 + slope * (-t[0])) / np.maximum(
+            1.0 - slope * rays[..., 0], 1e-3)
+        # src cam at position -t in world (x_src = x_world + t).
+        Pw_src = rays * z_src[..., None] - t
+        img = texture(Pw_src[..., 0], Pw_src[..., 1]).astype(np.float32)
+        src_imgs.append(img)
+        Rs.append(R)
+        ts.append(t)
+    return (ref_img, np.stack(src_imgs), K, np.stack([K] * n_src),
+            np.stack(Rs), np.stack(ts), z_ref.astype(np.float32))
+
+
+@pytest.mark.slow
+def test_patch_match_recovers_plane_depth():
+    ref, srcs, K, Ks, Rs, ts, z_gt = _textured_plane_views(
+        depth0=4.0, slope=0.0)
+    opt = PatchMatchOptions(depth_min=1.0, depth_max=20.0,
+                            num_iterations=10, window_radius=3,
+                            filter=False)
+    res = patch_match_stereo(jnp.asarray(ref), jnp.asarray(srcs),
+                             jnp.asarray(K), jnp.asarray(Ks),
+                             jnp.asarray(Rs), jnp.asarray(ts),
+                             key=jax.random.PRNGKey(0), options=opt)
+    depth = np.asarray(res.depth)
+    # Interior pixels (windows fully inside all views).
+    inner = depth[10:-10, 15:-15]
+    gt = z_gt[10:-10, 15:-15]
+    rel = np.abs(inner - gt) / gt
+    frac_good = (rel < 0.03).mean()
+    assert frac_good > 0.8, f"only {frac_good:.2%} within 3% of gt depth"
+    # Normals of a fronto-parallel plane ~ (0, 0, -1).
+    nz = np.asarray(res.normal)[10:-10, 15:-15, 2]
+    med_rel = np.median(rel)
+    assert med_rel < 0.01, f"median depth error {med_rel}"
+    assert np.median(nz) < -0.9
+
+
+def test_colmap_map_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    d = rng.uniform(0, 10, (13, 17)).astype(np.float32)
+    p = str(tmp_path / "depth.bin")
+    write_colmap_map(d, p)
+    back = read_colmap_map(p)
+    np.testing.assert_array_equal(back, d)
+
+    n = rng.uniform(-1, 1, (7, 9, 3)).astype(np.float32)
+    p2 = str(tmp_path / "normal.bin")
+    write_colmap_map(n, p2)
+    back2 = read_colmap_map(p2)
+    np.testing.assert_array_equal(back2, n)
+
+    # Layout parity with ref mat.h: byte k of the payload is
+    # data[slice*W*H + row*W + col].
+    raw = open(p2, "rb").read()
+    payload = np.frombuffer(raw[raw.index(b"&", raw.index(
+        b"&", raw.index(b"&") + 1) + 1) + 1:], np.float32)
+    assert payload[0] == n[0, 0, 0]
+    assert payload[1] == n[0, 1, 0]        # col fastest
+    assert payload[9] == n[1, 0, 0]        # then row
+    assert payload[7 * 9] == n[0, 0, 1]    # then slice
+
+
+def test_fusion_consistent_views(tmp_path):
+    """Three views of the same fronto-parallel plane with exact depths
+    fuse into one clean cloud at z = depth0."""
+    depth0 = 4.0
+    K = _camera()
+    n_views = 3
+    depths, normals, images, Ks, qvecs, tvecs = [], [], [], [], [], []
+    rng = np.random.default_rng(1)
+    for v in range(n_views):
+        t = np.array([0.3 * v, 0.0, 0.0])
+        depths.append(np.full((H, W), depth0, np.float32))
+        nm = np.zeros((H, W, 3), np.float32)
+        nm[..., 2] = -1.0
+        normals.append(nm)
+        images.append(rng.uniform(0, 1, (H, W)).astype(np.float32))
+        Ks.append(K)
+        qvecs.append(np.array([1.0, 0, 0, 0]))
+        tvecs.append(t)
+    cloud = fuse_depth_maps(
+        np.stack(depths), np.stack(normals), np.stack(images),
+        np.stack(Ks), np.stack(qvecs), np.stack(tvecs),
+        StereoFusionOptions(min_num_pixels=3))
+    assert len(cloud.xyz) > 1000
+    # Depth0 plane in world: z == depth0 everywhere (cam0 == world).
+    assert np.abs(cloud.xyz[:, 2] - depth0).max() < 1e-3
+    assert (cloud.num_views >= 3).all()
+
+    from sba_tpu.mvs.fusion import write_fused_ply
+    ply = str(tmp_path / "fused.ply")
+    write_fused_ply(cloud, ply)
+    head = open(ply).read(200)
+    assert "element vertex" in head
+
+
+def test_fusion_rejects_inconsistent():
+    """A view with wrong depths contributes no fused points."""
+    K = _camera()
+    depth_good = np.full((H, W), 4.0, np.float32)
+    depth_bad = np.full((H, W), 9.0, np.float32)
+    nm = np.zeros((H, W, 3), np.float32)
+    nm[..., 2] = -1.0
+    img = np.random.default_rng(0).uniform(0, 1, (H, W)).astype(np.float32)
+    cloud = fuse_depth_maps(
+        np.stack([depth_good, depth_bad]),
+        np.stack([nm, nm]),
+        np.stack([img, img]),
+        np.stack([K, K]),
+        np.stack([[1.0, 0, 0, 0]] * 2),
+        np.stack([[0.0, 0, 0], [0.3, 0, 0]]),
+        StereoFusionOptions(min_num_pixels=2))
+    assert len(cloud.xyz) == 0

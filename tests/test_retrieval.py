@@ -1,0 +1,91 @@
+"""Vocab-tree retrieval tests (ref style: retrieval/visual_index_test.cc,
+retrieval/vote_and_verify_test.cc synthetic-cluster recovery)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sba_tpu.retrieval import (
+    VisualIndex,
+    build_vocab_tree,
+    quantize_descriptors,
+)
+from sba_tpu.retrieval.vocab_tree import (
+    load_vocab_tree,
+    save_vocab_tree,
+)
+from sba_tpu.retrieval.visual_index import vocab_tree_pairs
+
+
+def _clustered_descriptors(rng, n_clusters, per_cluster, spread=0.05):
+    centers = rng.standard_normal((n_clusters, 128))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    d = np.repeat(centers, per_cluster, 0) \
+        + spread * rng.standard_normal((n_clusters * per_cluster, 128))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    labels = np.repeat(np.arange(n_clusters), per_cluster)
+    return d.astype(np.float32), labels
+
+
+def test_vocab_tree_clusters_words():
+    rng = np.random.default_rng(0)
+    d, labels = _clustered_descriptors(rng, 12, 40)
+    tree = build_vocab_tree(d, branching=4, depth=2, iters=15)
+    assert tree.num_words == 16
+    words = np.asarray(quantize_descriptors(tree, d))
+    assert words.min() >= 0 and words.max() < 16
+    # Same-cluster descriptors should mostly share one word.
+    purity = []
+    for c in range(12):
+        w = words[labels == c]
+        purity.append((w == np.bincount(w).argmax()).mean())
+    # Boundary clusters split between level-0 cells keep purity below 1 —
+    # inherent to hierarchical quantization (the reference's 256^2 tree
+    # behaves the same); retrieval quality is the functional criterion.
+    assert np.mean(purity) > 0.8, f"word purity {np.mean(purity)}"
+
+
+def test_vocab_tree_save_load(tmp_path):
+    rng = np.random.default_rng(1)
+    d, _ = _clustered_descriptors(rng, 8, 20)
+    tree = build_vocab_tree(d, branching=3, depth=2, iters=5)
+    p = str(tmp_path / "tree.npz")
+    save_vocab_tree(tree, p)
+    tree2 = load_vocab_tree(p)
+    w1 = np.asarray(quantize_descriptors(tree, d))
+    w2 = np.asarray(quantize_descriptors(tree2, d))
+    np.testing.assert_array_equal(w1, w2)
+
+
+def test_visual_index_retrieves_similar_images():
+    """Images sharing descriptor clusters retrieve each other."""
+    rng = np.random.default_rng(2)
+    d, labels = _clustered_descriptors(rng, 20, 30)
+    tree = build_vocab_tree(d, branching=5, depth=2, iters=10)
+
+    # Image k uses clusters {k, k+1, k+2} -> neighbors overlap 2/3.
+    def image_desc(k):
+        sel = np.isin(labels, [(k + j) % 20 for j in range(3)])
+        return d[sel]
+
+    index = VisualIndex(tree)
+    for k in range(10):
+        index.add_image(100 + k, image_desc(k))
+    index.prepare()
+
+    for k in range(10):
+        ranked = index.query(image_desc(k), num_images=3,
+                             exclude_image_id=100 + k)
+        ids = [iid for iid, _ in ranked]
+        neighbors = {100 + (k - 1) % 10, 100 + (k + 1) % 10}
+        # adjacent images (cluster overlap) must appear in top-3
+        assert len(neighbors & set(ids)) >= 1, \
+            f"image {k}: expected a neighbor in {ids}"
+
+    pairs = vocab_tree_pairs(index,
+                             {100 + k: image_desc(k) for k in range(10)},
+                             num_images=2)
+    assert pairs.shape[1] == 2
+    assert (pairs[:, 0] < pairs[:, 1]).all()
+    assert len(pairs) >= 10
