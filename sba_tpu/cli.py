@@ -380,6 +380,71 @@ def run_mapper(flags):
         raise SystemExit(1)
 
 
+def run_hierarchical_mapper(flags):
+    """Cluster -> per-cluster mapping -> merge
+    (ref: exe/sfm.cc:326 RunHierarchicalMapper)."""
+    from sba_tpu.io.database import Database
+    from sba_tpu.io.database_cache import DatabaseCache
+    from sba_tpu.sfm.hierarchical_mapper import (
+        HierarchicalMapperOptions,
+        reconstruct_hierarchical,
+    )
+
+    db_path, output_path = _require(flags, "database_path", "output_path")
+    opt = HierarchicalMapperOptions()
+    opt.clustering = apply_flags(opt.clustering, "SceneClustering", flags)
+    opt.mapper.mapper = apply_flags(opt.mapper.mapper, "Mapper", flags)
+    db = Database(db_path)
+    cache = DatabaseCache.create(db)
+    db.close()
+    models = reconstruct_hierarchical(cache, opt)
+    os.makedirs(output_path, exist_ok=True)
+    for k, rec in enumerate(models):
+        out = os.path.join(output_path, str(k))
+        os.makedirs(out, exist_ok=True)
+        rec.write(out)
+        print(f"model {k}: {rec.num_registered_images()} images, "
+              f"{rec.num_points3d()} points -> {out}")
+    if not models:
+        raise SystemExit(1)
+
+
+def run_automatic_reconstructor(flags):
+    """One-command end-to-end: features -> matching -> sparse [-> dense]
+    (ref: exe/sfm.cc:50 RunAutomaticReconstructor ->
+    controllers/automatic_reconstruction.cc:139)."""
+    workspace, image_path = _require(flags, "workspace_path", "image_path")
+    quality = flags.get("quality", "high")
+    dense = flags.get("dense", "0") in ("1", "true", "True")
+    db_path = os.path.join(workspace, "database.db")
+    sparse = os.path.join(workspace, "sparse")
+    os.makedirs(workspace, exist_ok=True)
+
+    base = dict(flags)
+    base["database_path"] = db_path
+    run_database_creator({"database_path": db_path})
+    fe = dict(base)
+    fe["image_path"] = image_path
+    if quality == "low":
+        fe.setdefault("SiftExtraction.max_num_features", "2048")
+    run_feature_extractor(fe)
+    run_exhaustive_matcher(base)
+    mp = dict(base)
+    mp["output_path"] = sparse
+    run_mapper(mp)
+    if dense:
+        und = os.path.join(workspace, "dense")
+        run_image_undistorter({"image_path": image_path,
+                               "input_path": os.path.join(sparse, "0"),
+                               "output_path": und})
+        run_patch_match_stereo({"workspace_path": und, **{
+            k: v for k, v in flags.items()
+            if k.startswith("PatchMatchStereo.")}})
+        run_stereo_fuser({"workspace_path": und,
+                          "output_path": os.path.join(und, "fused.ply")})
+    print(f"automatic reconstruction complete -> {workspace}")
+
+
 def run_point_triangulator(flags):
     """Triangulate points against FIXED known poses
     (ref: exe/sfm.cc:403 RunPointTriangulator)."""
@@ -475,6 +540,53 @@ def run_geometric_semantic_bundle_adjuster(flags):
 # ---------------------------------------------------------------------------
 # model commands (ref: exe/model.cc)
 # ---------------------------------------------------------------------------
+
+
+def run_image_registrator(flags):
+    """Register NEW images into an existing model without modifying it
+    (ref: exe/sfm.cc RunImageRegistrator)."""
+    from sba_tpu.io.database import Database
+    from sba_tpu.io.database_cache import DatabaseCache
+    from sba_tpu.models.reconstruction import Reconstruction
+    from sba_tpu.sfm.incremental_mapper import (
+        IncrementalMapper,
+        IncrementalMapperOptions,
+    )
+
+    db_path, input_path, output_path = _require(
+        flags, "database_path", "input_path", "output_path")
+    rec = Reconstruction.read(input_path)
+    db = Database(db_path)
+    cache = DatabaseCache.create(db)
+    db.close()
+    mapper = IncrementalMapper(cache)
+    mapper.begin_reconstruction(rec)
+    opt = apply_flags(IncrementalMapperOptions(), "Mapper", flags)
+    n = 0
+    for iid in mapper.find_next_images(opt):
+        if mapper.register_next_image(iid, opt):
+            n += 1
+    os.makedirs(output_path, exist_ok=True)
+    rec.write(output_path)
+    print(f"registered {n} additional images -> {output_path}")
+
+
+def run_model_merger(flags):
+    """Merge two models sharing common images
+    (ref: exe/model.cc RunModelMerger)."""
+    from sba_tpu.models.reconstruction import Reconstruction
+    from sba_tpu.sfm.hierarchical_mapper import merge_reconstructions
+
+    input_path1, input_path2, output_path = _require(
+        flags, "input_path1", "input_path2", "output_path")
+    rec1 = Reconstruction.read(input_path1)
+    rec2 = Reconstruction.read(input_path2)
+    if not merge_reconstructions(rec1, rec2):
+        raise SystemExit("merge failed: < 3 common registered images")
+    os.makedirs(output_path, exist_ok=True)
+    rec1.write(output_path)
+    print(f"merged: {rec1.num_registered_images()} images, "
+          f"{rec1.num_points3d()} points -> {output_path}")
 
 
 def run_model_converter(flags):
@@ -806,6 +918,8 @@ COMMANDS = {
     "vocab_tree_builder": run_vocab_tree_builder,
     "vocab_tree_matcher": run_vocab_tree_matcher,
     "mapper": run_mapper,
+    "hierarchical_mapper": run_hierarchical_mapper,
+    "automatic_reconstructor": run_automatic_reconstructor,
     "point_triangulator": run_point_triangulator,
     "bundle_adjuster": run_bundle_adjuster,
     "semantic_bundle_adjuster": run_semantic_bundle_adjuster,
@@ -814,6 +928,8 @@ COMMANDS = {
     "image_undistorter": run_image_undistorter,
     "patch_match_stereo": run_patch_match_stereo,
     "stereo_fuser": run_stereo_fuser,
+    "image_registrator": run_image_registrator,
+    "model_merger": run_model_merger,
     "model_converter": run_model_converter,
     "model_analyzer": run_model_analyzer,
     "model_aligner": run_model_aligner,

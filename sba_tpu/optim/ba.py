@@ -427,9 +427,144 @@ def _dense_schur_solve(matvec, b_pose, b_cam):
     return x[: N * 6].reshape(N, 6), x[N * 6:].reshape(C, 12)
 
 
+def _solve_step_explicit(problem: BAProblem, opt: BAOptions, lam):
+    """One LM step via the EXPLICIT reduced camera system.
+
+    TPU rationale: the implicit-Schur PCG path costs ~3 segment-sum
+    scatters over [O] per CG iteration (scatters are the slowest primitive
+    on this hardware). Here the Schur complement
+    ``S = B - E C^-1 E^T`` is materialized with ONE scatter (building the
+    whitened point-coupling matrix ``EL = E @ chol(C^-1)`` as a dense
+    [D, 3P] array) and ONE [D, 3P] x [3P, D] matmul that runs on the MXU —
+    then a single dense Cholesky solve of the [D, D] system. This is the
+    PBA/Ceres DENSE_SCHUR strategy (ref: optim/bundle_adjustment.cc:332
+    solver auto-select; lib/PBA) reshaped so the heavy op is a matmul.
+    Use when D * 3P fits in HBM (the `bundle_adjust` dispatcher guards).
+    """
+    r, Jq, Jt, Jx, Jk = _linearize(problem, opt)
+    N = problem.qvecs.shape[0]
+    P = problem.points.shape[0]
+    C = problem.cam_params.shape[0]
+    O = r.shape[0]
+    oi, op, oc = problem.obs_image, problem.obs_point, problem.obs_cam
+    dtype = r.dtype
+    D = 6 * N + MAXP * C
+    axis = opt.axis_name
+
+    Jc = jnp.concatenate([Jq, Jt], axis=-1)  # [O, 2, 6]
+
+    # Gradients.
+    g_pose = _segsum(jnp.einsum("oki,ok->oi", Jc, r), oi, N, axis)
+    g_cam = _segsum(jnp.einsum("oki,ok->oi", Jk, r), oc, C, axis)
+    g_pts = _segsum(jnp.einsum("oki,ok->oi", Jx, r), op, P, axis)
+
+    # LM damping diagonals (Ceres-style clamped diag).
+    d_pose = _segsum(jnp.einsum("oki,oki->oi", Jc, Jc), oi, N, axis)
+    d_cam = _segsum(jnp.einsum("oki,oki->oi", Jk, Jk), oc, C, axis)
+    d_pts = _segsum(jnp.einsum("oki,oki->oi", Jx, Jx), op, P, axis)
+    clamp = lambda d: jnp.clip(d, 1e-6, 1e32)
+    d_pose_l = lam * clamp(d_pose)
+    d_cam_l = lam * clamp(d_cam)
+    d_pts_l = lam * clamp(d_pts)
+
+    # Damped point blocks and their inverse Cholesky factors.
+    Hpp = _segsum(jnp.einsum("oki,okj->oij", Jx, Jx), op, P, axis)
+    Hpp = Hpp + jax.vmap(jnp.diag)(d_pts_l) + 1e-12 * jnp.eye(3, dtype=dtype)
+    Hpp_inv = _sym3_inverse(Hpp)
+    Lp = jnp.linalg.cholesky(
+        Hpp_inv + 1e-14 * jnp.eye(3, dtype=dtype))  # [P, 3, 3]
+
+    # Per-obs point-coupling blocks, whitened: WL = (Ju^T Jx) @ Lp.
+    W_pose = jnp.einsum("oki,okj->oij", Jc, Jx)   # [O, 6, 3]
+    W_cam = jnp.einsum("oki,okj->oij", Jk, Jx)    # [O, 12, 3]
+    LpO = Lp[op]
+    WL_pose = jnp.einsum("oij,ojk->oik", W_pose, LpO)
+    WL_cam = jnp.einsum("oij,ojk->oik", W_cam, LpO)
+
+    # Dense whitened coupling matrix EL [D, 3P] — ONE scatter.
+    rows_pose = (oi[:, None] * 6 + jnp.arange(6)[None, :])[:, :, None]
+    rows_cam = (6 * N + oc[:, None] * MAXP
+                + jnp.arange(MAXP)[None, :])[:, :, None]
+    cols = (op[:, None] * 3 + jnp.arange(3)[None, :])[:, None, :]
+    EL = jnp.zeros((D, 3 * P), dtype)
+    EL = EL.at[jnp.broadcast_to(rows_pose, (O, 6, 3)),
+               jnp.broadcast_to(cols, (O, 6, 3))].add(WL_pose)
+    EL = EL.at[jnp.broadcast_to(rows_cam, (O, MAXP, 3)),
+               jnp.broadcast_to(cols, (O, MAXP, 3))].add(WL_cam)
+    if axis is not None:
+        EL = jax.lax.psum(EL, axis)
+
+    # Top-left block B: diag pose blocks + diag cam blocks + pose-cam
+    # coupling, assembled dense.
+    Hcc_pose = _segsum(jnp.einsum("oki,okj->oij", Jc, Jc), oi, N, axis)
+    Hcc_cam = _segsum(jnp.einsum("oki,okj->oij", Jk, Jk), oc, C, axis)
+    Hpc = _segsum(jnp.einsum("oki,okj->oij", Jc, Jk),
+                  oi * C + oc, N * C, axis)       # [N*C, 6, 12]
+    B = jnp.zeros((D, D), dtype)
+    bi = (jnp.arange(N)[:, None] * 6 + jnp.arange(6)[None, :])
+    B = B.at[bi[:, :, None], bi[:, None, :]].add(Hcc_pose)
+    ci = 6 * N + (jnp.arange(C)[:, None] * MAXP + jnp.arange(MAXP)[None, :])
+    B = B.at[ci[:, :, None], ci[:, None, :]].add(Hcc_cam)
+    pc_rows = jnp.repeat(bi, C, axis=0).reshape(N * C, 6)
+    pc_cols = jnp.tile(ci, (N, 1)).reshape(N * C, MAXP)
+    B = B.at[pc_rows[:, :, None], pc_cols[:, None, :]].add(Hpc)
+    B = B.at[pc_cols[:, :, None], pc_rows[:, None, :]].add(
+        jnp.swapaxes(Hpc, 1, 2))
+
+    # Reduced system S = B + lam diag - EL EL^T, masked on free params.
+    d_l = jnp.concatenate([d_pose_l.reshape(-1), d_cam_l.reshape(-1)])
+    S = B + jnp.diag(d_l) - jnp.dot(EL, EL.T,
+                                    preferred_element_type=dtype)
+    free_pose = jnp.concatenate(
+        [jnp.repeat(problem.free_rot[:, None], 3, axis=1),
+         problem.free_trans], axis=1)
+    if not opt.refine_extrinsics:
+        free_pose = free_pose * 0.0
+    free_cam_m = problem.free_cam * jnp.asarray(
+        _intrinsic_refine_mask(opt), dtype)
+    free = jnp.concatenate([free_pose.reshape(-1), free_cam_m.reshape(-1)])
+    S = S * free[:, None] * free[None, :] + jnp.diag(1.0 - free)
+
+    # RHS: b = -g_u + E C^-1 g_p (per-obs segsum, cheap).
+    y = jnp.einsum("pij,pj->pi", Hpp_inv, g_pts)   # C^-1 g_p
+    Ey_pose = _segsum(jnp.einsum("oij,oj->oi", W_pose, y[op]), oi, N, axis)
+    Ey_cam = _segsum(jnp.einsum("oij,oj->oi", W_cam, y[op]), oc, C, axis)
+    b = jnp.concatenate([(-g_pose + Ey_pose).reshape(-1),
+                         (-g_cam + Ey_cam).reshape(-1)]) * free
+
+    du = jax.scipy.linalg.solve(S, b, assume_a="pos")
+    u_pose = du[:6 * N].reshape(N, 6) * free_pose
+    u_cam = du[6 * N:].reshape(C, MAXP) * free_cam_m
+
+    # Back-substitute points: dp = C^-1 (-g_p - E^T du).
+    Etu = _segsum(
+        jnp.einsum("oij,oi->oj", W_pose, u_pose[oi])
+        + jnp.einsum("oij,oi->oj", W_cam, u_cam[oc]), op, P, axis)
+    d_pts_step = jnp.einsum("pij,pj->pi", Hpp_inv, -g_pts - Etu)
+    d_pts_step = d_pts_step * problem.free_points[:, None]
+
+    # Predicted reduction (same formula as the implicit path).
+    t = (jnp.einsum("oki,oi->ok", Jc, u_pose[oi])
+         + jnp.einsum("oki,oi->ok", Jk, u_cam[oc])
+         + jnp.einsum("oki,oi->ok", Jx, d_pts_step[op]))
+    gTd = (jnp.sum(g_pose * u_pose) + jnp.sum(g_cam * u_cam)
+           + jnp.sum(g_pts * d_pts_step))
+    dHd = (_allreduce(jnp.sum(t * t), axis)
+           + jnp.sum(d_pose_l * u_pose * u_pose)
+           + jnp.sum(d_cam_l * u_cam * u_cam)
+           + jnp.sum(d_pts_l * d_pts_step * d_pts_step))
+    predicted = -(gTd + 0.5 * dHd)
+    g_inf = jnp.maximum(
+        jnp.max(jnp.abs(g_pose)),
+        jnp.maximum(jnp.max(jnp.abs(g_cam)), jnp.max(jnp.abs(g_pts))))
+    return u_pose, u_cam, d_pts_step, predicted, g_inf
+
+
 def _solve_step(problem: BAProblem, opt: BAOptions, lam, use_dense: bool):
     """One linearization + linear solve. Returns the masked step and
     diagnostic quantities."""
+    if opt.solver == "explicit_schur":
+        return _solve_step_explicit(problem, opt, lam)
     r, Jq, Jt, Jx, Jk = _linearize(problem, opt)
     ops = _make_operators(problem, r, Jq, Jt, Jx, Jk, lam, opt.axis_name)
 
@@ -546,12 +681,23 @@ def bundle_adjust(problem: BAProblem, options: Optional[BAOptions] = None):
     options = options or BAOptions()
     n = problem.qvecs.shape[0]
     c = problem.cam_params.shape[0]
+    p = problem.points.shape[0]
     reduced = 6 * n + 12 * c
     if options.solver == "dense_schur":
         use_dense = True
-    elif options.solver == "schur_pcg":
+    elif options.solver in ("schur_pcg", "explicit_schur"):
         use_dense = False
     else:
+        # auto: explicit reduced system whenever the whitened coupling
+        # matrix [D, 3P] fits a conservative HBM budget — it turns the
+        # per-CG scatter storm into one MXU matmul (see
+        # _solve_step_explicit); PCG only for genuinely huge problems.
+        bytes_needed = reduced * 3 * p * problem.points.dtype.itemsize
+        if bytes_needed <= 2 * 1024 ** 3 and options.axis_name is None:
+            import dataclasses
+
+            options = dataclasses.replace(options, solver="explicit_schur")
+            return _bundle_adjust_impl(problem, options, False)
         use_dense = reduced <= options.dense_threshold
     return _bundle_adjust_impl(problem, options, use_dense)
 
