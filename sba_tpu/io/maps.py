@@ -27,7 +27,19 @@ except Exception:  # pragma: no cover
 
 
 def read_float_map_tiff(path) -> np.ndarray:
-    """Read a single-channel float TIFF into [H, W] float32."""
+    """Read a single-channel float TIFF into [H, W] float32.
+
+    Fast path: the native C++ decoder (native/sba_native.cc, the
+    counterpart of ref util/matrix_vis.h:130 readTiffFloat); falls back to
+    PIL for compressed/exotic TIFFs."""
+    try:
+        from sba_tpu.io.native_loader import decode_image_native
+
+        arr = decode_image_native(str(path))
+        if arr is not None:
+            return arr
+    except Exception:
+        pass
     if not _HAS_PIL:
         raise RuntimeError("PIL is required for TIFF map IO")
     img = PILImage.open(path)

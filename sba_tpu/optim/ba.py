@@ -70,6 +70,89 @@ class BAProblem(NamedTuple):
     free_trans: jnp.ndarray   # [N, 3]
     free_points: jnp.ndarray  # [P]
     free_cam: jnp.ndarray     # [C, 12]
+    # Optional scatter-free reduction layouts (PBA-style dual ordering,
+    # ref: lib/PBA camera-major/point-major data). When present, per-point
+    # and per-image segment sums become gather + reshape + sum — TPU
+    # scatters are the slowest primitive, gathers ride HBM bandwidth.
+    # Built by `attach_gather_layouts`; None falls back to segment_sum.
+    pt_gather: Optional[jnp.ndarray] = None   # [P, K] obs indices
+    pt_mask: Optional[jnp.ndarray] = None     # [P, K] 0/1
+    img_gather: Optional[jnp.ndarray] = None  # [N, M] obs indices
+    img_mask: Optional[jnp.ndarray] = None    # [N, M] 0/1
+    image_cam: Optional[jnp.ndarray] = None   # [N] camera row per image
+
+
+def attach_gather_layouts(problem: "BAProblem") -> "BAProblem":
+    """Precompute the scatter-free reduction layouts (host-side).
+
+    Pads each point's observation list to the max track length K and each
+    image's to the max per-image count M. Gather index 0 with mask 0 fills
+    the padding (any valid index works — the mask zeroes it).
+    """
+    op = np.asarray(problem.obs_point)
+    oi = np.asarray(problem.obs_image)
+    oc = np.asarray(problem.obs_cam)
+    P = problem.points.shape[0]
+    N = problem.qvecs.shape[0]
+
+    def layout(idx, n):
+        order = np.argsort(idx, kind="stable")
+        counts = np.bincount(idx, minlength=n) if len(idx) else \
+            np.zeros(n, int)
+        k = max(int(counts.max()), 1) if len(idx) else 1
+        gather = np.zeros((n, k), np.int32)
+        mask = np.zeros((n, k), np.float32)
+        if len(idx):
+            offs = np.concatenate([[0], np.cumsum(counts)])
+            sorted_idx = idx[order]
+            slot = np.arange(len(order)) - offs[sorted_idx]
+            gather[sorted_idx, slot] = order
+            mask[sorted_idx, slot] = 1.0
+        return gather, mask
+
+    pt_gather, pt_mask = layout(op, P)
+    img_gather, img_mask = layout(oi, N)
+    image_cam = np.zeros(N, np.int32)
+    image_cam[oi] = oc
+    dtype = problem.obs_mask.dtype
+    return problem._replace(
+        pt_gather=jnp.asarray(pt_gather),
+        pt_mask=jnp.asarray(pt_mask, dtype),
+        img_gather=jnp.asarray(img_gather),
+        img_mask=jnp.asarray(img_mask, dtype),
+        image_cam=jnp.asarray(image_cam))
+
+
+def _expand_mask(mask, v):
+    return mask.reshape(mask.shape + (1,) * (v.ndim - mask.ndim))
+
+
+def _red_pts(problem: "BAProblem", v, axis_name=None):
+    """Per-observation [O, ...] -> per-point [P, ...] reduction."""
+    if problem.pt_gather is not None and axis_name is None:
+        g = v[problem.pt_gather]          # [P, K, ...]
+        return jnp.sum(g * _expand_mask(problem.pt_mask, g), axis=1)
+    return _segsum(v, problem.obs_point, problem.points.shape[0], axis_name)
+
+
+def _red_imgs(problem: "BAProblem", v, axis_name=None):
+    """Per-observation [O, ...] -> per-image [N, ...] reduction."""
+    if problem.img_gather is not None and axis_name is None:
+        g = v[problem.img_gather]         # [N, M, ...]
+        return jnp.sum(g * _expand_mask(problem.img_mask, g), axis=1)
+    return _segsum(v, problem.obs_image, problem.qvecs.shape[0], axis_name)
+
+
+def _red_cams(problem: "BAProblem", v, axis_name=None):
+    """Per-observation [O, ...] -> per-camera [C, ...] reduction. Each
+    image maps to one camera, so reduce per image first, then a tiny
+    [N]->[C] segment sum."""
+    C = problem.cam_params.shape[0]
+    if problem.img_gather is not None and axis_name is None:
+        per_img = _red_imgs(problem, v)
+        return jax.ops.segment_sum(per_img, problem.image_cam,
+                                   num_segments=C)
+    return _segsum(v, problem.obs_cam, C, axis_name)
 
 
 @dataclass(frozen=True)
@@ -283,21 +366,21 @@ def _make_operators(problem, r, Jq, Jt, Jx, Jk, lam, axis_name=None):
     Jc = jnp.concatenate([Jq, Jt], axis=-1)  # [O, 2, 6]
 
     # Gradients g = J^T r.
-    g_pose = _segsum(jnp.einsum("oki,ok->oi", Jc, r), oi, N, axis_name)      # [N, 6]
-    g_cam = _segsum(jnp.einsum("oki,ok->oi", Jk, r), oc, C, axis_name)       # [C, 12]
-    g_pts = _segsum(jnp.einsum("oki,ok->oi", Jx, r), op, P, axis_name)       # [P, 3]
+    g_pose = _red_imgs(problem, jnp.einsum("oki,ok->oi", Jc, r), axis_name)      # [N, 6]
+    g_cam = _red_cams(problem, jnp.einsum("oki,ok->oi", Jk, r), axis_name)       # [C, 12]
+    g_pts = _red_pts(problem, jnp.einsum("oki,ok->oi", Jx, r), axis_name)       # [P, 3]
 
     # Diagonals of H (for LM damping, Ceres-style diag clamped).
-    d_pose = _segsum(jnp.einsum("oki,oki->oi", Jc, Jc), oi, N, axis_name)
-    d_cam = _segsum(jnp.einsum("oki,oki->oi", Jk, Jk), oc, C, axis_name)
-    d_pts = _segsum(jnp.einsum("oki,oki->oi", Jx, Jx), op, P, axis_name)
+    d_pose = _red_imgs(problem, jnp.einsum("oki,oki->oi", Jc, Jc), axis_name)
+    d_cam = _red_cams(problem, jnp.einsum("oki,oki->oi", Jk, Jk), axis_name)
+    d_pts = _red_pts(problem, jnp.einsum("oki,oki->oi", Jx, Jx), axis_name)
     clamp = lambda d: jnp.clip(d, 1e-6, 1e32)
     d_pose_l = lam * clamp(d_pose)
     d_cam_l = lam * clamp(d_cam)
     d_pts_l = lam * clamp(d_pts)
 
     # Point blocks Hpp + damping, and their inverses.
-    Hpp = _segsum(jnp.einsum("oki,okj->oij", Jx, Jx), op, P, axis_name)
+    Hpp = _red_pts(problem, jnp.einsum("oki,okj->oij", Jx, Jx), axis_name)
     Hpp = Hpp + jax.vmap(jnp.diag)(d_pts_l)
     # Guard empty points (all-zero block) against singular inverse.
     Hpp = Hpp + jnp.eye(3, dtype=Hpp.dtype) * (1e-12)
@@ -313,11 +396,11 @@ def _make_operators(problem, r, Jq, Jt, Jx, Jk, lam, axis_name=None):
 
     def JT_apply_cam(t):
         """J_cam^T t for t [O, 2] -> (pose [N,6], cam [C,12])."""
-        return (_segsum(jnp.einsum("oki,ok->oi", Jc, t), oi, N, axis_name),
-                _segsum(jnp.einsum("oki,ok->oi", Jk, t), oc, C, axis_name))
+        return (_red_imgs(problem, jnp.einsum("oki,ok->oi", Jc, t), axis_name),
+                _red_cams(problem, jnp.einsum("oki,ok->oi", Jk, t), axis_name))
 
     def JT_apply_pts(t):
-        return _segsum(jnp.einsum("oki,ok->oi", Jx, t), op, P, axis_name)
+        return _red_pts(problem, jnp.einsum("oki,ok->oi", Jx, t), axis_name)
 
     def hpp_solve(y):
         return jnp.einsum("pij,pj->pi", Hpp_inv, y)
@@ -331,13 +414,13 @@ def _make_operators(problem, r, Jq, Jt, Jx, Jk, lam, axis_name=None):
         return a_pose + d_pose_l * u_pose, a_cam + d_cam_l * u_cam
 
     # SCHUR_JACOBI preconditioner blocks.
-    Hcc_pose = _segsum(jnp.einsum("oki,okj->oij", Jc, Jc), oi, N, axis_name)
-    Hcc_cam = _segsum(jnp.einsum("oki,okj->oij", Jk, Jk), oc, C, axis_name)
+    Hcc_pose = _red_imgs(problem, jnp.einsum("oki,okj->oij", Jc, Jc), axis_name)
+    Hcc_cam = _red_cams(problem, jnp.einsum("oki,okj->oij", Jk, Jk), axis_name)
     Bp = jnp.einsum("oki,okj->oij", Jc, Jx)          # [O, 6, 3]
     Bc = jnp.einsum("oki,okj->oij", Jk, Jx)          # [O, 12, 3]
     HinvO = Hpp_inv[op]
-    S_pose = Hcc_pose - _segsum(jnp.einsum("oij,ojk,olk->oil", Bp, HinvO, Bp), oi, N, axis_name)
-    S_cam = Hcc_cam - _segsum(jnp.einsum("oij,ojk,olk->oil", Bc, HinvO, Bc), oc, C, axis_name)
+    S_pose = Hcc_pose - _red_imgs(problem, jnp.einsum("oij,ojk,olk->oil", Bp, HinvO, Bp), axis_name)
+    S_cam = Hcc_cam - _red_cams(problem, jnp.einsum("oij,ojk,olk->oil", Bc, HinvO, Bc), axis_name)
     S_pose = S_pose + jax.vmap(jnp.diag)(d_pose_l + 1e-10)
     S_cam = S_cam + jax.vmap(jnp.diag)(d_cam_l + 1e-10)
     # Fixed parameters have all-zero rows; make the blocks invertible.
@@ -454,21 +537,21 @@ def _solve_step_explicit(problem: BAProblem, opt: BAOptions, lam):
     Jc = jnp.concatenate([Jq, Jt], axis=-1)  # [O, 2, 6]
 
     # Gradients.
-    g_pose = _segsum(jnp.einsum("oki,ok->oi", Jc, r), oi, N, axis)
-    g_cam = _segsum(jnp.einsum("oki,ok->oi", Jk, r), oc, C, axis)
-    g_pts = _segsum(jnp.einsum("oki,ok->oi", Jx, r), op, P, axis)
+    g_pose = _red_imgs(problem, jnp.einsum("oki,ok->oi", Jc, r), axis)
+    g_cam = _red_cams(problem, jnp.einsum("oki,ok->oi", Jk, r), axis)
+    g_pts = _red_pts(problem, jnp.einsum("oki,ok->oi", Jx, r), axis)
 
     # LM damping diagonals (Ceres-style clamped diag).
-    d_pose = _segsum(jnp.einsum("oki,oki->oi", Jc, Jc), oi, N, axis)
-    d_cam = _segsum(jnp.einsum("oki,oki->oi", Jk, Jk), oc, C, axis)
-    d_pts = _segsum(jnp.einsum("oki,oki->oi", Jx, Jx), op, P, axis)
+    d_pose = _red_imgs(problem, jnp.einsum("oki,oki->oi", Jc, Jc), axis)
+    d_cam = _red_cams(problem, jnp.einsum("oki,oki->oi", Jk, Jk), axis)
+    d_pts = _red_pts(problem, jnp.einsum("oki,oki->oi", Jx, Jx), axis)
     clamp = lambda d: jnp.clip(d, 1e-6, 1e32)
     d_pose_l = lam * clamp(d_pose)
     d_cam_l = lam * clamp(d_cam)
     d_pts_l = lam * clamp(d_pts)
 
     # Damped point blocks and their inverse Cholesky factors.
-    Hpp = _segsum(jnp.einsum("oki,okj->oij", Jx, Jx), op, P, axis)
+    Hpp = _red_pts(problem, jnp.einsum("oki,okj->oij", Jx, Jx), axis)
     Hpp = Hpp + jax.vmap(jnp.diag)(d_pts_l) + 1e-12 * jnp.eye(3, dtype=dtype)
     Hpp_inv = _sym3_inverse(Hpp)
     Lp = jnp.linalg.cholesky(
@@ -481,25 +564,55 @@ def _solve_step_explicit(problem: BAProblem, opt: BAOptions, lam):
     WL_pose = jnp.einsum("oij,ojk->oik", W_pose, LpO)
     WL_cam = jnp.einsum("oij,ojk->oik", W_cam, LpO)
 
-    # Dense whitened coupling matrix EL [D, 3P] — ONE scatter.
-    rows_pose = (oi[:, None] * 6 + jnp.arange(6)[None, :])[:, :, None]
-    rows_cam = (6 * N + oc[:, None] * MAXP
-                + jnp.arange(MAXP)[None, :])[:, :, None]
-    cols = (op[:, None] * 3 + jnp.arange(3)[None, :])[:, None, :]
-    EL = jnp.zeros((D, 3 * P), dtype)
-    EL = EL.at[jnp.broadcast_to(rows_pose, (O, 6, 3)),
-               jnp.broadcast_to(cols, (O, 6, 3))].add(WL_pose)
-    EL = EL.at[jnp.broadcast_to(rows_cam, (O, MAXP, 3)),
-               jnp.broadcast_to(cols, (O, MAXP, 3))].add(WL_cam)
-    if axis is not None:
-        EL = jax.lax.psum(EL, axis)
+    # Dense whitened coupling matrix EL [D, 3P] — built scatter-free when
+    # the point-major layout is attached: arrange WL blocks per (point,
+    # slot) and contract a one-hot image indicator on the MXU.
+    if problem.pt_gather is not None and axis is None:
+        pg = problem.pt_gather            # [P, K]
+        pm = problem.pt_mask              # [P, K]
+        K = pg.shape[1]
+        img_slot = oi[pg]                 # [P, K]
+        onehot = jax.nn.one_hot(img_slot, N, dtype=dtype) \
+            * pm[..., None]               # [P, K, N]
+        WLp_slot = WL_pose[pg]            # [P, K, 6, 3]
+        EL_pose = jnp.einsum("pkn,pkij->nipj", onehot, WLp_slot,
+                             preferred_element_type=dtype) \
+            .reshape(6 * N, 3 * P)
+        cam_slot = oc[pg]                 # [P, K]
+        onehot_c = jax.nn.one_hot(cam_slot, C, dtype=dtype) \
+            * pm[..., None]
+        WLc_slot = WL_cam[pg]             # [P, K, 12, 3]
+        EL_cam = jnp.einsum("pkc,pkij->cipj", onehot_c, WLc_slot,
+                            preferred_element_type=dtype) \
+            .reshape(MAXP * C, 3 * P)
+        EL = jnp.concatenate([EL_pose, EL_cam], axis=0)
+    else:
+        rows_pose = (oi[:, None] * 6 + jnp.arange(6)[None, :])[:, :, None]
+        rows_cam = (6 * N + oc[:, None] * MAXP
+                    + jnp.arange(MAXP)[None, :])[:, :, None]
+        cols = (op[:, None] * 3 + jnp.arange(3)[None, :])[:, None, :]
+        EL = jnp.zeros((D, 3 * P), dtype)
+        EL = EL.at[jnp.broadcast_to(rows_pose, (O, 6, 3)),
+                   jnp.broadcast_to(cols, (O, 6, 3))].add(WL_pose)
+        EL = EL.at[jnp.broadcast_to(rows_cam, (O, MAXP, 3)),
+                   jnp.broadcast_to(cols, (O, MAXP, 3))].add(WL_cam)
+        if axis is not None:
+            EL = jax.lax.psum(EL, axis)
 
     # Top-left block B: diag pose blocks + diag cam blocks + pose-cam
     # coupling, assembled dense.
-    Hcc_pose = _segsum(jnp.einsum("oki,okj->oij", Jc, Jc), oi, N, axis)
-    Hcc_cam = _segsum(jnp.einsum("oki,okj->oij", Jk, Jk), oc, C, axis)
-    Hpc = _segsum(jnp.einsum("oki,okj->oij", Jc, Jk),
-                  oi * C + oc, N * C, axis)       # [N*C, 6, 12]
+    Hcc_pose = _red_imgs(problem, jnp.einsum("oki,okj->oij", Jc, Jc), axis)
+    Hcc_cam = _red_cams(problem, jnp.einsum("oki,okj->oij", Jk, Jk), axis)
+    # obs_cam is a function of obs_image, so the pose-cam coupling block
+    # of image i lives at pair (i, image_cam[i]) — a per-image reduction.
+    Hpc_img = _red_imgs(problem, jnp.einsum("oki,okj->oij", Jc, Jk),
+                        axis)                     # [N, 6, 12]
+    if problem.image_cam is not None:
+        img_cam = problem.image_cam
+    else:
+        img_cam = jax.ops.segment_max(oc, oi, num_segments=N)
+    Hpc = jnp.zeros((N * C, 6, MAXP), dtype) \
+        .at[jnp.arange(N) * C + img_cam].set(Hpc_img)
     B = jnp.zeros((D, D), dtype)
     bi = (jnp.arange(N)[:, None] * 6 + jnp.arange(6)[None, :])
     B = B.at[bi[:, :, None], bi[:, None, :]].add(Hcc_pose)
@@ -527,8 +640,8 @@ def _solve_step_explicit(problem: BAProblem, opt: BAOptions, lam):
 
     # RHS: b = -g_u + E C^-1 g_p (per-obs segsum, cheap).
     y = jnp.einsum("pij,pj->pi", Hpp_inv, g_pts)   # C^-1 g_p
-    Ey_pose = _segsum(jnp.einsum("oij,oj->oi", W_pose, y[op]), oi, N, axis)
-    Ey_cam = _segsum(jnp.einsum("oij,oj->oi", W_cam, y[op]), oc, C, axis)
+    Ey_pose = _red_imgs(problem, jnp.einsum("oij,oj->oi", W_pose, y[op]), axis)
+    Ey_cam = _red_cams(problem, jnp.einsum("oij,oj->oi", W_cam, y[op]), axis)
     b = jnp.concatenate([(-g_pose + Ey_pose).reshape(-1),
                          (-g_cam + Ey_cam).reshape(-1)]) * free
 
@@ -537,9 +650,10 @@ def _solve_step_explicit(problem: BAProblem, opt: BAOptions, lam):
     u_cam = du[6 * N:].reshape(C, MAXP) * free_cam_m
 
     # Back-substitute points: dp = C^-1 (-g_p - E^T du).
-    Etu = _segsum(
+    Etu = _red_pts(
+        problem,
         jnp.einsum("oij,oi->oj", W_pose, u_pose[oi])
-        + jnp.einsum("oij,oi->oj", W_cam, u_cam[oc]), op, P, axis)
+        + jnp.einsum("oij,oi->oj", W_cam, u_cam[oc]), axis)
     d_pts_step = jnp.einsum("pij,pj->pi", Hpp_inv, -g_pts - Etu)
     d_pts_step = d_pts_step * problem.free_points[:, None]
 
@@ -738,7 +852,7 @@ def build_problem(arrays, constant_pose_rows=(), constant_tvec_rows=None,
 
     points = arrays.points if arrays.num_points else np.zeros((1, 3))
 
-    return BAProblem(
+    problem = BAProblem(
         qvecs=jnp.asarray(arrays.qvecs, dtype),
         tvecs=jnp.asarray(arrays.tvecs, dtype),
         points=jnp.asarray(points, dtype),
@@ -753,3 +867,4 @@ def build_problem(arrays, constant_pose_rows=(), constant_tvec_rows=None,
         free_points=jnp.asarray(free_points, dtype),
         free_cam=jnp.asarray(free_cam, dtype),
     )
+    return attach_gather_layouts(problem)

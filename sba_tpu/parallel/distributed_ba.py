@@ -47,6 +47,11 @@ def make_mesh(n_devices: Optional[int] = None, axis_name: str = "obs") -> Mesh:
 def pad_observations(problem: BAProblem, multiple: int) -> BAProblem:
     """Pad the observation table to a multiple of the mesh size with
     mask-0 entries (they index image/point/cam 0 and contribute nothing)."""
+    # Gather layouts index the unsharded obs table; the distributed path
+    # reduces with segment_sum + psum instead, so drop them.
+    problem = problem._replace(pt_gather=None, pt_mask=None,
+                               img_gather=None, img_mask=None,
+                               image_cam=None)
     o = problem.obs_image.shape[0]
     pad = (-o) % multiple
     if pad == 0:

@@ -111,7 +111,9 @@ def make_ba_problem(
         free_points=jnp.ones(num_points, dtype),
         free_cam=jnp.zeros((1, MAXP), dtype),  # intrinsics constant by default
     )
-    return problem, truth
+    from sba_tpu.optim.ba import attach_gather_layouts
+
+    return attach_gather_layouts(problem), truth
 
 
 def make_sba_scene(
