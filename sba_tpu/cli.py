@@ -892,6 +892,62 @@ def run_stereo_fuser(flags):
     print(f"fused {len(cloud.xyz)} points -> {output_path}")
 
 
+def _run_mesher(flags):
+    from sba_tpu.geometry import camera_models
+    from sba_tpu.models.reconstruction import Reconstruction
+    from sba_tpu.mvs import read_colmap_map
+    from sba_tpu.mvs.meshing import (
+        TSDFOptions,
+        mesh_from_depth_maps,
+        write_mesh_ply,
+    )
+
+    workspace, output_path = _require(flags, "input_path", "output_path")
+    opt = apply_flags(TSDFOptions(), "Meshing", flags)
+    rec = Reconstruction.read(os.path.join(workspace, "sparse"))
+    stereo = os.path.join(workspace, "stereo")
+    reg = sorted(i for i in rec.images if rec.is_registered(i))
+
+    def K_of(iid):
+        cam = rec.cameras[rec.images[iid].camera_id]
+        spec = camera_models.model_by_id(cam.model_id)
+        p = cam.params
+        fi = spec.focal_idxs
+        return np.array([[p[fi[0]], 0, p[spec.principal_idxs[0]]],
+                         [0, p[fi[-1]], p[spec.principal_idxs[1]]],
+                         [0, 0, 1.0]])
+
+    depths, Ks, qs, ts = [], [], [], []
+    for iid in reg:
+        name = rec.images[iid].name
+        dp = os.path.join(stereo, "depth_maps", f"{name}.geometric.bin")
+        if not os.path.exists(dp):
+            continue
+        depths.append(read_colmap_map(dp))
+        Ks.append(K_of(iid))
+        qs.append(rec.images[iid].qvec)
+        ts.append(rec.images[iid].tvec)
+    if not depths:
+        raise SystemExit("no depth maps; run patch_match_stereo first")
+    mesh = mesh_from_depth_maps(np.stack(depths), Ks, qs, ts, opt)
+    write_mesh_ply(mesh, output_path)
+    print(f"meshed {len(mesh.vertices)} vertices / {len(mesh.faces)} "
+          f"faces -> {output_path}")
+
+
+def run_poisson_mesher(flags):
+    """Surface mesh from the dense workspace (ref: exe/mvs.cc:123
+    RunPoissonMesher — realized via TSDF + surface nets, see
+    mvs/meshing.py docstring for the algorithmic substitution)."""
+    _run_mesher(flags)
+
+
+def run_delaunay_mesher(flags):
+    """Ref: exe/mvs.cc:43 RunDelaunayMesher — same volumetric pipeline
+    (CGAL Delaunay has no TPU mapping; capability preserved)."""
+    _run_mesher(flags)
+
+
 def run_project_generator(flags):
     from sba_tpu.features.matching import SiftMatchingOptions
     from sba_tpu.features.sift import SiftExtractionOptions
@@ -928,6 +984,8 @@ COMMANDS = {
     "image_undistorter": run_image_undistorter,
     "patch_match_stereo": run_patch_match_stereo,
     "stereo_fuser": run_stereo_fuser,
+    "poisson_mesher": run_poisson_mesher,
+    "delaunay_mesher": run_delaunay_mesher,
     "image_registrator": run_image_registrator,
     "model_merger": run_model_merger,
     "model_converter": run_model_converter,
