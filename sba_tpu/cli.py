@@ -48,6 +48,67 @@ def run_database_creator(flags):
     print(f"created database {path}")
 
 
+def run_database_cleaner(flags):
+    """Drop matches/two-view geometries (and optionally features)
+    (ref: exe/database.cc RunDatabaseCleaner with --type)."""
+    from sba_tpu.io.database import Database
+
+    path, clean_type = _require(flags, "database_path", "type")
+    db = Database(path)
+    t = clean_type.lower()
+    if t in ("all", "matches"):
+        db.conn.execute("DELETE FROM matches")
+        db.conn.execute("DELETE FROM two_view_geometries")
+    if t in ("all", "features"):
+        db.conn.execute("DELETE FROM keypoints")
+        db.conn.execute("DELETE FROM descriptors")
+    if t == "all":
+        db.conn.execute("DELETE FROM images")
+        db.conn.execute("DELETE FROM cameras")
+    db.commit()
+    db.close()
+    print(f"cleaned ({t}) {path}")
+
+
+def run_database_merger(flags):
+    """Merge two databases into one (ref: exe/database.cc
+    RunDatabaseMerger); image/camera ids are remapped, names must be
+    disjoint."""
+    from sba_tpu.io.database import Database
+
+    p1, p2, out = _require(flags, "database_path1", "database_path2",
+                           "merged_database_path")
+    dbo = Database(out)
+    id_map = {}
+    for src_path in (p1, p2):
+        src = Database(src_path)
+        cam_map = {}
+        for cid, cam in src.read_cameras().items():
+            cam_map[cid] = dbo.write_camera(
+                cam["model_id"], cam["width"], cam["height"],
+                cam["params"], cam["prior_focal_length"])
+        img_map = {}
+        for iid, img in src.read_images().items():
+            img_map[iid] = dbo.write_image(
+                img["name"], cam_map[img["camera_id"]])
+            kp = src.read_keypoints(iid)
+            if len(kp):
+                dbo.write_keypoints(img_map[iid], kp)
+            d = src.read_descriptors(iid)
+            if len(d):
+                dbo.write_descriptors(img_map[iid], d)
+        for (a, b), m in src.read_all_matches().items():
+            dbo.write_matches(img_map[a], img_map[b], m)
+        for (a, b), g in src.read_all_two_view_geometries().items():
+            dbo.write_two_view_geometry(
+                img_map[a], img_map[b], g["inlier_matches"],
+                config=g["config"], F=g["F"], E=g["E"], H=g["H"],
+                qvec=g["qvec"], tvec=g["tvec"])
+        src.close()
+    dbo.close()
+    print(f"merged {p1} + {p2} -> {out}")
+
+
 # ---------------------------------------------------------------------------
 # feature commands (ref: exe/feature.cc)
 # ---------------------------------------------------------------------------
@@ -93,24 +154,25 @@ def run_feature_extractor(flags):
     if not names:
         raise SystemExit(f"no images found under {image_path}")
 
+    from sba_tpu.io.image_reader import ImageReaderOptions, \
+        camera_params_for_image
+
     db = Database(db_path)
     spec = camera_models.model_by_name(camera_model)
+    reader_opt = ImageReaderOptions(camera_model=camera_model,
+                                    single_camera=single_camera)
     shared_camera_id = None
     for name in names:
-        img = load_image_gray(os.path.join(image_path, name),
-                              max_size=opt.max_image_size)
+        full = os.path.join(image_path, name)
+        img = load_image_gray(full, max_size=opt.max_image_size)
         h, w = img.shape
         if shared_camera_id is None or not single_camera:
-            # Default focal prior: 1.2 * max dim (ref: image_reader.cc).
-            f = 1.2 * max(w, h)
-            params = {
-                "SIMPLE_PINHOLE": [f, w / 2, h / 2],
-                "PINHOLE": [f, f, w / 2, h / 2],
-                "SIMPLE_RADIAL": [f, w / 2, h / 2, 0.0],
-                "RADIAL": [f, w / 2, h / 2, 0.0, 0.0],
-                "OPENCV": [f, f, w / 2, h / 2, 0, 0, 0, 0],
-            }.get(spec.name, [f, w / 2, h / 2])
-            cam_id = db.write_camera(spec.model_id, w, h, params)
+            # EXIF focal prior with default-factor fallback
+            # (ref: image_reader.cc camera creation chain).
+            _model, params, has_prior = camera_params_for_image(
+                full, w, h, reader_opt)
+            cam_id = db.write_camera(spec.model_id, w, h, params,
+                                     prior_focal_length=has_prior)
             if single_camera:
                 shared_camera_id = cam_id
         else:
@@ -966,6 +1028,8 @@ def run_project_generator(flags):
 
 COMMANDS = {
     "database_creator": run_database_creator,
+    "database_cleaner": run_database_cleaner,
+    "database_merger": run_database_merger,
     "feature_extractor": run_feature_extractor,
     "exhaustive_matcher": run_exhaustive_matcher,
     "sequential_matcher": run_sequential_matcher,
