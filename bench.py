@@ -9,10 +9,17 @@ problem (order-of-magnitude from Ceres BAL benchmarks; see BASELINE.md).
 """
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
+
+# Persistent compile cache: the LM program compiles once per machine
+# (remote TPU AOT compiles take minutes; reruns must not pay them).
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), ".jax_cache_tpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 CERES_PROXY_ITERS_PER_SEC = 10.0
 
@@ -28,11 +35,15 @@ def main():
         pose_noise=0.005, point_noise=0.02, pixel_noise=0.5, seed=0,
         dtype=jnp.float32)
 
+    from sba_tpu.optim.ba import to_point_major
+
     n_iters = 20
     options = BAOptions(max_iterations=n_iters, cg_iterations=30,
-                        solver="schur_pcg", dtype="float32",
+                        solver="explicit_schur", dtype="float32",
+                        obs_layout="point_major",
                         function_tolerance=0.0, gradient_tolerance=0.0,
                         parameter_tolerance=0.0)
+    problem = to_point_major(problem)
 
     run = jax.jit(lambda p: _bundle_adjust_impl(p, options, False))
 

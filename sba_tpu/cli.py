@@ -1010,6 +1010,19 @@ def run_delaunay_mesher(flags):
     _run_mesher(flags)
 
 
+def run_model_viewer(flags):
+    """Export a self-contained interactive HTML viewer (the GUI-capability
+    substitute for ref: src/ui Qt model viewer; see sba_tpu/viewer.py)."""
+    from sba_tpu.models.reconstruction import Reconstruction
+    from sba_tpu.viewer import export_html_viewer
+
+    input_path, output_path = _require(flags, "input_path", "output_path")
+    rec = Reconstruction.read(input_path)
+    export_html_viewer(rec, output_path)
+    print(f"viewer ({rec.num_points3d()} points, "
+          f"{rec.num_registered_images()} cameras) -> {output_path}")
+
+
 def run_project_generator(flags):
     from sba_tpu.features.matching import SiftMatchingOptions
     from sba_tpu.features.sift import SiftExtractionOptions
@@ -1054,6 +1067,7 @@ COMMANDS = {
     "model_merger": run_model_merger,
     "model_converter": run_model_converter,
     "model_analyzer": run_model_analyzer,
+    "model_viewer": run_model_viewer,
     "model_aligner": run_model_aligner,
     "model_comparer": run_model_comparer,
     "project_generator": run_project_generator,

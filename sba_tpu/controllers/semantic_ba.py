@@ -84,18 +84,38 @@ def run_semantic_bundle_adjustment(
         qvecs, tvecs, cam_params, depth_maps, semantic_maps,
         options=options.sba)
 
-    out, summary = semantic_bundle_adjust(problem, options.sba)
+    if options.run_path and options.export_steps:
+        # Per-iteration state export (ref: SBACallbackFunctor writes poses
+        # each LM iteration into run/optim_steps/step_<i>/,
+        # optim/semantic_bundle_adjustment.cc:1090-1123). The jitted LM
+        # loop cannot call back to host mid-solve, so export mode re-runs
+        # the solve one iteration at a time — slower, bit-identical path.
+        import dataclasses
+
+        one_iter = dataclasses.replace(options.sba, max_iterations=1)
+        out = problem
+        summary = None
+        for step in range(options.sba.max_iterations):
+            out, summary = semantic_bundle_adjust(out, one_iter)
+            step_dir = os.path.join(options.run_path, "optim_steps",
+                                    f"step_{step}")
+            os.makedirs(step_dir, exist_ok=True)
+            q_s = np.asarray(out.qvecs)
+            t_s = np.asarray(out.tvecs)
+            for row, iid in enumerate(reg):
+                rec.images[iid].qvec = q_s[row]
+                rec.images[iid].tvec = t_s[row]
+            rec.write(step_dir, ext=".txt")
+            if int(np.asarray(summary.num_iterations)) == 0:
+                break
+    else:
+        out, summary = semantic_bundle_adjust(problem, options.sba)
 
     q_new = np.asarray(out.qvecs)
     t_new = np.asarray(out.tvecs)
     for row, iid in enumerate(reg):
         rec.images[iid].qvec = q_new[row]
         rec.images[iid].tvec = t_new[row]
-
-    if options.run_path and options.export_steps:
-        step_dir = os.path.join(options.run_path, "optim_steps", "final")
-        os.makedirs(step_dir, exist_ok=True)
-        rec.write(step_dir, ext=".txt")
 
     if options.output_path:
         os.makedirs(options.output_path, exist_ok=True)

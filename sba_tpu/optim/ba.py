@@ -123,33 +123,147 @@ def attach_gather_layouts(problem: "BAProblem") -> "BAProblem":
         image_cam=jnp.asarray(image_cam))
 
 
+def to_point_major(problem: "BAProblem") -> "BAProblem":
+    """Reorder + pad the observation table to POINT-MAJOR layout:
+    O' = P * K rows (K = max track length), point p owning rows
+    [p*K, (p+1)*K), padding rows carrying obs_mask 0.
+
+    TPU rationale (measured): row-gathers with tiny slices (9-36 floats)
+    run ~1000x below HBM speed on this hardware — the (8, 128) tile
+    granularity turns them into strided scalar traffic. In point-major
+    order the per-point reduction is a RESHAPE + sum (free), and the
+    per-image reduction becomes a one-hot matmul on the MXU (_red_imgs).
+    Padding inflates O by (max/mean track length); acceptable for SfM
+    track distributions (bucketing is the escape hatch if not).
+    """
+    op = np.asarray(problem.obs_point)
+    P = problem.points.shape[0]
+    O = len(op)
+    counts = np.bincount(op, minlength=P) if O else np.zeros(P, int)
+    K = max(int(counts.max()), 1) if O else 1
+    order = np.argsort(op, kind="stable")
+    offs = np.concatenate([[0], np.cumsum(counts)])
+    slot = np.arange(O) - offs[op[order]]
+    rows = op[order] * K + slot                    # destination rows
+
+    def place(v, fill=0):
+        v = np.asarray(v)
+        out = np.full((P * K,) + v.shape[1:], fill, v.dtype)
+        out[rows] = v[order]
+        return out
+
+    new = problem._replace(
+        obs_image=jnp.asarray(place(problem.obs_image)),
+        obs_point=jnp.asarray(
+            np.repeat(np.arange(P, dtype=np.int32), K)),
+        obs_cam=jnp.asarray(place(problem.obs_cam)),
+        obs_xy=jnp.asarray(place(problem.obs_xy)),
+        obs_mask=jnp.asarray(place(problem.obs_mask)),
+        pt_gather=None, pt_mask=None, img_gather=None, img_mask=None,
+        image_cam=problem.image_cam if problem.image_cam is not None
+        else jnp.asarray(_image_cam_of(problem)))
+    return new
+
+
+def pad_problem_pow2(problem: "BAProblem", min_images: int = 8,
+                     min_points: int = 64, min_obs: int = 256
+                     ) -> "BAProblem":
+    """Pad images/points/observations to power-of-two buckets so the
+    incremental mapper's growing problems reuse a handful of compiled
+    programs instead of one per registration step (XLA static shapes).
+    Padding rows are fully masked (obs_mask 0, free_* 0, identity poses)."""
+
+    def pow2(n, lo):
+        return 1 << int(np.ceil(np.log2(max(n, lo))))
+
+    N = problem.qvecs.shape[0]
+    P = problem.points.shape[0]
+    O = problem.obs_image.shape[0]
+    Np, Pp, Op = pow2(N, min_images), pow2(P, min_points), pow2(O, min_obs)
+    if (Np, Pp, Op) == (N, P, O):
+        return problem
+    dtype = problem.tvecs.dtype
+
+    def padv(a, n, fill=0.0):
+        a = jnp.asarray(a)
+        if a.shape[0] == n:
+            return a
+        pad_shape = (n - a.shape[0],) + a.shape[1:]
+        return jnp.concatenate([a, jnp.full(pad_shape, fill, a.dtype)])
+
+    qpad = jnp.tile(jnp.asarray([1.0, 0, 0, 0], dtype), (Np - N, 1))
+    problem = problem._replace(
+        qvecs=jnp.concatenate([problem.qvecs, qpad]),
+        tvecs=padv(problem.tvecs, Np),
+        points=padv(problem.points, Pp),
+        obs_image=padv(problem.obs_image, Op),
+        obs_point=padv(problem.obs_point, Op),
+        obs_cam=padv(problem.obs_cam, Op),
+        obs_xy=padv(problem.obs_xy, Op),
+        obs_mask=padv(problem.obs_mask, Op),
+        free_rot=padv(problem.free_rot, Np),
+        free_trans=padv(problem.free_trans, Np),
+        free_points=padv(problem.free_points, Pp),
+        pt_gather=None, pt_mask=None, img_gather=None, img_mask=None,
+        image_cam=None)
+    return attach_gather_layouts(problem)
+
+
+def _image_cam_of(problem) -> np.ndarray:
+    oi = np.asarray(problem.obs_image)
+    oc = np.asarray(problem.obs_cam)
+    image_cam = np.zeros(problem.qvecs.shape[0], np.int32)
+    image_cam[oi] = oc
+    return image_cam
+
+
 def _expand_mask(mask, v):
     return mask.reshape(mask.shape + (1,) * (v.ndim - mask.ndim))
 
 
-def _red_pts(problem: "BAProblem", v, axis_name=None):
+def _img_onehot(problem: "BAProblem"):
+    """[O, N] image indicator (bf16-friendly f32; padding rows carry the
+    linearized zeros so no separate mask is needed)."""
+    N = problem.qvecs.shape[0]
+    return (problem.obs_image[:, None] ==
+            jnp.arange(N, dtype=problem.obs_image.dtype)[None, :]
+            ).astype(problem.obs_xy.dtype)
+
+
+def _red_pts(problem: "BAProblem", v, axis_name=None, layout="coo"):
     """Per-observation [O, ...] -> per-point [P, ...] reduction."""
+    P = problem.points.shape[0]
+    if layout == "point_major" and axis_name is None:
+        K = v.shape[0] // P
+        return jnp.sum(v.reshape((P, K) + v.shape[1:]), axis=1)
     if problem.pt_gather is not None and axis_name is None:
         g = v[problem.pt_gather]          # [P, K, ...]
         return jnp.sum(g * _expand_mask(problem.pt_mask, g), axis=1)
-    return _segsum(v, problem.obs_point, problem.points.shape[0], axis_name)
+    return _segsum(v, problem.obs_point, P, axis_name)
 
 
-def _red_imgs(problem: "BAProblem", v, axis_name=None):
+def _red_imgs(problem: "BAProblem", v, axis_name=None, layout="coo"):
     """Per-observation [O, ...] -> per-image [N, ...] reduction."""
+    if layout == "point_major" and axis_name is None:
+        onehot = _img_onehot(problem)     # [O, N]
+        flat = v.reshape(v.shape[0], -1)
+        out = jnp.einsum("on,od->nd", onehot, flat,
+                         preferred_element_type=flat.dtype)
+        return out.reshape((out.shape[0],) + v.shape[1:])
     if problem.img_gather is not None and axis_name is None:
         g = v[problem.img_gather]         # [N, M, ...]
         return jnp.sum(g * _expand_mask(problem.img_mask, g), axis=1)
     return _segsum(v, problem.obs_image, problem.qvecs.shape[0], axis_name)
 
 
-def _red_cams(problem: "BAProblem", v, axis_name=None):
+def _red_cams(problem: "BAProblem", v, axis_name=None, layout="coo"):
     """Per-observation [O, ...] -> per-camera [C, ...] reduction. Each
     image maps to one camera, so reduce per image first, then a tiny
     [N]->[C] segment sum."""
     C = problem.cam_params.shape[0]
-    if problem.img_gather is not None and axis_name is None:
-        per_img = _red_imgs(problem, v)
+    if axis_name is None and (layout == "point_major"
+                              or problem.img_gather is not None):
+        per_img = _red_imgs(problem, v, None, layout)
         return jax.ops.segment_sum(per_img, problem.image_cam,
                                    num_segments=C)
     return _segsum(v, problem.obs_cam, C, axis_name)
@@ -173,6 +287,9 @@ class BAOptions:
     parameter_tolerance: float = 1e-10
     initial_trust_radius: float = 1e4   # lambda0 = 1/radius
     solver: str = "auto"               # auto | dense_schur | schur_pcg
+    #                                    | explicit_schur
+    obs_layout: str = "coo"            # "coo" | "point_major" (see
+    #                                    to_point_major; static)
     dense_threshold: int = 512         # max reduced dim for dense schur
     refine_focal_length: bool = True
     refine_principal_point: bool = False
@@ -352,7 +469,7 @@ def evaluate_cost(problem: BAProblem, options: BAOptions):
 # The LM solve
 # ---------------------------------------------------------------------------
 
-def _make_operators(problem, r, Jq, Jt, Jx, Jk, lam, axis_name=None):
+def _make_operators(problem, r, Jq, Jt, Jx, Jk, lam, axis_name=None, layout="coo"):
     """Build the implicit Schur operators for one linearization.
 
     Reduced unknowns u = (pose [N,6], cam [C,12]); eliminated unknowns are
@@ -366,21 +483,21 @@ def _make_operators(problem, r, Jq, Jt, Jx, Jk, lam, axis_name=None):
     Jc = jnp.concatenate([Jq, Jt], axis=-1)  # [O, 2, 6]
 
     # Gradients g = J^T r.
-    g_pose = _red_imgs(problem, jnp.einsum("oki,ok->oi", Jc, r), axis_name)      # [N, 6]
-    g_cam = _red_cams(problem, jnp.einsum("oki,ok->oi", Jk, r), axis_name)       # [C, 12]
-    g_pts = _red_pts(problem, jnp.einsum("oki,ok->oi", Jx, r), axis_name)       # [P, 3]
+    g_pose = _red_imgs(problem, jnp.einsum("oki,ok->oi", Jc, r), axis_name, layout)      # [N, 6]
+    g_cam = _red_cams(problem, jnp.einsum("oki,ok->oi", Jk, r), axis_name, layout)       # [C, 12]
+    g_pts = _red_pts(problem, jnp.einsum("oki,ok->oi", Jx, r), axis_name, layout)       # [P, 3]
 
     # Diagonals of H (for LM damping, Ceres-style diag clamped).
-    d_pose = _red_imgs(problem, jnp.einsum("oki,oki->oi", Jc, Jc), axis_name)
-    d_cam = _red_cams(problem, jnp.einsum("oki,oki->oi", Jk, Jk), axis_name)
-    d_pts = _red_pts(problem, jnp.einsum("oki,oki->oi", Jx, Jx), axis_name)
+    d_pose = _red_imgs(problem, jnp.einsum("oki,oki->oi", Jc, Jc), axis_name, layout)
+    d_cam = _red_cams(problem, jnp.einsum("oki,oki->oi", Jk, Jk), axis_name, layout)
+    d_pts = _red_pts(problem, jnp.einsum("oki,oki->oi", Jx, Jx), axis_name, layout)
     clamp = lambda d: jnp.clip(d, 1e-6, 1e32)
     d_pose_l = lam * clamp(d_pose)
     d_cam_l = lam * clamp(d_cam)
     d_pts_l = lam * clamp(d_pts)
 
     # Point blocks Hpp + damping, and their inverses.
-    Hpp = _red_pts(problem, jnp.einsum("oki,okj->oij", Jx, Jx), axis_name)
+    Hpp = _red_pts(problem, jnp.einsum("oki,okj->oij", Jx, Jx), axis_name, layout)
     Hpp = Hpp + jax.vmap(jnp.diag)(d_pts_l)
     # Guard empty points (all-zero block) against singular inverse.
     Hpp = Hpp + jnp.eye(3, dtype=Hpp.dtype) * (1e-12)
@@ -396,11 +513,11 @@ def _make_operators(problem, r, Jq, Jt, Jx, Jk, lam, axis_name=None):
 
     def JT_apply_cam(t):
         """J_cam^T t for t [O, 2] -> (pose [N,6], cam [C,12])."""
-        return (_red_imgs(problem, jnp.einsum("oki,ok->oi", Jc, t), axis_name),
-                _red_cams(problem, jnp.einsum("oki,ok->oi", Jk, t), axis_name))
+        return (_red_imgs(problem, jnp.einsum("oki,ok->oi", Jc, t), axis_name, layout),
+                _red_cams(problem, jnp.einsum("oki,ok->oi", Jk, t), axis_name, layout))
 
     def JT_apply_pts(t):
-        return _red_pts(problem, jnp.einsum("oki,ok->oi", Jx, t), axis_name)
+        return _red_pts(problem, jnp.einsum("oki,ok->oi", Jx, t), axis_name, layout)
 
     def hpp_solve(y):
         return jnp.einsum("pij,pj->pi", Hpp_inv, y)
@@ -414,13 +531,13 @@ def _make_operators(problem, r, Jq, Jt, Jx, Jk, lam, axis_name=None):
         return a_pose + d_pose_l * u_pose, a_cam + d_cam_l * u_cam
 
     # SCHUR_JACOBI preconditioner blocks.
-    Hcc_pose = _red_imgs(problem, jnp.einsum("oki,okj->oij", Jc, Jc), axis_name)
-    Hcc_cam = _red_cams(problem, jnp.einsum("oki,okj->oij", Jk, Jk), axis_name)
+    Hcc_pose = _red_imgs(problem, jnp.einsum("oki,okj->oij", Jc, Jc), axis_name, layout)
+    Hcc_cam = _red_cams(problem, jnp.einsum("oki,okj->oij", Jk, Jk), axis_name, layout)
     Bp = jnp.einsum("oki,okj->oij", Jc, Jx)          # [O, 6, 3]
     Bc = jnp.einsum("oki,okj->oij", Jk, Jx)          # [O, 12, 3]
     HinvO = Hpp_inv[op]
-    S_pose = Hcc_pose - _red_imgs(problem, jnp.einsum("oij,ojk,olk->oil", Bp, HinvO, Bp), axis_name)
-    S_cam = Hcc_cam - _red_cams(problem, jnp.einsum("oij,ojk,olk->oil", Bc, HinvO, Bc), axis_name)
+    S_pose = Hcc_pose - _red_imgs(problem, jnp.einsum("oij,ojk,olk->oil", Bp, HinvO, Bp), axis_name, layout)
+    S_cam = Hcc_cam - _red_cams(problem, jnp.einsum("oij,ojk,olk->oil", Bc, HinvO, Bc), axis_name, layout)
     S_pose = S_pose + jax.vmap(jnp.diag)(d_pose_l + 1e-10)
     S_cam = S_cam + jax.vmap(jnp.diag)(d_cam_l + 1e-10)
     # Fixed parameters have all-zero rows; make the blocks invertible.
@@ -510,6 +627,158 @@ def _dense_schur_solve(matvec, b_pose, b_cam):
     return x[: N * 6].reshape(N, 6), x[N * 6:].reshape(C, 12)
 
 
+def _solve_step_explicit_pm(problem: BAProblem, opt: BAOptions, lam):
+    """Fused point-major explicit-Schur LM step — the fast single-chip path.
+
+    Requires `opt.obs_layout == "point_major"` (see to_point_major).
+    Measured design rules on v5e:
+    - per-POINT reductions are free (reshape [P, K, d] + sum);
+    - per-IMAGE reductions cost one one-hot build, so ALL image-side
+      payloads (g, damping diag, Hcc, Hpc, cam-side blocks) are packed
+      into ONE [O, ~300] matrix and reduced with a single
+      [N, O] x [O, ~300] MXU matmul;
+    - everything that would need a second reduction pass (E C^-1 g_p,
+      E^T du) is routed through the materialized whitened coupling
+      matrix EL as plain matvecs.
+    """
+    r, Jq, Jt, Jx, Jk = _linearize(problem, opt)
+    N = problem.qvecs.shape[0]
+    P = problem.points.shape[0]
+    C = problem.cam_params.shape[0]
+    O = r.shape[0]
+    K = O // P
+    oi, oc = problem.obs_image, problem.obs_cam
+    dtype = r.dtype
+    D = 6 * N + MAXP * C
+
+    Jc = jnp.concatenate([Jq, Jt], axis=-1)       # [O, 2, 6]
+
+    def pt_reduce(v):
+        return jnp.sum(v.reshape((P, K) + v.shape[1:]), axis=1)
+
+    # ---- point-side payload: one fused reshape-reduction ----
+    g_pts_o = jnp.einsum("oki,ok->oi", Jx, r)                  # [O, 3]
+    Hpp_o = jnp.einsum("oki,okj->oij", Jx, Jx).reshape(O, 9)   # [O, 9]
+    pt_pay = pt_reduce(jnp.concatenate([g_pts_o, Hpp_o], -1))  # [P, 12]
+    g_pts = pt_pay[:, :3]
+    Hpp = pt_pay[:, 3:].reshape(P, 3, 3)
+    d_pts = jnp.einsum("pii->pi", Hpp)
+    clamp = lambda d: jnp.clip(d, 1e-6, 1e32)
+    d_pts_l = lam * clamp(d_pts)
+    Hpp = Hpp + jax.vmap(jnp.diag)(d_pts_l) + 1e-12 * jnp.eye(3, dtype=dtype)
+    Hpp_inv = _sym3_inverse(Hpp)
+    Lp = jnp.linalg.cholesky(
+        Hpp_inv + 1e-14 * jnp.eye(3, dtype=dtype))             # [P, 3, 3]
+
+    # ---- image-side payload: ONE one-hot matmul ----
+    g_pose_o = jnp.einsum("oki,ok->oi", Jc, r)                 # [O, 6]
+    Hcc_pose_o = jnp.einsum("oki,okj->oij", Jc, Jc).reshape(O, 36)
+    Hpc_o = jnp.einsum("oki,okj->oij", Jc, Jk).reshape(O, 6 * MAXP)
+    g_cam_o = jnp.einsum("oki,ok->oi", Jk, r)                  # [O, 12]
+    Hcc_cam_o = jnp.einsum("oki,okj->oij", Jk, Jk).reshape(O, MAXP * MAXP)
+    img_pay = jnp.concatenate(
+        [g_pose_o, Hcc_pose_o, Hpc_o, g_cam_o, Hcc_cam_o], -1)
+    onehot = (oi[:, None] == jnp.arange(N, dtype=oi.dtype)[None, :]
+              ).astype(dtype)                                  # [O, N]
+    red = jnp.einsum("on,od->nd", onehot, img_pay,
+                     preferred_element_type=dtype)             # [N, DI]
+    ofs = np.cumsum([0, 6, 36, 6 * MAXP, MAXP, MAXP * MAXP])
+    g_pose = red[:, ofs[0]:ofs[1]]
+    Hcc_pose = red[:, ofs[1]:ofs[2]].reshape(N, 6, 6)
+    Hpc_img = red[:, ofs[2]:ofs[3]].reshape(N, 6, MAXP)
+    g_cam_img = red[:, ofs[3]:ofs[4]]
+    Hcc_cam_img = red[:, ofs[4]:ofs[5]].reshape(N, MAXP, MAXP)
+    img_cam = problem.image_cam if problem.image_cam is not None else \
+        jnp.zeros(N, jnp.int32)
+    g_cam = jax.ops.segment_sum(g_cam_img, img_cam, num_segments=C)
+    Hcc_cam = jax.ops.segment_sum(Hcc_cam_img, img_cam, num_segments=C)
+    d_pose = jnp.einsum("nii->ni", Hcc_pose)
+    d_cam = jnp.einsum("cii->ci", Hcc_cam)
+    d_pose_l = lam * clamp(d_pose)
+    d_cam_l = lam * clamp(d_cam)
+
+    # ---- whitened coupling matrix EL [D, 3P] via one-hot einsum ----
+    W_pose = jnp.einsum("oki,okj->oij", Jc, Jx)                # [O, 6, 3]
+    W_cam = jnp.einsum("oki,okj->oij", Jk, Jx)                 # [O, 12, 3]
+    LpO = jnp.repeat(Lp, K, axis=0)                            # [O, 3, 3]
+    WL_pose = jnp.einsum("oij,ojk->oik", W_pose, LpO)
+    WL_cam = jnp.einsum("oij,ojk->oik", W_cam, LpO)
+    # (Measured: a K-round broadcast multiply-accumulate materializes the
+    # [P, N, 18] accumulator K times and loses 2x; the batched einsum
+    # below is the best known formulation on v5e.)
+    oh_pk = onehot.reshape(P, K, N)
+    EL_pose = jnp.einsum("pkn,pkij->nipj", oh_pk,
+                         WL_pose.reshape(P, K, 6, 3),
+                         preferred_element_type=dtype).reshape(6 * N, 3 * P)
+    oh_c = (oc[:, None] == jnp.arange(C, dtype=oc.dtype)[None, :]
+            ).astype(dtype).reshape(P, K, C)
+    EL_cam = jnp.einsum("pkc,pkij->cipj", oh_c,
+                        WL_cam.reshape(P, K, MAXP, 3),
+                        preferred_element_type=dtype) \
+        .reshape(MAXP * C, 3 * P)
+    EL = jnp.concatenate([EL_pose, EL_cam], axis=0)
+
+    # ---- assemble + solve the reduced system ----
+    B = jnp.zeros((D, D), dtype)
+    bi = (jnp.arange(N)[:, None] * 6 + jnp.arange(6)[None, :])
+    B = B.at[bi[:, :, None], bi[:, None, :]].add(Hcc_pose)
+    ci = 6 * N + (jnp.arange(C)[:, None] * MAXP + jnp.arange(MAXP)[None, :])
+    B = B.at[ci[:, :, None], ci[:, None, :]].add(Hcc_cam)
+    cam_cols = ci[img_cam]                                     # [N, 12]
+    B = B.at[bi[:, :, None], cam_cols[:, None, :]].add(Hpc_img)
+    B = B.at[cam_cols[:, :, None], bi[:, None, :]].add(
+        jnp.swapaxes(Hpc_img, 1, 2))
+
+    d_l = jnp.concatenate([d_pose_l.reshape(-1), d_cam_l.reshape(-1)])
+    S = B + jnp.diag(d_l) - jnp.dot(EL, EL.T,
+                                    preferred_element_type=dtype)
+    free_pose = jnp.concatenate(
+        [jnp.repeat(problem.free_rot[:, None], 3, axis=1),
+         problem.free_trans], axis=1)
+    if not opt.refine_extrinsics:
+        free_pose = free_pose * 0.0
+    free_cam_m = problem.free_cam * jnp.asarray(
+        _intrinsic_refine_mask(opt), dtype)
+    free = jnp.concatenate([free_pose.reshape(-1), free_cam_m.reshape(-1)])
+    S = S * free[:, None] * free[None, :] + jnp.diag(1.0 - free)
+
+    # RHS via EL: E C^-1 g_p = EL @ (Lp^T g_p).
+    Ltg = jnp.einsum("pji,pj->pi", Lp, g_pts).reshape(-1)      # [3P]
+    Ey = EL @ Ltg                                              # [D]
+    g_u = jnp.concatenate([g_pose.reshape(-1), g_cam.reshape(-1)])
+    b = (-g_u + Ey) * free
+
+    du = jax.scipy.linalg.solve(S, b, assume_a="pos")
+    u_pose = du[:6 * N].reshape(N, 6) * free_pose
+    u_cam = du[6 * N:].reshape(C, MAXP) * free_cam_m
+    du_masked = jnp.concatenate([u_pose.reshape(-1), u_cam.reshape(-1)])
+
+    # Back-substitution via EL: dp = -Hpp^-1 g_p - Lp (EL^T du).
+    ELt_du = (EL.T @ du_masked).reshape(P, 3)
+    dp = -jnp.einsum("pij,pj->pi", Hpp_inv, g_pts) \
+        - jnp.einsum("pij,pj->pi", Lp, ELt_du)
+    d_pts_step = dp * problem.free_points[:, None]
+
+    # Predicted reduction.
+    up_o = jnp.einsum("on,ni->oi", onehot, u_pose)             # [O, 6]
+    uc_o = u_cam[oc]
+    dp_o = jnp.repeat(d_pts_step, K, axis=0)
+    t = (jnp.einsum("oki,oi->ok", Jc, up_o)
+         + jnp.einsum("oki,oi->ok", Jk, uc_o)
+         + jnp.einsum("oki,oi->ok", Jx, dp_o))
+    gTd = (jnp.sum(g_pose * u_pose) + jnp.sum(g_cam * u_cam)
+           + jnp.sum(g_pts * d_pts_step))
+    dHd = (jnp.sum(t * t)
+           + jnp.sum(d_pose_l * u_pose * u_pose)
+           + jnp.sum(d_cam_l * u_cam * u_cam)
+           + jnp.sum(d_pts_l * d_pts_step * d_pts_step))
+    predicted = -(gTd + 0.5 * dHd)
+    g_inf = jnp.maximum(
+        jnp.max(jnp.abs(g_pose)),
+        jnp.maximum(jnp.max(jnp.abs(g_cam)), jnp.max(jnp.abs(g_pts))))
+    return u_pose, u_cam, d_pts_step, predicted, g_inf
+
+
 def _solve_step_explicit(problem: BAProblem, opt: BAOptions, lam):
     """One LM step via the EXPLICIT reduced camera system.
 
@@ -533,25 +802,26 @@ def _solve_step_explicit(problem: BAProblem, opt: BAOptions, lam):
     dtype = r.dtype
     D = 6 * N + MAXP * C
     axis = opt.axis_name
+    layout = opt.obs_layout
 
     Jc = jnp.concatenate([Jq, Jt], axis=-1)  # [O, 2, 6]
 
     # Gradients.
-    g_pose = _red_imgs(problem, jnp.einsum("oki,ok->oi", Jc, r), axis)
-    g_cam = _red_cams(problem, jnp.einsum("oki,ok->oi", Jk, r), axis)
-    g_pts = _red_pts(problem, jnp.einsum("oki,ok->oi", Jx, r), axis)
+    g_pose = _red_imgs(problem, jnp.einsum("oki,ok->oi", Jc, r), axis, layout)
+    g_cam = _red_cams(problem, jnp.einsum("oki,ok->oi", Jk, r), axis, layout)
+    g_pts = _red_pts(problem, jnp.einsum("oki,ok->oi", Jx, r), axis, layout)
 
     # LM damping diagonals (Ceres-style clamped diag).
-    d_pose = _red_imgs(problem, jnp.einsum("oki,oki->oi", Jc, Jc), axis)
-    d_cam = _red_cams(problem, jnp.einsum("oki,oki->oi", Jk, Jk), axis)
-    d_pts = _red_pts(problem, jnp.einsum("oki,oki->oi", Jx, Jx), axis)
+    d_pose = _red_imgs(problem, jnp.einsum("oki,oki->oi", Jc, Jc), axis, layout)
+    d_cam = _red_cams(problem, jnp.einsum("oki,oki->oi", Jk, Jk), axis, layout)
+    d_pts = _red_pts(problem, jnp.einsum("oki,oki->oi", Jx, Jx), axis, layout)
     clamp = lambda d: jnp.clip(d, 1e-6, 1e32)
     d_pose_l = lam * clamp(d_pose)
     d_cam_l = lam * clamp(d_cam)
     d_pts_l = lam * clamp(d_pts)
 
     # Damped point blocks and their inverse Cholesky factors.
-    Hpp = _red_pts(problem, jnp.einsum("oki,okj->oij", Jx, Jx), axis)
+    Hpp = _red_pts(problem, jnp.einsum("oki,okj->oij", Jx, Jx), axis, layout)
     Hpp = Hpp + jax.vmap(jnp.diag)(d_pts_l) + 1e-12 * jnp.eye(3, dtype=dtype)
     Hpp_inv = _sym3_inverse(Hpp)
     Lp = jnp.linalg.cholesky(
@@ -567,7 +837,21 @@ def _solve_step_explicit(problem: BAProblem, opt: BAOptions, lam):
     # Dense whitened coupling matrix EL [D, 3P] — built scatter-free when
     # the point-major layout is attached: arrange WL blocks per (point,
     # slot) and contract a one-hot image indicator on the MXU.
-    if problem.pt_gather is not None and axis is None:
+    if layout == "point_major" and axis is None:
+        K = O // P
+        img_slot = oi.reshape(P, K)
+        onehot = jax.nn.one_hot(img_slot, N, dtype=dtype)  # [P, K, N]
+        WLp_slot = WL_pose.reshape(P, K, 6, 3)   # padded rows already 0
+        EL_pose = jnp.einsum("pkn,pkij->nipj", onehot, WLp_slot,
+                             preferred_element_type=dtype) \
+            .reshape(6 * N, 3 * P)
+        onehot_c = jax.nn.one_hot(oc.reshape(P, K), C, dtype=dtype)
+        WLc_slot = WL_cam.reshape(P, K, MAXP, 3)
+        EL_cam = jnp.einsum("pkc,pkij->cipj", onehot_c, WLc_slot,
+                            preferred_element_type=dtype) \
+            .reshape(MAXP * C, 3 * P)
+        EL = jnp.concatenate([EL_pose, EL_cam], axis=0)
+    elif problem.pt_gather is not None and axis is None:
         pg = problem.pt_gather            # [P, K]
         pm = problem.pt_mask              # [P, K]
         K = pg.shape[1]
@@ -601,8 +885,8 @@ def _solve_step_explicit(problem: BAProblem, opt: BAOptions, lam):
 
     # Top-left block B: diag pose blocks + diag cam blocks + pose-cam
     # coupling, assembled dense.
-    Hcc_pose = _red_imgs(problem, jnp.einsum("oki,okj->oij", Jc, Jc), axis)
-    Hcc_cam = _red_cams(problem, jnp.einsum("oki,okj->oij", Jk, Jk), axis)
+    Hcc_pose = _red_imgs(problem, jnp.einsum("oki,okj->oij", Jc, Jc), axis, layout)
+    Hcc_cam = _red_cams(problem, jnp.einsum("oki,okj->oij", Jk, Jk), axis, layout)
     # obs_cam is a function of obs_image, so the pose-cam coupling block
     # of image i lives at pair (i, image_cam[i]) — a per-image reduction.
     Hpc_img = _red_imgs(problem, jnp.einsum("oki,okj->oij", Jc, Jk),
@@ -640,8 +924,8 @@ def _solve_step_explicit(problem: BAProblem, opt: BAOptions, lam):
 
     # RHS: b = -g_u + E C^-1 g_p (per-obs segsum, cheap).
     y = jnp.einsum("pij,pj->pi", Hpp_inv, g_pts)   # C^-1 g_p
-    Ey_pose = _red_imgs(problem, jnp.einsum("oij,oj->oi", W_pose, y[op]), axis)
-    Ey_cam = _red_cams(problem, jnp.einsum("oij,oj->oi", W_cam, y[op]), axis)
+    Ey_pose = _red_imgs(problem, jnp.einsum("oij,oj->oi", W_pose, y[op]), axis, layout)
+    Ey_cam = _red_cams(problem, jnp.einsum("oij,oj->oi", W_cam, y[op]), axis, layout)
     b = jnp.concatenate([(-g_pose + Ey_pose).reshape(-1),
                          (-g_cam + Ey_cam).reshape(-1)]) * free
 
@@ -678,9 +962,12 @@ def _solve_step(problem: BAProblem, opt: BAOptions, lam, use_dense: bool):
     """One linearization + linear solve. Returns the masked step and
     diagnostic quantities."""
     if opt.solver == "explicit_schur":
+        if opt.obs_layout == "point_major" and opt.axis_name is None:
+            return _solve_step_explicit_pm(problem, opt, lam)
         return _solve_step_explicit(problem, opt, lam)
     r, Jq, Jt, Jx, Jk = _linearize(problem, opt)
-    ops = _make_operators(problem, r, Jq, Jt, Jx, Jk, lam, opt.axis_name)
+    ops = _make_operators(problem, r, Jq, Jt, Jx, Jk, lam, opt.axis_name,
+                           opt.obs_layout)
 
     if use_dense:
         u_pose, u_cam = _dense_schur_solve(ops["schur_matvec"], ops["b_pose"], ops["b_cam"])
@@ -792,11 +1079,27 @@ def bundle_adjust(problem: BAProblem, options: Optional[BAOptions] = None):
     """Solve. Chooses DENSE_SCHUR vs ITERATIVE_SCHUR by reduced-system size,
     mirroring the reference's image-count heuristic
     (ref: src/optim/bundle_adjustment.cc:332-350 solver auto-select)."""
+    import dataclasses
+
     options = options or BAOptions()
     n = problem.qvecs.shape[0]
     c = problem.cam_params.shape[0]
     p = problem.points.shape[0]
     reduced = 6 * n + 12 * c
+
+    # Single-device solves route to the fused point-major explicit-Schur
+    # step (_solve_step_explicit_pm) — measured fastest on v5e (8.5 LM
+    # it/s on 128img/30k pts/210k obs vs 4.9 for the implicit PCG).
+    if options.axis_name is None and options.obs_layout == "coo" and \
+            options.solver in ("auto", "explicit_schur"):
+        bytes_needed = reduced * 3 * p * problem.points.dtype.itemsize
+        if bytes_needed <= 2 * 1024 ** 3:
+            problem = to_point_major(problem)
+            options = dataclasses.replace(options,
+                                          obs_layout="point_major",
+                                          solver="explicit_schur")
+            return _bundle_adjust_impl(problem, options, False)
+
     if options.solver == "dense_schur":
         use_dense = True
     elif options.solver in ("schur_pcg", "explicit_schur"):
@@ -808,8 +1111,6 @@ def bundle_adjust(problem: BAProblem, options: Optional[BAOptions] = None):
         # _solve_step_explicit); PCG only for genuinely huge problems.
         bytes_needed = reduced * 3 * p * problem.points.dtype.itemsize
         if bytes_needed <= 2 * 1024 ** 3 and options.axis_name is None:
-            import dataclasses
-
             options = dataclasses.replace(options, solver="explicit_schur")
             return _bundle_adjust_impl(problem, options, False)
         use_dense = reduced <= options.dense_threshold

@@ -42,7 +42,8 @@ from sba_tpu.geometry.quaternions import (
 )
 from sba_tpu.io.colmap_models import INVALID_POINT3D, Camera, Image
 from sba_tpu.models.reconstruction import Reconstruction
-from sba_tpu.optim.ba import BAOptions, build_problem, bundle_adjust
+from sba_tpu.optim.ba import BAOptions, build_problem, bundle_adjust, \
+    pad_problem_pow2
 from sba_tpu.sfm.incremental_triangulator import (
     IncrementalTriangulator,
     TriangulatorOptions,
@@ -307,28 +308,40 @@ class IncrementalMapper:
 
         # Normalized coords for P3P (undistort via camera model).
         xyn = _image_to_normalized(cam, xys)
+        # Bucket to the next power of two so repeated registrations reuse
+        # ONE compiled RANSAC program per bucket instead of recompiling
+        # for every distinct correspondence count (XLA static shapes).
+        n_real = len(p3d_ids)
+        bucket = 1 << int(np.ceil(np.log2(max(n_real, 32))))
+        pad = bucket - n_real
+        xyzs_p = np.concatenate([xyzs, np.zeros((pad, 3))])
+        xyn_p = np.concatenate([np.asarray(xyn), np.zeros((pad, 2))])
+        valid = np.concatenate([np.ones(n_real), np.zeros(pad)])
         from sba_tpu.estimators.pose import AbsolutePoseOptions
         from sba_tpu.optim.ransac import RANSACOptions
         report = estimate_absolute_pose(
             jax.random.PRNGKey(self._next_seed()),
-            jnp.asarray(xyzs), jnp.asarray(xyn),
+            jnp.asarray(xyzs_p), jnp.asarray(xyn_p),
             options=AbsolutePoseOptions(ransac=RANSACOptions(
                 max_error=options.abs_pose_max_error
                 / cam.mean_focal_length(),
-                min_inlier_ratio=options.abs_pose_min_inlier_ratio)))
+                min_inlier_ratio=options.abs_pose_min_inlier_ratio)),
+            mask=jnp.asarray(valid))
         num_inliers = int(report.num_inliers)
         if num_inliers < options.abs_pose_min_num_inliers:
             return False
 
         qvec = np.asarray(report.model[0])
         tvec = np.asarray(report.model[1])
-        inlier_mask = np.asarray(report.inlier_mask)
+        inlier_mask = np.asarray(report.inlier_mask)[:n_real]
 
-        # Refine pose on inliers (ref: RefineAbsolutePose at :502-506).
+        # Refine pose on inliers (ref: RefineAbsolutePose at :502-506);
+        # padded rows carry weight 0, same bucketed program shape.
         q_r, t_r, _ = refine_absolute_pose(
             jnp.asarray(qvec), jnp.asarray(tvec),
-            jnp.asarray(xyzs), jnp.asarray(xyn),
-            weights=jnp.asarray(inlier_mask, jnp.float64))
+            jnp.asarray(xyzs_p), jnp.asarray(xyn_p),
+            weights=jnp.asarray(
+                np.concatenate([inlier_mask, np.zeros(pad)]), jnp.float64))
         image.qvec = np.asarray(q_r, np.float64)
         image.tvec = np.asarray(t_r, np.float64)
         self.rec.register_image(image_id)
@@ -386,9 +399,9 @@ class IncrementalMapper:
         # Gauge: if everything is local, fix the two first registered.
         if len(const_rows) == 0:
             const_rows = [row_of[i] for i in sorted(local)[:2]]
-        problem = build_problem(
+        problem = pad_problem_pow2(build_problem(
             arrays, constant_pose_rows=const_rows,
-            constant_cam_rows=range(len(arrays.camera_ids)))
+            constant_cam_rows=range(len(arrays.camera_ids))))
         opt = ba_options or BAOptions(
             max_iterations=25, loss="cauchy", loss_scale=1.0)
         out, summary = bundle_adjust(problem, opt)
@@ -404,10 +417,10 @@ class IncrementalMapper:
         if len(reg) < 2:
             raise ValueError("need >= 2 registered images for global BA")
         arrays = self.rec.to_arrays(image_ids=reg)
-        problem = build_problem(
+        problem = pad_problem_pow2(build_problem(
             arrays, constant_pose_rows=[0],
             constant_tvec_rows={1: [0]},
-            constant_cam_rows=range(len(arrays.camera_ids)))
+            constant_cam_rows=range(len(arrays.camera_ids))))
         opt = ba_options or BAOptions(max_iterations=50)
         out, summary = bundle_adjust(problem, opt)
         self.rec.update_from_arrays(arrays, qvecs=np.asarray(out.qvecs),

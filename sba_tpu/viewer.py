@@ -1,0 +1,156 @@
+"""Self-contained HTML model viewer (the GUI substitute).
+
+Capability counterpart of ref: src/ui/ (Qt5 `MainWindow` + OpenGL point/
+camera painters, ui/main_window.h:61, ui/point_painter.cc). A desktop Qt
+GUI has no place in a TPU/headless deployment; the interactive-inspection
+capability is preserved as a single-file HTML export: point cloud +
+camera frusta with drag-to-rotate / wheel-zoom, zero external assets.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+
+_TEMPLATE = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>sba_tpu model viewer</title>
+<style>
+ body {{ margin: 0; background: #111; color: #ddd;
+        font-family: monospace; overflow: hidden; }}
+ #hud {{ position: fixed; top: 8px; left: 8px; font-size: 12px; }}
+ canvas {{ display: block; }}
+</style></head>
+<body>
+<div id="hud">{title} — {num_points} points, {num_cameras} cameras<br>
+drag: rotate &nbsp; wheel: zoom &nbsp; shift-drag: pan</div>
+<canvas id="c"></canvas>
+<script>
+const PTS = {points_json};
+const COL = {colors_json};
+const CAMS = {cameras_json};
+const canvas = document.getElementById('c');
+const ctx = canvas.getContext('2d');
+let yaw = 0.5, pitch = -0.4, dist = {initial_dist}, panX = 0, panY = 0;
+const center = {center_json};
+function resize() {{
+  canvas.width = innerWidth; canvas.height = innerHeight; draw();
+}}
+addEventListener('resize', resize);
+let dragging = false, panning = false, lx = 0, ly = 0;
+canvas.onmousedown = e => {{
+  dragging = true; panning = e.shiftKey; lx = e.clientX; ly = e.clientY;
+}};
+addEventListener('mouseup', () => dragging = false);
+addEventListener('mousemove', e => {{
+  if (!dragging) return;
+  const dx = e.clientX - lx, dy = e.clientY - ly;
+  if (panning) {{ panX += dx; panY += dy; }}
+  else {{ yaw += dx * 0.008; pitch += dy * 0.008; }}
+  lx = e.clientX; ly = e.clientY; draw();
+}});
+canvas.onwheel = e => {{
+  dist *= Math.exp(e.deltaY * 0.001); draw(); e.preventDefault();
+}};
+function project(p) {{
+  const x0 = p[0] - center[0], y0 = p[1] - center[1], z0 = p[2] - center[2];
+  const cy = Math.cos(yaw), sy = Math.sin(yaw);
+  const cp = Math.cos(pitch), sp = Math.sin(pitch);
+  const x1 = cy * x0 + sy * z0, z1 = -sy * x0 + cy * z0;
+  const y2 = cp * y0 - sp * z1, z2 = sp * y0 + cp * z1;
+  const zc = z2 + dist;
+  if (zc <= 0.05) return null;
+  const f = 0.9 * Math.min(canvas.width, canvas.height);
+  return [canvas.width / 2 + f * x1 / zc + panX,
+          canvas.height / 2 + f * y2 / zc + panY, zc];
+}}
+function draw() {{
+  ctx.fillStyle = '#111';
+  ctx.fillRect(0, 0, canvas.width, canvas.height);
+  for (let i = 0; i < PTS.length; i++) {{
+    const s = project(PTS[i]);
+    if (!s) continue;
+    ctx.fillStyle = COL[i];
+    const r = Math.max(1, 3 / Math.sqrt(s[2]));
+    ctx.fillRect(s[0], s[1], r, r);
+  }}
+  ctx.strokeStyle = '#e33';
+  for (const cam of CAMS) {{
+    const apex = project(cam[0]);
+    if (!apex) continue;
+    for (let k = 1; k < 5; k++) {{
+      const c = project(cam[k]);
+      if (!c) continue;
+      ctx.beginPath(); ctx.moveTo(apex[0], apex[1]);
+      ctx.lineTo(c[0], c[1]); ctx.stroke();
+    }}
+    for (let k = 1; k < 5; k++) {{
+      const a = project(cam[k]), b = project(cam[k % 4 + 1]);
+      if (!a || !b) continue;
+      ctx.beginPath(); ctx.moveTo(a[0], a[1]);
+      ctx.lineTo(b[0], b[1]); ctx.stroke();
+    }}
+  }}
+}}
+resize();
+</script></body></html>
+"""
+
+
+def export_html_viewer(reconstruction, path: str,
+                       max_points: int = 50_000,
+                       frustum_scale: float = 0.3,
+                       title: str = "sba_tpu reconstruction"):
+    """Write a single-file interactive viewer for a reconstruction."""
+    from sba_tpu.sfm.incremental_triangulator import _projection_center, \
+        _rotmat
+
+    pts = []
+    cols = []
+    for p in reconstruction.points3D.values():
+        pts.append(p.xyz)
+        c = np.asarray(p.rgb, float)
+        if c.max() <= 0:
+            c = np.array([200.0, 200.0, 200.0])
+        cols.append(f"rgb({int(c[0])},{int(c[1])},{int(c[2])})")
+    pts = np.asarray(pts).reshape(-1, 3)
+    if len(pts) > max_points:
+        sel = np.random.default_rng(0).choice(len(pts), max_points,
+                                              replace=False)
+        pts = pts[sel]
+        cols = [cols[i] for i in sel]
+
+    cams = []
+    for iid in reconstruction.images:
+        if not reconstruction.is_registered(iid):
+            continue
+        img = reconstruction.images[iid]
+        C = _projection_center(img.qvec, img.tvec)
+        R = _rotmat(img.qvec)
+        s = frustum_scale
+        corners = [C + R.T @ np.array([sx * s, sy * s, 2 * s])
+                   for (sx, sy) in ((-1, -1), (1, -1), (1, 1), (-1, 1))]
+        cams.append([C.tolist()] + [c.tolist() for c in corners])
+
+    if len(pts):
+        center = pts.mean(0)
+        spread = float(np.percentile(
+            np.linalg.norm(pts - center, axis=1), 90)) * 2.5 + 1e-6
+    else:
+        center = np.zeros(3)
+        spread = 10.0
+
+    html = _TEMPLATE.format(
+        title=title,
+        num_points=len(pts),
+        num_cameras=len(cams),
+        points_json=json.dumps(np.round(pts, 4).tolist()),
+        colors_json=json.dumps(cols),
+        cameras_json=json.dumps(cams),
+        center_json=json.dumps([round(float(v), 4) for v in center]),
+        initial_dist=round(spread, 3),
+    )
+    with open(path, "w") as f:
+        f.write(html)
+    return path
