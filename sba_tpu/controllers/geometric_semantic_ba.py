@@ -112,6 +112,10 @@ def run_geometric_semantic_bundle_adjustment(
             qvec=cq[k], tvec=ct[k], radius=float(cr[k]),
             height=float(ch[k])))
 
+    if options.run_path and options.export_steps:
+        _export_projected_masks(options.run_path, reg, rec, new_cylinders,
+                                semantic_maps, options.gsba, out, summary)
+
     if options.output_path:
         os.makedirs(options.output_path, exist_ok=True)
         rec.write(options.output_path)
@@ -126,3 +130,47 @@ def run_geometric_semantic_bundle_adjustment(
         callback(int(np.asarray(summary.num_iterations)),
                  float(np.asarray(summary.final_cost)))
     return rec, new_cylinders, summary
+
+
+def _export_projected_masks(run_path, reg, rec, cylinders, semantic_maps,
+                            gsba_options, out, summary):
+    """Per-image projected-cylinder-mask JPEG dumps + IoU table
+    (ref: the MyClass iteration callback,
+    optim/geometric_semantic_bundle_adjustment.cc:1475-1558, and the
+    per-image IoU report :1089-1123)."""
+    import jax.numpy as jnp
+
+    from sba_tpu.io.maps import write_matrix_jpeg
+    from sba_tpu.models.cylinder import project_quadrilateral, \
+        quadrilateral_mask
+
+    step_dir = os.path.join(run_path, "optim_steps", "final")
+    os.makedirs(step_dir, exist_ok=True)
+    H, W = semantic_maps.shape[-2:]
+    iou = np.asarray(summary.per_image_iou)
+    with open(os.path.join(step_dir, "iou.txt"), "w") as f:
+        for row, iid in enumerate(reg):
+            f.write(f"{rec.images[iid].name} "
+                    + " ".join(f"{v:.4f}" for v in np.atleast_1d(iou[row]))
+                    + "\n")
+        f.write(f"mean {float(np.asarray(summary.mean_iou)):.4f}\n")
+    for row, iid in enumerate(reg):
+        img = rec.images[iid]
+        cam = rec.cameras[img.camera_id]
+        mask_total = np.zeros((H, W), np.float32)
+        for cyl in cylinders:
+            quad, valid = project_quadrilateral(
+                jnp.asarray(cyl.qvec), jnp.asarray(cyl.tvec),
+                jnp.asarray(cyl.radius), jnp.asarray(cyl.height),
+                jnp.asarray(img.qvec), jnp.asarray(img.tvec),
+                jnp.asarray(cam.params[:3]))
+            if not bool(np.asarray(valid)):
+                continue
+            m = quadrilateral_mask(quad, H, W, hard=True)
+            mask_total = np.maximum(mask_total, np.asarray(m, np.float32))
+        stem = os.path.splitext(img.name)[0].replace("/", "_")
+        write_matrix_jpeg(mask_total,
+                          os.path.join(step_dir, f"{stem}_mask.jpg"),
+                          vmin=0.0, vmax=1.0)
+        write_matrix_jpeg(np.asarray(semantic_maps[row]),
+                          os.path.join(step_dir, f"{stem}_semantic.jpg"))
