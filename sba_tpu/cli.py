@@ -745,6 +745,53 @@ def run_model_aligner(flags):
           f"(scale {s:.6f}) -> {output_path}")
 
 
+def run_model_orientation_aligner(flags):
+    """Align model orientation to a Manhattan world / gravity frame
+    (ref: exe/model.cc:732 RunModelOrientationAligner)."""
+    from sba_tpu.estimators.coordinate_frame import (
+        ManhattanWorldFrameOptions,
+        estimate_gravity_vector_from_image_orientation,
+        estimate_manhattan_world_frame,
+        rotation_from_unit_vectors,
+        transform_reconstruction,
+    )
+    from sba_tpu.models.reconstruction import Reconstruction
+
+    input_path, output_path = _require(flags, "input_path", "output_path")
+    method = flags.get("method", "MANHATTAN-WORLD").lower()
+    if method not in ("manhattan-world", "image-orientation"):
+        raise SystemExit("ERROR: Invalid `method` - supported values are "
+                         "'MANHATTAN-WORLD' or 'IMAGE-ORIENTATION'.")
+    rec = Reconstruction.read(input_path)
+
+    if method == "manhattan-world":
+        opts = ManhattanWorldFrameOptions(
+            max_image_size=int(flags.get("max_image_size", 1024)))
+        frame = estimate_manhattan_world_frame(
+            opts, rec, flags.get("image_path", ""))
+        if np.abs(frame[:, 0]).sum() == 0 and np.abs(frame[:, 1]).sum() == 0:
+            raise SystemExit("no coordinate axes could be determined")
+        if np.abs(frame[:, 0]).sum() == 0:
+            print("Only aligning vertical axis")
+            R = rotation_from_unit_vectors(frame[:, 1], [0, 1, 0])
+        elif np.abs(frame[:, 1]).sum() == 0:
+            print("Only aligning horizontal axis")
+            R = rotation_from_unit_vectors(frame[:, 0], [1, 0, 0])
+        else:
+            print("Aligning horizontal and vertical axes")
+            R = frame.T
+    else:
+        gravity = estimate_gravity_vector_from_image_orientation(rec)
+        R = rotation_from_unit_vectors(gravity, [0, 1, 0])
+
+    print("Using the rotation matrix:")
+    print(R)
+    transform_reconstruction(rec, 1.0, R, np.zeros(3))
+    os.makedirs(output_path, exist_ok=True)
+    rec.write(output_path)
+    print(f"aligned -> {output_path}")
+
+
 def run_model_comparer(flags):
     """ATE-style comparison of two models (ref: exe/colmap.cc:127
     model_comparer)."""
@@ -1069,6 +1116,7 @@ COMMANDS = {
     "model_analyzer": run_model_analyzer,
     "model_viewer": run_model_viewer,
     "model_aligner": run_model_aligner,
+    "model_orientation_aligner": run_model_orientation_aligner,
     "model_comparer": run_model_comparer,
     "project_generator": run_project_generator,
 }

@@ -132,3 +132,22 @@ def test_summary_fields():
     assert valid[0] == pytest.approx(float(s.initial_cost))
     # Monotone non-increasing accepted cost trace.
     assert np.all(np.diff(valid) <= 1e-9)
+
+
+@pytest.mark.parametrize("model_id", [0, 1, 2, 4])
+def test_linearize_chain_rule_matches_jacfwd(model_id):
+    """The production chain-rule linearization must match the full-jacfwd
+    oracle to float rounding (Jq/Jt/Jx/Jk + residual)."""
+    from sba_tpu.optim.ba import _linearize, _linearize_chain
+
+    problem, _ = make_ba_problem(
+        num_images=6, num_points=40, observations_per_point=4,
+        pose_noise=0.01, point_noise=0.05, pixel_noise=1.0, seed=3,
+        model_id=model_id)
+    opt = BAOptions(model_id=model_id, loss="cauchy", loss_scale=2.0)
+    ref = _linearize(problem, opt)
+    got = _linearize_chain(problem, opt)
+    for name, a, b in zip(("r", "Jq", "Jt", "Jx", "Jk"), ref, got):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-9, atol=1e-9,
+            err_msg=f"mismatch in {name} (model {model_id})")
