@@ -1,0 +1,816 @@
+"""Fused Pallas TPU kernels for the bundle-adjustment LM step.
+
+This is the speed-of-light single-chip path replacing the XLA-level
+explicit-Schur step in optim/ba.py (`_solve_step_explicit_pm`) — the
+TPU-native rebuild of the reference's PBA engine (ref: lib/PBA) and
+Ceres DENSE_SCHUR (ref: src/optim/bundle_adjustment.cc solver select).
+
+Why a kernel: profiling the XLA path shows EVERY per-observation block
+array ([O,2,3] Jacobians, [O,3,3] rotations, [O,6,3] couplings) pads its
+3-wide trailing dims to the 128-lane tile, turning a ~50 MB working set
+into GBs of HBM traffic. Here the layout is transposed once —
+**observations live in lanes** ([field, O] rows) — and one kernel pass
+per LM iteration computes:
+
+  residual + analytic Jacobians (chain rule: Jt = A, Jx = A R,
+      Jq = -Jx [x]x, head derivatives hand-written per camera model)
+  -> per-point payload (g_p, Hpp, Hpp^-1, Lp = chol(Hpp^-1))
+  -> per-image payload (g, Hcc, Hpc, cam blocks) via an in-kernel
+     one-hot MXU contraction
+  -> the whitened coupling block ELb [D, 3*TP] built in VMEM and the
+     Schur correction  S_corr += ELb ELb^T  on the MXU
+  -> RHS coupling Ey += ELb (Lp^T g_p)
+
+Observation order is point-major + *slot-major within a block*: block b
+owns points [b*TP, (b+1)*TP); lane c = s*TP + p_local holds observation
+slot s of point p. Per-point reductions are then sums of K contiguous
+[*, TP] slices — no reshapes across lanes. Poses/intrinsics are gathered
+in-kernel with the same one-hot matmul (params [F, N] @ onehot [N, B]),
+never with row gathers (measured ~1000x below HBM speed for tiny rows).
+
+Two sibling kernels reuse the stored per-obs blocks: `_backsub_kernel`
+(point update + predicted-reduction sums) and `_cost_kernel` (robust
+cost at trial parameters). f32 only (TPU); f64 solves use optim/ba.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sba_tpu.geometry import camera_models
+from sba_tpu.optim.losses import loss_value, loss_weight
+
+MAXP = camera_models.MAX_NUM_PARAMS
+
+SUPPORTED_MODELS = (0, 1, 2, 3)  # SIMPLE_PINHOLE, PINHOLE, SIMPLE_RADIAL,
+#                                  RADIAL — analytic heads below.
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+class KernelLayout(NamedTuple):
+    TP: int        # points per block
+    K: int         # slots (max track length)
+    nb: int        # number of blocks
+    Pp: int        # padded point count (nb * TP)
+    N: int         # real images
+    Npad: int      # padded images (mult of 128)
+    C: int         # cameras
+    nparams: int   # camera model parameter count
+    Dk: int        # padded reduced dim: 6*Npad + round_up(12*C, 128)
+    DI: int        # image payload cols (padded)
+    JW: int        # stored per-obs rows (padded)
+
+
+class KernelStatic(NamedTuple):
+    """Per-solve device arrays in kernel (slot-major) order."""
+
+    obs_sta: jnp.ndarray   # [8, O'] f32: xy(2), mask(1)
+    obs_img: jnp.ndarray   # [1, O'] i32
+    obs_cam: jnp.ndarray   # [1, O'] i32
+    free_sta: jnp.ndarray  # [4+np, Npad] f32: rot(1), trans(3), cam(np)
+    free_pts: jnp.ndarray  # [1, Pp] f32
+    image_cam: jnp.ndarray  # [Npad] i32 (host-known; for cam segmenting)
+    perm_obs: jnp.ndarray  # [O'] point-major obs row per kernel lane (-1 pad)
+
+
+def plan_layout(problem, opt, TP: int = 128) -> KernelLayout:
+    P = problem.points.shape[0]
+    O = problem.obs_image.shape[0]
+    K = O // P
+    N = problem.qvecs.shape[0]
+    C = problem.cam_params.shape[0]
+    nparams = camera_models.model_by_id(opt.model_id).num_params
+    Pp = _round_up(P, TP)
+    nb = Pp // TP
+    Npad = _round_up(N, 128)
+    Dk = 6 * Npad + _round_up(12 * C, 128)
+    DI = _round_up(6 + 36 + 6 * nparams + nparams + nparams * nparams, 128)
+    JW = _round_up(12 + 6 + 2 * nparams + 18 + 3 * nparams, 8)
+    return KernelLayout(TP, K, nb, Pp, N, Npad, C, nparams, Dk, DI, JW)
+
+
+def build_static(problem, opt, lay: KernelLayout) -> KernelStatic:
+    """Host-side reorder of the observation table into kernel order.
+
+    Input problem must be point-major (optim.ba.to_point_major): obs row
+    = p * K + s. Kernel lane c (global) = b*TP*K + s*TP + p_local.
+    """
+    TP, K, Pp = lay.TP, lay.K, lay.Pp
+    P = problem.points.shape[0]
+    Op = Pp * K
+
+    p_of = np.repeat(np.arange(Pp), K).reshape(Pp, K)      # [Pp, K]
+    s_of = np.tile(np.arange(K), (Pp, 1))
+    b = p_of // TP
+    pl_ = p_of % TP
+    lane = b * (TP * K) + s_of * TP + pl_                  # [Pp, K]
+    src = p_of * K + s_of                                  # point-major row
+    perm = np.full(Op, -1, np.int64)
+    valid = (p_of < P).reshape(-1)
+    perm[lane.reshape(-1)[valid]] = src.reshape(-1)[valid]
+
+    def take_f(a, fill=0.0):
+        a = np.asarray(a, np.float32)
+        out = np.full((Op,) + a.shape[1:], fill, np.float32)
+        m = perm >= 0
+        out[m] = a[perm[m]]
+        return out
+
+    def take_i(a):
+        a = np.asarray(a, np.int32)
+        out = np.zeros((Op,) + a.shape[1:], np.int32)
+        m = perm >= 0
+        out[m] = a[perm[m]]
+        return out
+
+    xy = take_f(problem.obs_xy)                            # [Op, 2]
+    mask = take_f(problem.obs_mask)                        # [Op]
+    obs_sta = np.zeros((8, Op), np.float32)
+    obs_sta[0] = xy[:, 0]
+    obs_sta[1] = xy[:, 1]
+    obs_sta[2] = mask
+    obs_img = take_i(problem.obs_image)[None, :]
+    obs_cam = take_i(problem.obs_cam)[None, :]
+
+    nparams = lay.nparams
+    free_sta = np.zeros((4 + nparams, lay.Npad), np.float32)
+    N = lay.N
+    free_sta[0, :N] = np.asarray(problem.free_rot, np.float32)
+    free_sta[1:4, :N] = np.asarray(problem.free_trans, np.float32).T
+    image_cam = np.zeros(lay.Npad, np.int32)
+    image_cam[:N] = np.asarray(problem.image_cam, np.int32)
+    refine = _intrinsic_mask(opt)[:nparams]
+    fc = np.asarray(problem.free_cam, np.float32)[:, :nparams] * refine
+    free_sta[4:, :N] = fc[image_cam[:N]].T
+    if not opt.refine_extrinsics:
+        free_sta[:4] = 0.0
+
+    free_pts = np.zeros((1, Pp), np.float32)
+    free_pts[0, :P] = np.asarray(problem.free_points, np.float32)
+
+    return KernelStatic(
+        obs_sta=jnp.asarray(obs_sta), obs_img=jnp.asarray(obs_img),
+        obs_cam=jnp.asarray(obs_cam), free_sta=jnp.asarray(free_sta),
+        free_pts=jnp.asarray(free_pts), image_cam=jnp.asarray(image_cam),
+        perm_obs=jnp.asarray(perm))
+
+
+def _intrinsic_mask(opt) -> np.ndarray:
+    spec = camera_models.model_by_id(opt.model_id)
+    m = np.zeros(MAXP, np.float32)
+    if opt.refine_focal_length:
+        for i in spec.focal_idxs:
+            m[i] = 1.0
+    if opt.refine_principal_point:
+        for i in spec.principal_idxs:
+            m[i] = 1.0
+    if opt.refine_extra_params:
+        for i in spec.extra_idxs:
+            m[i] = 1.0
+    return m
+
+
+def pack_params(qvecs, tvecs, cam_params, image_cam, lay: KernelLayout):
+    """[7+np, Npad] per-image dynamic parameter rows (q, t, k)."""
+    nparams = lay.nparams
+    k_img = cam_params[image_cam[:lay.N], :nparams]        # [N, np]
+    par = jnp.concatenate([qvecs, tvecs, k_img], axis=1).T  # [7+np, N]
+    pad = lay.Npad - lay.N
+    if pad:
+        par = jnp.pad(par, ((0, 0), (0, pad)))
+        # padded images: identity quaternion avoids 0-norm guards
+        par = par.at[0, lay.N:].set(1.0)
+    return par.astype(jnp.float32)
+
+
+def pack_points(points, lay: KernelLayout):
+    """[3, Pp] transposed, padded."""
+    pts = points.T.astype(jnp.float32)
+    pad = lay.Pp - points.shape[0]
+    if pad:
+        pts = jnp.pad(pts, ((0, 0), (0, pad)))
+    return pts
+
+
+# ---------------------------------------------------------------------------
+# In-kernel math helpers (operate on [1, B] / [rows, B] f32 arrays)
+# ---------------------------------------------------------------------------
+
+def _rot_rows(qw, qx, qy, qz):
+    """Rotation matrix entries from a (normalized) quaternion row."""
+    n = jax.lax.rsqrt(qw * qw + qx * qx + qy * qy + qz * qz + 1e-30)
+    w, x, y, z = qw * n, qx * n, qy * n, qz * n
+    xx, yy, zz = x * x, y * y, z * z
+    wx, wy, wz = w * x, w * y, w * z
+    xy, xz, yz = x * y, x * z, y * z
+    return ((1 - 2 * (yy + zz), 2 * (xy - wz), 2 * (xz + wy)),
+            (2 * (xy + wz), 1 - 2 * (xx + zz), 2 * (yz - wx)),
+            (2 * (xz - wy), 2 * (yz + wx), 1 - 2 * (xx + yy)))
+
+
+def _head(model_id, k, u, v):
+    """Projection + derivatives for the supported analytic heads.
+
+    Returns (px, py, A2 rows ((a00,a01),(a10,a11)), dk list of (dx, dy)
+    per camera parameter). Math parity with ref camera_models.h
+    WorldToImage for each model.
+    """
+    if model_id == 0:       # SIMPLE_PINHOLE: f, cx, cy
+        f, cx, cy = k
+        px, py = f * u + cx, f * v + cy
+        a = ((f, jnp.zeros_like(f)), (jnp.zeros_like(f), f))
+        zero = jnp.zeros_like(u)
+        one = jnp.ones_like(u)
+        dk = [(u, v), (one, zero), (zero, one)]
+        return px, py, a, dk
+    if model_id == 1:       # PINHOLE: fx, fy, cx, cy
+        fx, fy, cx, cy = k
+        px, py = fx * u + cx, fy * v + cy
+        zero = jnp.zeros_like(u)
+        one = jnp.ones_like(u)
+        a = ((fx, zero), (zero, fy))
+        dk = [(u, zero), (zero, v), (one, zero), (zero, one)]
+        return px, py, a, dk
+    if model_id == 2:       # SIMPLE_RADIAL: f, cx, cy, k1
+        f, cx, cy, k1 = k
+        r2 = u * u + v * v
+        d = 1.0 + k1 * r2
+        px, py = f * (u * d) + cx, f * (v * d) + cy
+        zero = jnp.zeros_like(u)
+        one = jnp.ones_like(u)
+        # d(ud)/du = d + 2 k1 u^2 ; d(ud)/dv = 2 k1 u v
+        a = ((f * (d + 2 * k1 * u * u), f * (2 * k1 * u * v)),
+             (f * (2 * k1 * u * v), f * (d + 2 * k1 * v * v)))
+        dk = [(u * d, v * d), (one, zero), (zero, one),
+              (f * u * r2, f * v * r2)]
+        return px, py, a, dk
+    if model_id == 3:       # RADIAL: f, cx, cy, k1, k2
+        f, cx, cy, k1, k2 = k
+        r2 = u * u + v * v
+        d = 1.0 + k1 * r2 + k2 * r2 * r2
+        dd = 2.0 * (k1 + 2.0 * k2 * r2)   # dd/d(r2) * 2
+        px, py = f * (u * d) + cx, f * (v * d) + cy
+        zero = jnp.zeros_like(u)
+        one = jnp.ones_like(u)
+        a = ((f * (d + dd * u * u), f * (dd * u * v)),
+             (f * (dd * u * v), f * (d + dd * v * v)))
+        dk = [(u * d, v * d), (one, zero), (zero, one),
+              (f * u * r2, f * v * r2), (f * u * r2 * r2, f * v * r2 * r2)]
+        return px, py, a, dk
+    raise NotImplementedError(model_id)
+
+
+def _linearize_block(model_id, nparams, loss, loss_scale,
+                     par, free, oh, x_rows, free_p_row, xy0, xy1, mask,
+                     K, TP):
+    """Shared linearization for one block. All inputs [*, B] / [*, TP].
+
+    Returns dict of row arrays: r(2), Jc(12), Jx(6), Jk(2*np), plus raw
+    weight row w.
+    """
+    B = mask.shape[-1]
+    # Gather per-image params via MXU: par [F, Npad] @ oh [Npad, B].
+    g = jax.lax.dot_general(par, oh, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # [F, B]
+    fr = jax.lax.dot_general(free, oh, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    q = [g[i:i + 1, :] for i in range(4)]
+    t = [g[4 + i:5 + i, :] for i in range(3)]
+    k = [g[7 + i:8 + i, :] for i in range(nparams)]
+    free_rot = fr[0:1, :]
+    free_t = [fr[1 + i:2 + i, :] for i in range(3)]
+    free_k = [fr[4 + i:5 + i, :] for i in range(nparams)]
+
+    # Tile per-point columns K times (slot-major: concat along lanes).
+    def tile_pt(row):
+        return jnp.concatenate([row] * K, axis=1)
+
+    x = [tile_pt(x_rows[j]) for j in range(3)]
+    free_p = tile_pt(free_p_row)
+
+    R = _rot_rows(q[0], q[1], q[2], q[3])
+    pc = [R[i][0] * x[0] + R[i][1] * x[1] + R[i][2] * x[2] + t[i]
+          for i in range(3)]
+    z = pc[2]
+    safe_z = jnp.where(jnp.abs(z) > 1e-12, z, 1e-12)
+    iz = 1.0 / safe_z
+    u = jnp.clip(pc[0] * iz, -1e6, 1e6)
+    v = jnp.clip(pc[1] * iz, -1e6, 1e6)
+
+    px, py, A2, dk = _head(model_id, k, u, v)
+    r0 = px - xy0
+    r1 = py - xy1
+
+    s = r0 * r0 + r1 * r1
+    w = mask * loss_weight(loss, s, loss_scale)
+    sw = jnp.sqrt(w)
+    r0, r1 = r0 * sw, r1 * sw
+
+    # A = A2 @ duv/dp_cam ; duv/dp rows: [iz,0,-u iz], [0,iz,-v iz].
+    A = [[A2[0][0] * iz, A2[0][1] * iz,
+          -(A2[0][0] * u + A2[0][1] * v) * iz],
+         [A2[1][0] * iz, A2[1][1] * iz,
+          -(A2[1][0] * u + A2[1][1] * v) * iz]]
+    # Jx = A @ R (then mask by free_points and sw).
+    Jx = [[None] * 3 for _ in range(2)]
+    for kk in range(2):
+        for j in range(3):
+            Jx[kk][j] = (A[kk][0] * R[0][j] + A[kk][1] * R[1][j]
+                         + A[kk][2] * R[2][j])
+    # Jq = cross(x, Jx_row) rows (= -Jx [x]x).
+    Jq = [[Jx[kk][2] * x[1] - Jx[kk][1] * x[2],
+           Jx[kk][0] * x[2] - Jx[kk][2] * x[0],
+           Jx[kk][1] * x[0] - Jx[kk][0] * x[1]] for kk in range(2)]
+    rot_m = free_rot * sw
+    tr_m = [free_t[j] * sw for j in range(3)]
+    px_m = free_p * sw
+    Jc = []   # rows k*6 + i : [Jq | Jt]
+    for kk in range(2):
+        for i in range(3):
+            Jc.append(Jq[kk][i] * rot_m)
+        for i in range(3):
+            Jc.append(A[kk][i] * tr_m[i])
+    Jc = [Jc[kk * 6 + i] for kk in range(2) for i in range(6)]
+    Jx_rows = [Jx[kk][j] * px_m for kk in range(2) for j in range(3)]
+    Jk_rows = [dk[m][kk] * free_k[m] * sw
+               for kk in range(2) for m in range(nparams)]
+    return dict(r=[r0, r1], Jc=Jc, Jx=Jx_rows, Jk=Jk_rows, w=w)
+
+
+def _sym3_inv_rows(h, eps=1e-12):
+    """Closed-form inverse of symmetric 3x3 given rows
+    (h00,h01,h02,h11,h12,h22) -> same 6-tuple of the inverse."""
+    a, b, c, d, e, f = h
+    co00 = d * f - e * e
+    co01 = c * e - b * f
+    co02 = b * e - c * d
+    co11 = a * f - c * c
+    co12 = b * c - a * e
+    co22 = a * d - b * b
+    det = a * co00 + b * co01 + c * co02
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > eps, det, eps)
+    return (co00 * inv_det, co01 * inv_det, co02 * inv_det,
+            co11 * inv_det, co12 * inv_det, co22 * inv_det)
+
+
+def _chol3_rows(a, eps=1e-20):
+    """Closed-form lower Cholesky of symmetric 3x3 rows
+    (a00,a01,a02,a11,a12,a22) -> (l00,l10,l20,l11,l21,l22)."""
+    a00, a01, a02, a11, a12, a22 = a
+    l00 = jnp.sqrt(jnp.maximum(a00, eps))
+    l10 = a01 / l00
+    l20 = a02 / l00
+    l11 = jnp.sqrt(jnp.maximum(a11 - l10 * l10, eps))
+    l21 = (a12 - l20 * l10) / l11
+    l22 = jnp.sqrt(jnp.maximum(a22 - l20 * l20 - l21 * l21, eps))
+    return (l00, l10, l20, l11, l21, l22)
+
+
+def _slot_sum(row, K, TP):
+    """[1, K*TP] -> [1, TP] sum over the K slot slices."""
+    out = row[:, 0:TP]
+    for s in range(1, K):
+        out = out + row[:, s * TP:(s + 1) * TP]
+    return out
+
+
+def _interleave3(rows, TP):
+    """3 rows [1, TP] -> [1, 3*TP] with col j*TP+p = rows[j][p].
+
+    NB: pltpu.repeat has TILE semantics (whole-array copies), so the
+    kernel's EL column convention is j-major (col = j*TP + p); any
+    consistent column permutation is fine because EL only ever appears
+    contracted over its columns (EL EL^T, EL y)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 3 * TP), 1) // TP
+    out = None
+    for j in range(3):
+        rep = pltpu.repeat(rows[j], 3, axis=1)
+        term = jnp.where(lane == j, rep, 0.0)
+        out = term if out is None else out + term
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Kernel 1: fused linearize + reduce + Schur correction
+# ---------------------------------------------------------------------------
+
+def _fused_schur_kernel(model_id, nparams, loss, loss_scale, lay,
+                        lam_ref, par_ref, free_ref, pts_ref, freep_ref,
+                        obs_sta_ref, obs_img_ref, obs_cam_ref,
+                        s_ref, img_ref, ey_ref, pt_ref, jw_ref,
+                        elb_ref):
+    TP, K, Npad, C = lay.TP, lay.K, lay.Npad, lay.C
+    B = TP * K
+    blk = pl.program_id(0)
+
+    @pl.when(blk == 0)
+    def _init():
+        s_ref[:, :] = jnp.zeros_like(s_ref)
+        img_ref[:, :] = jnp.zeros_like(img_ref)
+        ey_ref[:, :] = jnp.zeros_like(ey_ref)
+
+    img_row = obs_img_ref[0:1, :]
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (Npad, B), 0)
+    oh = (iota_n == img_row).astype(jnp.float32)           # [Npad, B]
+
+    xy0 = obs_sta_ref[0:1, :]
+    xy1 = obs_sta_ref[1:2, :]
+    mask = obs_sta_ref[2:3, :]
+    x_rows = [pts_ref[j:j + 1, :] for j in range(3)]
+    free_p_row = freep_ref[0:1, :]
+
+    lin = _linearize_block(model_id, nparams, loss, loss_scale,
+                           par_ref[:, :], free_ref[:, :], oh,
+                           x_rows, free_p_row, xy0, xy1, mask, K, TP)
+    r, Jc, Jx, Jk = lin["r"], lin["Jc"], lin["Jx"], lin["Jk"]
+    lam = lam_ref[0, 0]
+
+    # ---- per-point payload ----
+    g_pts = [_slot_sum(Jx[j] * r[0] + Jx[3 + j] * r[1], K, TP)
+             for j in range(3)]
+    hidx = [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]
+    Hpp = [_slot_sum(Jx[i] * Jx[j] + Jx[3 + i] * Jx[3 + j], K, TP)
+           for (i, j) in hidx]
+    hdiag = [Hpp[0], Hpp[3], Hpp[5]]
+    d_l = [lam * jnp.clip(h, 1e-6, 1e32) for h in hdiag]
+    Hd = (Hpp[0] + d_l[0] + 1e-12, Hpp[1], Hpp[2],
+          Hpp[3] + d_l[1] + 1e-12, Hpp[4], Hpp[5] + d_l[2] + 1e-12)
+    Hinv = _sym3_inv_rows(Hd)
+    Lp = _chol3_rows(Hinv)
+    zero_tp = jnp.zeros((1, TP), jnp.float32)
+    pt_rows = list(g_pts) + list(hdiag) + list(Hinv) + list(Lp) \
+        + [free_p_row]
+    while len(pt_rows) < pt_ref.shape[0]:
+        pt_rows.append(zero_tp)
+    pt_ref[:, :] = jnp.concatenate(pt_rows, axis=0)
+
+    # ---- per-image payload: one MXU contraction ----
+    pay = []
+    for i in range(6):
+        pay.append(Jc[i] * r[0] + Jc[6 + i] * r[1])        # g_pose
+    for i in range(6):
+        for j in range(6):
+            pay.append(Jc[i] * Jc[j] + Jc[6 + i] * Jc[6 + j])   # Hcc_pose
+    for i in range(6):
+        for m in range(nparams):
+            pay.append(Jc[i] * Jk[m] + Jc[6 + i] * Jk[nparams + m])  # Hpc
+    for m in range(nparams):
+        pay.append(Jk[m] * r[0] + Jk[nparams + m] * r[1])  # g_cam
+    for m in range(nparams):
+        for m2 in range(nparams):
+            pay.append(Jk[m] * Jk[m2]
+                       + Jk[nparams + m] * Jk[nparams + m2])  # Hcc_cam
+    zero_b = jnp.zeros((1, B), jnp.float32)
+    while len(pay) < lay.DI:
+        pay.append(zero_b)
+    payload = jnp.concatenate(pay, axis=0)                  # [DI, B]
+    img_ref[:, :] += jax.lax.dot_general(
+        oh, payload, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                 # [Npad, DI]
+
+    # ---- whitened couplings WL = (Ju^T Jx) @ Lp ----
+    LpB = [jnp.concatenate([Lp[i]] * K, axis=1) for i in range(6)]
+    lmat = ((LpB[0], None, None), (LpB[1], LpB[3], None),
+            (LpB[2], LpB[4], LpB[5]))                       # lower 3x3
+
+    def whiten(Wrow):
+        # (W @ Lp)[j] = sum_m W[m] * Lp[m][j] (Lp lower triangular)
+        return [Wrow[0] * lmat[0][0] + Wrow[1] * lmat[1][0]
+                + Wrow[2] * lmat[2][0],
+                Wrow[1] * lmat[1][1] + Wrow[2] * lmat[2][1],
+                Wrow[2] * lmat[2][2]]
+
+    WLp = []   # 18 rows: i*3 + j
+    for i in range(6):
+        Wrow = [Jc[i] * Jx[j] + Jc[6 + i] * Jx[3 + j] for j in range(3)]
+        WLp.extend(whiten(Wrow))
+    WLc = []   # 3*np rows: m*3 + j
+    for m in range(nparams):
+        Wrow = [Jk[m] * Jx[j] + Jk[nparams + m] * Jx[3 + j]
+                for j in range(3)]
+        WLc.extend(whiten(Wrow))
+
+    # ---- store per-obs blocks for backsub/predicted ----
+    jw_rows = Jc + Jx + Jk + WLp + WLc
+    while len(jw_rows) < lay.JW:
+        jw_rows.append(zero_b)
+    jw_ref[:, :] = jnp.concatenate(jw_rows, axis=0)
+
+    # ---- build ELb [Dk, 3*TP] and accumulate the Schur correction ----
+    # Row convention (tile semantics of pltpu.repeat): pose row =
+    # i*Npad + n, cam row = 6*Npad + m*C + c; column = j*TP + p_local.
+    # The epilogue (optim/ba_fused.py) indexes S/Ey/du with the SAME
+    # convention.
+    elb_ref[:, :] = jnp.zeros_like(elb_ref)
+    lane3 = jax.lax.broadcasted_iota(jnp.int32, (1, 3 * TP), 1) // TP
+    for s in range(K):
+        sl = slice(s * TP, (s + 1) * TP)
+        oh_s = oh[:, sl]                                    # [Npad, TP]
+        ohrep = pltpu.repeat(pltpu.repeat(oh_s, 6, axis=0), 3, axis=1)
+        rows = []
+        for i in range(6):
+            acc = None
+            for j in range(3):
+                rep = pltpu.repeat(WLp[i * 3 + j][:, sl], 3, axis=1)
+                term = jnp.where(lane3 == j, rep, 0.0)
+                acc = term if acc is None else acc + term
+            rows.append(acc)
+        wlexp = jnp.concatenate(rows, axis=0)               # [6, 3TP]
+        wlfull = jnp.broadcast_to(wlexp[:, None], (6, Npad, 3 * TP)) \
+            .reshape(6 * Npad, 3 * TP)
+        elb_ref[0:6 * Npad, :] += ohrep * wlfull
+
+        cam_row = obs_cam_ref[0:1, sl]
+        iota_c = jax.lax.broadcasted_iota(jnp.int32, (C, TP), 0)
+        ohc = (iota_c == cam_row).astype(jnp.float32)       # [C, TP]
+        ohcrep = pltpu.repeat(pltpu.repeat(ohc, 12, axis=0), 3, axis=1)
+        crows = []
+        for m in range(12):
+            if m < nparams:
+                acc = None
+                for j in range(3):
+                    rep = pltpu.repeat(WLc[m * 3 + j][:, sl], 3, axis=1)
+                    term = jnp.where(lane3 == j, rep, 0.0)
+                    acc = term if acc is None else acc + term
+                crows.append(acc)
+            else:
+                crows.append(jnp.zeros((1, 3 * TP), jnp.float32))
+        cexp = jnp.concatenate(crows, axis=0)               # [12, 3TP]
+        cfull = jnp.broadcast_to(cexp[:, None], (12, C, 3 * TP)) \
+            .reshape(12 * C, 3 * TP)
+        elb_ref[6 * Npad:6 * Npad + 12 * C, :] += ohcrep * cfull
+
+    elb = elb_ref[:, :]
+    s_ref[:, :] += jax.lax.dot_general(
+        elb, elb, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    # ---- RHS coupling Ey += ELb @ (Lp^T g_p) ----
+    # (Lp^T g)[j] = sum_i Lp[i][j] g[i]
+    y = [lmat[0][0][:, :TP] * g_pts[0] + lmat[1][0][:, :TP] * g_pts[1]
+         + lmat[2][0][:, :TP] * g_pts[2],
+         lmat[1][1][:, :TP] * g_pts[1] + lmat[2][1][:, :TP] * g_pts[2],
+         lmat[2][2][:, :TP] * g_pts[2]]
+    y_int = _interleave3(y, TP)                             # [1, 3TP]
+    ey_ref[0:1, :] += jax.lax.dot_general(
+        y_int, elb, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                 # [1, Dk]
+
+
+def fused_schur(static: KernelStatic, par, pts, lam, lay: KernelLayout,
+                opt, interpret: bool = False):
+    """Run kernel 1. Returns (S_corr [Dk,Dk], img_red [Npad,DI],
+    ey [1,Dk], pt_pay [24, Pp], jw [JW, O'])."""
+    TP, K, nb = lay.TP, lay.K, lay.nb
+    B = TP * K
+    nparams = lay.nparams
+    kern = functools.partial(
+        _fused_schur_kernel, opt.model_id, nparams, opt.loss,
+        opt.loss_scale, lay)
+    PT_ROWS = 24
+    grid = (nb,)
+    lam_arr = jnp.asarray(lam, jnp.float32).reshape(1, 1)
+    out_shapes = (
+        jax.ShapeDtypeStruct((lay.Dk, lay.Dk), jnp.float32),
+        jax.ShapeDtypeStruct((lay.Npad, lay.DI), jnp.float32),
+        jax.ShapeDtypeStruct((8, lay.Dk), jnp.float32),
+        jax.ShapeDtypeStruct((PT_ROWS, lay.Pp), jnp.float32),
+        jax.ShapeDtypeStruct((lay.JW, lay.Pp * K), jnp.float32),
+    )
+    const = lambda i: (0, 0)
+    blocked = lambda i: (0, i)
+    s_corr, img_red, ey, pt_pay, jw = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), const, memory_space=pltpu.SMEM),
+            pl.BlockSpec((par.shape[0], lay.Npad), const,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((static.free_sta.shape[0], lay.Npad), const,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, TP), blocked, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TP), blocked, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, B), blocked, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B), blocked, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B), blocked, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((lay.Dk, lay.Dk), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((lay.Npad, lay.DI), const,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, lay.Dk), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((PT_ROWS, TP), blocked, memory_space=pltpu.VMEM),
+            pl.BlockSpec((lay.JW, B), blocked, memory_space=pltpu.VMEM),
+        ),
+        out_shape=out_shapes,
+        scratch_shapes=[pltpu.VMEM((lay.Dk, 3 * TP), jnp.float32)],
+        interpret=interpret,
+    )(lam_arr, par, static.free_sta, pts, static.free_pts,
+      static.obs_sta, static.obs_img, static.obs_cam)
+    return s_corr, img_red, ey, pt_pay, jw
+
+
+# ---------------------------------------------------------------------------
+# Kernel 2: back-substitution + predicted-reduction sums
+# ---------------------------------------------------------------------------
+
+def _backsub_kernel(nparams, lay,
+                    lam_ref, dup_ref, duc_ref, pt_ref, jw_ref,
+                    obs_img_ref, obs_cam_ref,
+                    dp_ref, acc_ref):
+    TP, K, Npad, C = lay.TP, lay.K, lay.Npad, lay.C
+    B = TP * K
+    blk = pl.program_id(0)
+
+    @pl.when(blk == 0)
+    def _init():
+        acc_ref[:, :] = jnp.zeros_like(acc_ref)
+
+    img_row = obs_img_ref[0:1, :]
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (Npad, B), 0)
+    oh = (iota_n == img_row).astype(jnp.float32)
+    du_p = jax.lax.dot_general(dup_ref[:, :], oh, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)  # [6,B]
+    cam_row = obs_cam_ref[0:1, :]
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (C, B), 0)
+    ohc = (iota_c == cam_row).astype(jnp.float32)
+    du_c = jax.lax.dot_general(duc_ref[:, :], ohc, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)  # [12,B]
+
+    jw = jw_ref
+    Jc = [jw[i:i + 1, :] for i in range(12)]
+    Jx = [jw[12 + i:13 + i, :] for i in range(6)]
+    Jk = [jw[18 + i:19 + i, :] for i in range(2 * nparams)]
+    o = 18 + 2 * nparams
+    WLp = [jw[o + i:o + i + 1, :] for i in range(18)]
+    o += 18
+    WLc = [jw[o + i:o + i + 1, :] for i in range(3 * nparams)]
+
+    dup = [du_p[i:i + 1, :] for i in range(6)]
+    duc = [du_c[m:m + 1, :] for m in range(12)]
+
+    # etu[j] = sum_i WLp[i,j] du_pose[i] + sum_m WLc[m,j] du_cam[m]
+    etu = []
+    for j in range(3):
+        a = None
+        for i in range(6):
+            t = WLp[i * 3 + j] * dup[i]
+            a = t if a is None else a + t
+        for m in range(nparams):
+            a = a + WLc[m * 3 + j] * duc[m]
+        etu.append(_slot_sum(a, K, TP))                     # [1, TP]
+
+    g = [pt_ref[j:j + 1, :] for j in range(3)]
+    hdiag = [pt_ref[3 + j:4 + j, :] for j in range(3)]
+    hi = [pt_ref[6 + j:7 + j, :] for j in range(6)]         # sym inv
+    lp = [pt_ref[12 + j:13 + j, :] for j in range(6)]       # lower chol
+    free_p = pt_ref[18:19, :]
+    him = ((hi[0], hi[1], hi[2]), (hi[1], hi[3], hi[4]),
+           (hi[2], hi[4], hi[5]))
+    lpm = ((lp[0], None, None), (lp[1], lp[3], None),
+           (lp[2], lp[4], lp[5]))
+
+    dp = []
+    for j in range(3):
+        a = -(him[j][0] * g[0] + him[j][1] * g[1] + him[j][2] * g[2])
+        for i in range(j + 1):
+            a = a - lpm[j][i] * etu[i]
+        dp.append(a * free_p)
+    dp_rows = list(dp)
+    zero_tp = jnp.zeros((1, TP), jnp.float32)
+    while len(dp_rows) < dp_ref.shape[0]:
+        dp_rows.append(zero_tp)
+    dp_ref[:, :] = jnp.concatenate(dp_rows, axis=0)
+
+    dpB = [jnp.concatenate([dp[j]] * K, axis=1) for j in range(3)]
+    lam = lam_ref[0, 0]
+    t2 = jnp.zeros((1, 1), jnp.float32)
+    for kk in range(2):
+        t = None
+        for i in range(6):
+            term = Jc[kk * 6 + i] * dup[i]
+            t = term if t is None else t + term
+        for m in range(nparams):
+            t = t + Jk[kk * nparams + m] * duc[m]
+        for j in range(3):
+            t = t + Jx[kk * 3 + j] * dpB[j]
+        t2 = t2 + jnp.sum(t * t).reshape(1, 1)
+    g_dp = sum(jnp.sum(g[j] * dp[j]) for j in range(3)).reshape(1, 1)
+    d_dp2 = sum(jnp.sum(lam * jnp.clip(hdiag[j], 1e-6, 1e32)
+                        * dp[j] * dp[j]) for j in range(3)).reshape(1, 1)
+    acc_ref[0:1, 0:1] += t2
+    acc_ref[1:2, 0:1] += g_dp
+    acc_ref[2:3, 0:1] += d_dp2
+
+
+def backsub(static: KernelStatic, du_pose_t, du_cam_t, pt_pay, jw, lam,
+            lay: KernelLayout, opt, interpret: bool = False):
+    """Run kernel 2. Returns (dp [8, Pp], acc [8, 128])."""
+    TP, K, nb = lay.TP, lay.K, lay.nb
+    B = TP * K
+    kern = functools.partial(_backsub_kernel, lay.nparams, lay)
+    lam_arr = jnp.asarray(lam, jnp.float32).reshape(1, 1)
+    const = lambda i: (0, 0)
+    blocked = lambda i: (0, i)
+    dp, acc = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, 1), const, memory_space=pltpu.SMEM),
+            pl.BlockSpec((6, lay.Npad), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((12, lay.C), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((24, TP), blocked, memory_space=pltpu.VMEM),
+            pl.BlockSpec((lay.JW, B), blocked, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B), blocked, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B), blocked, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((8, TP), blocked, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), const, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((8, lay.Pp), jnp.float32),
+            jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        ),
+        interpret=interpret,
+    )(lam_arr, du_pose_t, du_cam_t, pt_pay, jw,
+      static.obs_img, static.obs_cam)
+    return dp, acc
+
+
+# ---------------------------------------------------------------------------
+# Kernel 3: robust cost at (trial) parameters
+# ---------------------------------------------------------------------------
+
+def _cost_kernel(model_id, nparams, loss, loss_scale, lay,
+                 par_ref, pts_ref, obs_sta_ref, obs_img_ref, acc_ref):
+    TP, K, Npad = lay.TP, lay.K, lay.Npad
+    B = TP * K
+    blk = pl.program_id(0)
+
+    @pl.when(blk == 0)
+    def _init():
+        acc_ref[:, :] = jnp.zeros_like(acc_ref)
+
+    img_row = obs_img_ref[0:1, :]
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (Npad, B), 0)
+    oh = (iota_n == img_row).astype(jnp.float32)
+    g = jax.lax.dot_general(par_ref[:, :], oh, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    q = [g[i:i + 1, :] for i in range(4)]
+    t = [g[4 + i:5 + i, :] for i in range(3)]
+    k = [g[7 + i:8 + i, :] for i in range(nparams)]
+
+    def tile_pt(row):
+        return jnp.concatenate([row] * K, axis=1)
+
+    x = [tile_pt(pts_ref[j:j + 1, :]) for j in range(3)]
+    R = _rot_rows(q[0], q[1], q[2], q[3])
+    pc = [R[i][0] * x[0] + R[i][1] * x[1] + R[i][2] * x[2] + t[i]
+          for i in range(3)]
+    z = pc[2]
+    safe_z = jnp.where(jnp.abs(z) > 1e-12, z, 1e-12)
+    iz = 1.0 / safe_z
+    u = jnp.clip(pc[0] * iz, -1e6, 1e6)
+    v = jnp.clip(pc[1] * iz, -1e6, 1e6)
+    px, py, _, _ = _head(model_id, k, u, v)
+    r0 = px - obs_sta_ref[0:1, :]
+    r1 = py - obs_sta_ref[1:2, :]
+    s = r0 * r0 + r1 * r1
+    c = 0.5 * obs_sta_ref[2:3, :] * loss_value(loss, s, loss_scale)
+    acc_ref[0:1, 0:1] += jnp.sum(c).reshape(1, 1)
+
+
+def fused_cost(static: KernelStatic, par, pts, lay: KernelLayout, opt,
+               interpret: bool = False):
+    TP, K, nb = lay.TP, lay.K, lay.nb
+    B = TP * K
+    kern = functools.partial(_cost_kernel, opt.model_id, lay.nparams,
+                             opt.loss, opt.loss_scale, lay)
+    const = lambda i: (0, 0)
+    blocked = lambda i: (0, i)
+    acc = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((par.shape[0], lay.Npad), const,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, TP), blocked, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, B), blocked, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B), blocked, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, 128), const, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        interpret=interpret,
+    )(par, pts, static.obs_sta, static.obs_img)
+    return acc[0, 0]

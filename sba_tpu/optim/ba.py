@@ -1153,6 +1153,14 @@ def bundle_adjust(problem: BAProblem, options: Optional[BAOptions] = None):
     p = problem.points.shape[0]
     reduced = 6 * n + 12 * c
 
+    # Fastest path: fused Pallas kernels (f32, TPU, supported model,
+    # <=128 images). ~24x the XLA explicit-Schur step at bench scale.
+    if options.solver in ("auto", "fused"):
+        from sba_tpu.optim import ba_fused
+
+        if ba_fused.can_use_fused(problem, options):
+            return ba_fused.bundle_adjust_fused(problem, options)
+
     # Single-device solves route to the fused point-major explicit-Schur
     # step (_solve_step_explicit_pm) — measured fastest on v5e (8.5 LM
     # it/s on 128img/30k pts/210k obs vs 4.9 for the implicit PCG).

@@ -1,0 +1,307 @@
+"""Fused-kernel bundle adjustment: the single-chip fast path.
+
+Drives the Pallas kernels in ops/ba_kernels.py inside the same
+Levenberg-Marquardt trust-region loop as optim/ba.py (Madsen-Nielsen
+damping, accept/reject on actual-vs-predicted reduction — the
+trust-region semantics of Ceres LM used by the reference,
+ref: src/optim/bundle_adjustment.cc:258 Solve).
+
+Per LM iteration:
+  kernel 1 (fused linearize+reduce)  -> per-image/point payloads,
+      Schur correction S_corr = EL EL^T, RHS coupling Ey, stored blocks
+  XLA epilogue (tiny): assemble the reduced system S, damping, gauge
+      masks, solve for du (dense Cholesky or Jacobi-PCG)
+  kernel 2 (back-substitution)       -> point step dp + predicted sums
+  kernel 3 (cost)                    -> trial cost for accept/reject
+
+f32 only; dispatched from optim.ba.bundle_adjust when the problem fits
+(supported camera model, <=128 images, single device, f32).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sba_tpu.geometry.quaternions import quat_retract
+from sba_tpu.ops import ba_kernels as bk
+from sba_tpu.optim.ba import BAOptions, BAProblem, BASummary, to_point_major
+
+MAXP = 12
+
+
+def can_use_fused(problem: BAProblem, options: BAOptions) -> bool:
+    if options.axis_name is not None:
+        return False
+    if options.model_id not in bk.SUPPORTED_MODELS:
+        return False
+    if problem.points.dtype != jnp.float32:
+        return False
+    if problem.qvecs.shape[0] > 128:   # Dk = 896 keeps S resident in VMEM
+        return False
+    if problem.cam_params.shape[0] > 10:
+        return False
+    O = problem.obs_image.shape[0]
+    P = problem.points.shape[0]
+    if O % P != 0 and options.obs_layout != "point_major":
+        pass  # to_point_major below will pad
+    try:
+        platform = jax.devices()[0].platform
+    except RuntimeError:
+        return False
+    return platform in ("tpu", "axon")
+
+
+def _solve_reduced(S, b, free, opt: BAOptions):
+    """Dense solve of the masked reduced system.
+
+    TPU note: jnp Cholesky goes through the XLA expander (~9 ms at
+    D=896); Jacobi-PCG on the explicit S is latency-bound instead
+    (~60 matvecs of a VMEM-resident [D, D]) and converges far below LM
+    step tolerance because S is SPD + damped.
+    """
+    S = S * free[:, None] * free[None, :] + jnp.diag(1.0 - free)
+    b = b * free
+    d = jnp.diag(S)
+    dinv = 1.0 / jnp.where(jnp.abs(d) > 1e-30, d, 1.0)
+
+    def body(state):
+        i, x, r, p, rz = state
+        Ap = S @ p
+        alpha = rz / jnp.maximum(jnp.dot(p, Ap), 1e-30)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = dinv * r
+        rz_new = jnp.dot(r, z)
+        beta = rz_new / jnp.maximum(rz, 1e-30)
+        p = z + beta * p
+        return i + 1, x, r, p, rz_new
+
+    def cond(state):
+        i, x, r, p, rz = state
+        return (i < opt.cg_iterations) & \
+            (jnp.dot(r, r) > (opt.cg_tolerance ** 2) * bnorm2)
+
+    bnorm2 = jnp.maximum(jnp.dot(b, b), 1e-30)
+    z0 = dinv * b
+    _, x, _, _, _ = jax.lax.while_loop(
+        cond, body, (0, jnp.zeros_like(b), b, z0, jnp.dot(b, z0)))
+    return x * free
+
+
+def _fused_step(static, lay, opt, qvecs, tvecs, pts_t, cams, lam,
+                free_arrays, interpret=False):
+    """One linearize + solve. Returns (u_pose [N,6], u_cam [C,12],
+    dp_t [3,Pp], predicted, g_inf)."""
+    N, C, Npad, Dk = lay.N, lay.C, lay.Npad, lay.Dk
+    nparams = lay.nparams
+    par = bk.pack_params(qvecs, tvecs, cams, static.image_cam, lay)
+    s_corr, img_red, ey, pt_pay, jw = bk.fused_schur(
+        static, par, pts_t, lam, lay, opt, interpret=interpret)
+
+    # ---- unpack image payload ----
+    ofs = np.cumsum([0, 6, 36, 6 * nparams, nparams, nparams * nparams])
+    red = img_red[:N]
+    g_pose = red[:, ofs[0]:ofs[1]]                          # [N, 6]
+    Hcc_pose = red[:, ofs[1]:ofs[2]].reshape(N, 6, 6)
+    Hpc_img = red[:, ofs[2]:ofs[3]].reshape(N, 6, nparams)
+    g_cam = jax.ops.segment_sum(red[:, ofs[3]:ofs[4]],
+                                static.image_cam[:N], num_segments=C)
+    Hcc_cam = jax.ops.segment_sum(
+        red[:, ofs[4]:ofs[5]].reshape(N, nparams, nparams),
+        static.image_cam[:N], num_segments=C)
+    clamp = lambda d: jnp.clip(d, 1e-6, 1e32)
+    d_pose = jnp.einsum("nii->ni", Hcc_pose)
+    d_cam = jnp.einsum("cii->ci", Hcc_cam)
+    d_pose_l = lam * clamp(d_pose)
+    d_cam_l = lam * clamp(d_cam)
+
+    # ---- assemble the reduced system in kernel coordinates ----
+    # Kernel row convention: pose row = i*Npad + n, cam row =
+    # 6*Npad + m*C + c (see ops/ba_kernels.py ELb construction).
+    S = -s_corr
+    bi = jnp.arange(N)[:, None] + jnp.arange(6)[None, :] * Npad
+    S = S.at[bi[:, :, None], bi[:, None, :]].add(Hcc_pose)
+    ci_np = (6 * Npad + jnp.arange(C)[:, None]
+             + jnp.arange(nparams)[None, :] * C)            # [C, np]
+    S = S.at[ci_np[:, :, None], ci_np[:, None, :]].add(Hcc_cam)
+    cam_cols = ci_np[static.image_cam[:N]]                  # [N, np]
+    S = S.at[bi[:, :, None], cam_cols[:, None, :]].add(Hpc_img)
+    S = S.at[cam_cols[:, :, None], bi[:, None, :]].add(
+        jnp.swapaxes(Hpc_img, 1, 2))
+    d_l = jnp.zeros(Dk, jnp.float32)
+    d_l = d_l.at[bi.reshape(-1)].set(d_pose_l.reshape(-1))
+    d_l = d_l.at[ci_np.reshape(-1)].set(d_cam_l.reshape(-1))
+    S = S + jnp.diag(d_l)
+
+    free, free_pose, free_cam_np = free_arrays
+    g_u = jnp.zeros(Dk, jnp.float32)
+    g_u = g_u.at[bi.reshape(-1)].set(g_pose.reshape(-1))
+    g_u = g_u.at[ci_np.reshape(-1)].set(g_cam.reshape(-1))
+    b = (-g_u + ey[0]) * free
+
+    du = _solve_reduced(S, b, free, opt)
+    u_pose = du[:6 * Npad].reshape(6, Npad).T[:N] * free_pose
+    u_cam_np = du[6 * Npad:6 * Npad + 12 * C].reshape(12, C).T[:, :nparams] \
+        * free_cam_np
+
+    # ---- back-substitute + predicted sums ----
+    du_pose_t = jnp.zeros((6, Npad), jnp.float32).at[:, :N].set(u_pose.T)
+    du_cam_t = jnp.zeros((12, C), jnp.float32).at[:nparams].set(u_cam_np.T)
+    dp, acc = bk.backsub(static, du_pose_t, du_cam_t, pt_pay, jw, lam,
+                         lay, opt, interpret=interpret)
+    dp_t = dp[:3]                                           # [3, Pp]
+    g_pts = pt_pay[:3]
+
+    gTd = (jnp.sum(g_pose * u_pose) + jnp.sum(g_cam * u_cam_np)
+           + acc[1, 0])
+    dHd = (acc[0, 0]
+           + jnp.sum(d_pose_l * u_pose * u_pose)
+           + jnp.sum(d_cam_l * u_cam_np * u_cam_np)
+           + acc[2, 0])
+    predicted = -(gTd + 0.5 * dHd)
+    g_inf = jnp.maximum(
+        jnp.max(jnp.abs(g_pose)),
+        jnp.maximum(jnp.max(jnp.abs(g_cam)), jnp.max(jnp.abs(g_pts))))
+    u_cam = jnp.zeros((C, MAXP), jnp.float32).at[:, :nparams].set(u_cam_np)
+    return u_pose, u_cam, dp_t, predicted, g_inf
+
+
+@functools.partial(jax.jit, static_argnames=("lay", "options", "interpret"))
+def _fused_lm_loop(static, lay, problem, options, free_arrays,
+                   interpret=False):
+    opt = options
+    max_it = opt.max_iterations
+    pts_t0 = bk.pack_points(problem.points, lay)
+    q0a, t0a = problem.qvecs.astype(jnp.float32), \
+        problem.tvecs.astype(jnp.float32)
+    k0a = problem.cam_params.astype(jnp.float32)
+
+    def cost_of(q, t, pts_t, k):
+        par = bk.pack_params(q, t, k, static.image_cam, lay)
+        return bk.fused_cost(static, par, pts_t, lay, opt,
+                             interpret=interpret)
+
+    cost0 = cost_of(q0a, t0a, pts_t0, k0a)
+
+    def body(state):
+        (it, q, t, pts_t, k, lam, nu, cost, done, g_inf, trace) = state
+        u_pose, u_cam, dp_t, predicted, g_inf = _fused_step(
+            static, lay, opt, q, t, pts_t, k, lam, free_arrays,
+            interpret=interpret)
+        q2 = quat_retract(q, u_pose[:, :3])
+        t2 = t + u_pose[:, 3:]
+        pts2 = pts_t + dp_t
+        k2 = k + u_cam
+        new_cost = cost_of(q2, t2, pts2, k2)
+        actual = cost - new_cost
+        rho = actual / jnp.maximum(predicted, 1e-30)
+        accept = (actual > 0) & (predicted > 0)
+        lam_acc = lam * jnp.maximum(1.0 / 3.0,
+                                    1.0 - (2.0 * rho - 1.0) ** 3)
+        lam_rej = lam * nu
+        lam = jnp.where(accept, jnp.maximum(lam_acc, 1e-14),
+                        jnp.minimum(lam_rej, 1e10))
+        nu = jnp.where(accept, 2.0, nu * 2.0)
+        q = jnp.where(accept, q2, q)
+        t = jnp.where(accept, t2, t)
+        pts_t = jnp.where(accept, pts2, pts_t)
+        k = jnp.where(accept, k2, k)
+        cost_new = jnp.where(accept, new_cost, cost)
+        step_norm = jnp.sqrt(jnp.sum(u_pose ** 2) + jnp.sum(u_cam ** 2)
+                             + jnp.sum(dp_t ** 2))
+        x_norm = jnp.sqrt(jnp.sum(t ** 2) + jnp.sum(pts_t ** 2)
+                          + jnp.sum(k ** 2)) + 1.0
+        done = (
+            (accept & (jnp.abs(actual)
+                       < opt.function_tolerance * jnp.maximum(cost, 1e-30)))
+            | (g_inf < opt.gradient_tolerance)
+            | (accept & (step_norm < opt.parameter_tolerance * x_norm))
+            | (lam >= 1e10))
+        trace = trace.at[it + 1].set(cost_new)
+        return (it + 1, q, t, pts_t, k, lam, nu, cost_new, done, g_inf,
+                trace)
+
+    def cond(state):
+        return (state[0] < max_it) & (~state[8])
+
+    trace0 = jnp.full((max_it + 1,), jnp.nan, jnp.float32).at[0].set(cost0)
+    lam0 = jnp.asarray(1.0 / opt.initial_trust_radius, jnp.float32)
+    init = (0, q0a, t0a, pts_t0, k0a, lam0, jnp.float32(2.0), cost0,
+            jnp.asarray(False), jnp.asarray(jnp.inf, jnp.float32), trace0)
+    (it, q, t, pts_t, k, lam, nu, cost, done, g_inf, trace) = \
+        jax.lax.while_loop(cond, body, init)
+
+    P = problem.points.shape[0]
+    out = problem._replace(qvecs=q, tvecs=t, points=pts_t[:, :P].T,
+                           cam_params=k)
+    summary = BASummary(
+        initial_cost=cost0, final_cost=cost, num_iterations=it,
+        num_residuals=jnp.sum(problem.obs_mask).astype(jnp.int32),
+        gradient_norm=g_inf, cost_trace=trace)
+    return out, summary
+
+
+def prepare(problem: BAProblem, options: BAOptions):
+    """Host-side prep (obs reorder + static tables + gauge masks).
+
+    Separated from the solve so that repeated solves over the same
+    problem structure (mapper local/global BA, benchmarking) pay the
+    host cost once. Returns an opaque context for `solve_prepared`.
+    """
+    if options.obs_layout != "point_major":
+        problem = to_point_major(problem)
+        options = dataclasses.replace(options, obs_layout="point_major")
+    problem = jax.tree.map(
+        lambda a: a.astype(jnp.float32)
+        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+        else a, problem)
+    lay = bk.plan_layout(problem, options)
+    static = bk.build_static(problem, options, lay)
+
+    # Gauge/free masks in kernel coordinates (host-side, static).
+    N, C, Npad, Dk = lay.N, lay.C, lay.Npad, lay.Dk
+    nparams = lay.nparams
+    free_pose = np.concatenate(
+        [np.repeat(np.asarray(problem.free_rot)[:, None], 3, axis=1),
+         np.asarray(problem.free_trans)], axis=1).astype(np.float32)
+    if not options.refine_extrinsics:
+        free_pose = free_pose * 0.0
+    refine = bk._intrinsic_mask(options)[:nparams]
+    free_cam_np = (np.asarray(problem.free_cam)[:, :nparams]
+                   * refine).astype(np.float32)
+    free = np.zeros(Dk, np.float32)
+    bi = np.arange(N)[:, None] + np.arange(6)[None, :] * Npad
+    free[bi.reshape(-1)] = free_pose.reshape(-1)
+    ci = (6 * Npad + np.arange(C)[:, None]
+          + np.arange(nparams)[None, :] * C)
+    free[ci.reshape(-1)] = free_cam_np.reshape(-1)
+    free_arrays = (jnp.asarray(free), jnp.asarray(free_pose),
+                   jnp.asarray(free_cam_np))
+    return (static, lay, problem, options, free_arrays)
+
+
+def solve_prepared(ctx, interpret: bool = False, qvecs=None, tvecs=None,
+                   points=None, cam_params=None):
+    """Run the LM loop on a prepared context, optionally with updated
+    parameter values (same structure)."""
+    static, lay, problem, options, free_arrays = ctx
+    if qvecs is not None:
+        problem = problem._replace(
+            qvecs=qvecs.astype(jnp.float32),
+            tvecs=tvecs.astype(jnp.float32),
+            points=points.astype(jnp.float32),
+            cam_params=cam_params.astype(jnp.float32))
+    return _fused_lm_loop(static, lay, problem, options, free_arrays,
+                          interpret=interpret)
+
+
+def bundle_adjust_fused(problem: BAProblem, options: BAOptions,
+                        interpret: bool = False):
+    """Solve with the fused Pallas path. Problem may be in COO or
+    point-major layout; reordering happens here."""
+    return solve_prepared(prepare(problem, options), interpret=interpret)

@@ -1,0 +1,144 @@
+"""Fused Pallas BA kernel tests (interpret mode on CPU).
+
+Parity of ops/ba_kernels.py + optim/ba_fused.py against the XLA
+reference path in optim/ba.py — cost, full linearize+reduce outputs,
+one LM step, and end-to-end convergence.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sba_tpu.optim import ba_fused as bf
+from sba_tpu.optim.ba import (
+    BAOptions,
+    _linearize,
+    _solve_step_explicit_pm,
+    _sym3_inverse,
+    evaluate_cost,
+    to_point_major,
+)
+from sba_tpu.ops import ba_kernels as bk
+from sba_tpu.utils.synthetic import make_ba_problem
+
+
+def _setup(model_id=0, **kw):
+    problem, truth = make_ba_problem(
+        num_images=6, num_points=150, observations_per_point=4,
+        pose_noise=0.01, point_noise=0.05, pixel_noise=0.0, seed=0,
+        dtype=jnp.float32, model_id=model_id, **kw)
+    opt = BAOptions(model_id=model_id, dtype="float32",
+                    solver="explicit_schur", obs_layout="point_major")
+    pm = to_point_major(problem)
+    lay = bk.plan_layout(pm, opt)
+    static = bk.build_static(pm, opt, lay)
+    par = bk.pack_params(pm.qvecs.astype(jnp.float32),
+                         pm.tvecs.astype(jnp.float32),
+                         pm.cam_params.astype(jnp.float32),
+                         static.image_cam, lay)
+    pts = bk.pack_points(pm.points.astype(jnp.float32), lay)
+    return problem, truth, pm, opt, lay, static, par, pts
+
+
+@pytest.mark.parametrize("model_id", [0, 2])
+def test_fused_cost_matches_xla(model_id):
+    _, _, pm, opt, lay, static, par, pts = _setup(model_id)
+    c_k = bk.fused_cost(static, par, pts, lay, opt, interpret=True)
+    c_x = evaluate_cost(pm, opt)
+    np.testing.assert_allclose(float(c_k), float(c_x), rtol=1e-4)
+
+
+def test_fused_payloads_match_xla():
+    _, _, pm, opt, lay, static, par, pts = _setup()
+    lam = jnp.float32(1e-3)
+    s_corr, img_red, ey, pt_pay, jw = bk.fused_schur(
+        static, par, pts, lam, lay, opt, interpret=True)
+
+    r, Jq, Jt, Jx, Jk = _linearize(pm, opt)
+    N = pm.qvecs.shape[0]
+    P = pm.points.shape[0]
+    O = r.shape[0]
+    K = O // P
+    Jc = jnp.concatenate([Jq, Jt], axis=-1)
+    pt_reduce = lambda v: jnp.sum(v.reshape((P, K) + v.shape[1:]), axis=1)
+    g_pts = pt_reduce(jnp.einsum("oki,ok->oi", Jx, r))
+    Hpp = pt_reduce(jnp.einsum("oki,okj->oij", Jx, Jx))
+    scale = float(jnp.abs(g_pts).max())
+    np.testing.assert_allclose(np.asarray(pt_pay[:3, :P].T),
+                               np.asarray(g_pts), atol=1e-5 * scale)
+    onehot = (pm.obs_image[:, None]
+              == jnp.arange(N, dtype=pm.obs_image.dtype)).astype(r.dtype)
+    g_pose = jnp.einsum("on,od->nd", onehot,
+                        jnp.einsum("oki,ok->oi", Jc, r))
+    np.testing.assert_allclose(
+        np.asarray(img_red[:N, :6]), np.asarray(g_pose),
+        atol=1e-5 * float(jnp.abs(g_pose).max()))
+
+    # Schur correction EL EL^T (pose block; kernel rows are i*Npad+n).
+    d_pts_l = lam * jnp.clip(jnp.einsum("pii->pi", Hpp), 1e-6, 1e32)
+    Hppd = Hpp + jax.vmap(jnp.diag)(d_pts_l) \
+        + 1e-12 * jnp.eye(3, dtype=r.dtype)
+    Lp = jnp.linalg.cholesky(_sym3_inverse(Hppd)
+                             + 1e-14 * jnp.eye(3, dtype=r.dtype))
+    W_pose = jnp.einsum("oki,okj->oij", Jc, Jx)
+    WL = jnp.einsum("oij,ojk->oik", W_pose, Lp[pm.obs_point])
+    EL = jnp.einsum("pkn,pkij->nipj", onehot.reshape(P, K, N),
+                    WL.reshape(P, K, 6, 3)).reshape(6 * N, 3 * P)
+    corr = np.asarray(EL @ EL.T)
+    rows_k = (np.arange(N)[:, None]
+              + np.arange(6)[None, :] * lay.Npad).reshape(-1)
+    k_pp = np.asarray(s_corr)[np.ix_(rows_k, rows_k)]
+    np.testing.assert_allclose(k_pp, corr, atol=3e-5 * np.abs(corr).max())
+
+    # RHS coupling Ey.
+    Ltg = jnp.einsum("pji,pj->pi", Lp, g_pts).reshape(-1)
+    Ey = np.asarray(EL @ Ltg)
+    np.testing.assert_allclose(np.asarray(ey[0])[rows_k], Ey,
+                               atol=3e-5 * np.abs(Ey).max())
+
+
+def test_fused_step_matches_xla():
+    _, _, pm, opt, lay, static, par, pts = _setup()
+    lam = jnp.float32(1e-3)
+    u_pose_x, u_cam_x, dpts_x, pred_x, ginf_x = \
+        _solve_step_explicit_pm(pm, opt, lam)
+
+    ctx = bf.prepare(pm, opt)
+    _, _, _, _, free_arrays = ctx
+    u_pose_k, u_cam_k, dp_t_k, pred_k, ginf_k = bf._fused_step(
+        static, lay, opt, pm.qvecs.astype(jnp.float32),
+        pm.tvecs.astype(jnp.float32), pts,
+        pm.cam_params.astype(jnp.float32), lam, free_arrays,
+        interpret=True)
+    scale = float(jnp.abs(u_pose_x).max())
+    np.testing.assert_allclose(np.asarray(u_pose_k), np.asarray(u_pose_x),
+                               atol=2e-3 * scale)
+    P = pm.points.shape[0]
+    np.testing.assert_allclose(np.asarray(dp_t_k)[:, :P].T,
+                               np.asarray(dpts_x),
+                               atol=2e-3 * float(jnp.abs(dpts_x).max()))
+    np.testing.assert_allclose(float(pred_k), float(pred_x), rtol=1e-3)
+    np.testing.assert_allclose(float(ginf_k), float(ginf_x), rtol=1e-4)
+
+
+def test_fused_lm_converges():
+    problem, truth, *_ = _setup()
+    opt = BAOptions(model_id=0, max_iterations=25, dtype="float32")
+    out, summary = bf.bundle_adjust_fused(problem, opt, interpret=True)
+    assert float(summary.final_cost) < 1e-4 * float(summary.initial_cost)
+    dq = min(np.abs(np.asarray(out.qvecs) - truth["qvecs"]).max(),
+             np.abs(np.asarray(out.qvecs) + truth["qvecs"]).max())
+    assert dq < 1e-2
+
+
+def test_fused_respects_gauge_masks():
+    problem, _, pm, opt, lay, static, par, pts = _setup()
+    opt = BAOptions(model_id=0, max_iterations=5, dtype="float32")
+    out, _ = bf.bundle_adjust_fused(problem, opt, interpret=True)
+    # Row 0 pose is constant in make_ba_problem's gauge.
+    if float(problem.free_rot[0]) == 0.0:
+        np.testing.assert_allclose(np.asarray(out.qvecs[0]),
+                                   np.asarray(problem.qvecs[0]), atol=0)
+        np.testing.assert_allclose(np.asarray(out.tvecs[0]),
+                                   np.asarray(problem.tvecs[0]), atol=0)
