@@ -359,11 +359,11 @@ def run_vocab_tree_matcher(flags):
     RunVocabTreeMatcher)."""
     from sba_tpu.io.database import Database
     from sba_tpu.retrieval.visual_index import VisualIndex, vocab_tree_pairs
-    from sba_tpu.retrieval.vocab_tree import load_vocab_tree
+    from sba_tpu.retrieval.vocab_tree import load_any_vocab_tree
 
     db_path, tree_path = _require(flags, "database_path", "vocab_tree_path")
     num_imgs = int(flags.get("VocabTreeMatching.num_images", "10"))
-    tree = load_vocab_tree(tree_path)
+    tree = load_any_vocab_tree(tree_path)
     db = Database(db_path)
     image_ids = sorted(db.read_images())
     index = VisualIndex(tree)
@@ -905,11 +905,12 @@ def run_patch_match_stereo(flags):
                 if a != b and a in shared:
                     shared[a][b] = shared[a].get(b, 0) + 1
 
-    # Scene depth range from sparse points per image.
-    for iid in reg:
-        srcs = sorted(shared[iid], key=lambda b: -shared[iid][b])[:max_src]
-        if not srcs:
-            continue
+    import dataclasses
+
+    src_of = {iid: sorted(shared[iid], key=lambda b: -shared[iid][b])
+              [:max_src] for iid in reg}
+
+    def depth_range(iid):
         image = rec.images[iid]
         pids = [int(p) for p in image.point3D_ids if p != -1]
         if pids:
@@ -923,32 +924,70 @@ def run_patch_match_stereo(flags):
             dmax = float(np.percentile(zs, 98) * 2.0) if len(zs) else 100.0
         else:
             dmin, dmax = opt.depth_min, opt.depth_max
-        import dataclasses
+        return max(dmin, 1e-3), max(dmax, dmin * 2)
 
-        o = dataclasses.replace(opt, depth_min=max(dmin, 1e-3),
-                                depth_max=max(dmax, dmin * 2))
+    def solve_one(iid, o, src_depths=None, init_depth=None):
+        srcs = src_of[iid]
+        image = rec.images[iid]
         Rs, ts = [], []
         for s in srcs:
             R, t = relative_pose(image.qvec, image.tvec,
                                  rec.images[s].qvec, rec.images[s].tvec)
             Rs.append(R)
             ts.append(t)
-        res = patch_match_stereo(
+        return patch_match_stereo(
             jnp.asarray(imgs[iid], jnp.float32),
             jnp.asarray(np.stack([imgs[s] for s in srcs]), jnp.float32),
             jnp.asarray(K_of(iid), jnp.float32),
             jnp.asarray(np.stack([K_of(s) for s in srcs]), jnp.float32),
             jnp.asarray(np.stack(Rs), jnp.float32),
             jnp.asarray(np.stack(ts), jnp.float32),
-            key=jax.random.PRNGKey(iid), options=o)
-        name = image.name
+            key=jax.random.PRNGKey(iid), options=o,
+            src_depths=src_depths,
+            init_depth=None if init_depth is None
+            else jnp.asarray(init_depth, jnp.float32))
+
+    def write_maps(iid, res, tag):
+        name = rec.images[iid].name
         write_colmap_map(np.asarray(res.depth), os.path.join(
-            stereo, "depth_maps", f"{name}.geometric.bin"))
+            stereo, "depth_maps", f"{name}.{tag}.bin"))
         write_colmap_map(np.asarray(res.normal), os.path.join(
-            stereo, "normal_maps", f"{name}.geometric.bin"))
-        print(f"  {name}: depth [{o.depth_min:.2f}, {o.depth_max:.2f}], "
-              f"{len(srcs)} sources, mean cost "
+            stereo, "normal_maps", f"{name}.{tag}.bin"))
+
+    # Pass 1: photometric (ref: PatchMatchController first-phase
+    # problems; maps named *.photometric.bin).
+    photo_depth = {}
+    opts_of = {}
+    for iid in reg:
+        if not src_of[iid]:
+            continue
+        dmin, dmax = depth_range(iid)
+        o = dataclasses.replace(opt, depth_min=dmin, depth_max=dmax,
+                                geom_consistency=False)
+        opts_of[iid] = o
+        res = solve_one(iid, o)
+        photo_depth[iid] = np.asarray(res.depth)
+        write_maps(iid, res, "photometric")
+        print(f"  {rec.images[iid].name} [photometric]: depth "
+              f"[{o.depth_min:.2f}, {o.depth_max:.2f}], "
+              f"{len(src_of[iid])} sources, mean cost "
               f"{float(np.asarray(res.cost).mean()):.3f}")
+
+    # Pass 2: geometric consistency against the photometric depths of
+    # the source views, warm-started from the photometric result
+    # (ref: second-phase problems; *.geometric.bin).
+    if opt.geom_consistency:
+        for iid in photo_depth:
+            srcs = src_of[iid]
+            if any(s not in photo_depth for s in srcs):
+                continue
+            o = dataclasses.replace(opts_of[iid], geom_consistency=True)
+            res = solve_one(iid, o, src_depths=jnp.asarray(
+                np.stack([photo_depth[s] for s in srcs]), jnp.float32),
+                init_depth=photo_depth[iid])
+            write_maps(iid, res, "geometric")
+            print(f"  {rec.images[iid].name} [geometric]: mean cost "
+                  f"{float(np.asarray(res.cost).mean()):.3f}")
     print(f"stereo maps -> {stereo}")
 
 
@@ -982,6 +1021,11 @@ def run_stereo_fuser(flags):
         name = rec.images[iid].name
         dp = os.path.join(stereo, "depth_maps", f"{name}.geometric.bin")
         npth = os.path.join(stereo, "normal_maps", f"{name}.geometric.bin")
+        if not os.path.exists(dp):   # fall back to photometric maps
+            dp = os.path.join(stereo, "depth_maps",
+                              f"{name}.photometric.bin")
+            npth = os.path.join(stereo, "normal_maps",
+                                f"{name}.photometric.bin")
         if not os.path.exists(dp):
             continue
         depths.append(read_colmap_map(dp))
@@ -1030,6 +1074,9 @@ def _run_mesher(flags):
     for iid in reg:
         name = rec.images[iid].name
         dp = os.path.join(stereo, "depth_maps", f"{name}.geometric.bin")
+        if not os.path.exists(dp):   # fall back to photometric maps
+            dp = os.path.join(stereo, "depth_maps",
+                              f"{name}.photometric.bin")
         if not os.path.exists(dp):
             continue
         depths.append(read_colmap_map(dp))

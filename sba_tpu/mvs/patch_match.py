@@ -52,7 +52,7 @@ class PatchMatchOptions:
     ncc_sigma: float = 0.6
     min_triangulation_angle: float = 1.0   # deg (unused in kernel; fusion)
     incident_angle_sigma: float = 0.9
-    geom_consistency: bool = False
+    geom_consistency: bool = True   # (ref default; needs src_depths)
     geom_consistency_regularizer: float = 0.3
     geom_consistency_max_cost: float = 3.0
     filter: bool = True
@@ -133,8 +133,49 @@ def _window_offsets(radius: int, step: int) -> np.ndarray:
     return np.stack([ox.reshape(-1), oy.reshape(-1)], -1)  # [K, 2] (dx, dy)
 
 
+def _geom_costs(depth, K_ref, K_ref_inv, K_srcs, Rs, ts, src_depths,
+                max_cost):
+    """Forward-backward reprojection error per source [S, H, W]
+    (ref: patch_match_cuda.cu:534-585 ComputeGeomConsistencyCost):
+    ref pixel -> world at `depth` -> src pixel -> src depth map ->
+    world -> back into ref; cost = pixel distance, capped at max_cost;
+    missing src depth = max_cost."""
+    H, W = depth.shape
+    dtype = depth.dtype
+    yy, xx = jnp.meshgrid(jnp.arange(H, dtype=dtype) + 0.5,
+                          jnp.arange(W, dtype=dtype) + 0.5, indexing="ij")
+    ones = jnp.ones_like(xx)
+    ray = jnp.einsum("ij,hwj->hwi", K_ref_inv,
+                     jnp.stack([xx, yy, ones], -1))       # [H, W, 3]
+    p_ref = depth[..., None] * ray
+
+    costs = []
+    for s in range(src_depths.shape[0]):
+        p_src = jnp.einsum("ij,hwj->hwi", Rs[s], p_ref) + ts[s]
+        z = p_src[..., 2]
+        safe_z = jnp.where(jnp.abs(z) > 1e-9, z, 1e-9)
+        uv = jnp.einsum("ij,hwj->hwi", K_srcs[s], p_src / safe_z[..., None])
+        src_xy = uv[..., :2]
+        src_d, inb = _bilinear(src_depths[s], src_xy)
+        ok = inb & (src_d > 1e-9) & (z > 0)
+        # Back-project the sampled source depth into the reference.
+        Ks_inv = jnp.linalg.inv(K_srcs[s])
+        p_src2 = src_d[..., None] * jnp.einsum(
+            "ij,hwj->hwi", Ks_inv,
+            jnp.concatenate([src_xy, jnp.ones_like(src_xy[..., :1])], -1))
+        p_ref2 = jnp.einsum("ji,hwj->hwi", Rs[s], p_src2 - ts[s])
+        z2 = p_ref2[..., 2]
+        safe_z2 = jnp.where(jnp.abs(z2) > 1e-9, z2, 1e-9)
+        uv2 = jnp.einsum("ij,hwj->hwi", K_ref,
+                         p_ref2 / safe_z2[..., None])[..., :2]
+        err = jnp.sqrt((uv2[..., 0] - xx) ** 2 + (uv2[..., 1] - yy) ** 2)
+        costs.append(jnp.where(ok, jnp.minimum(err, max_cost), max_cost))
+    return jnp.stack(costs)
+
+
 def _cost_for_hypothesis(ref_img, src_imgs, K_ref_inv, K_srcs, Rs, ts,
-                         depth, normal, opt: PatchMatchOptions):
+                         depth, normal, opt: PatchMatchOptions,
+                         K_ref=None, src_depths=None):
     """Matching cost [H, W] of plane hypotheses (depth [H,W],
     normal [H,W,3]) against all sources, averaged over the best views.
 
@@ -194,6 +235,12 @@ def _cost_for_hypothesis(ref_img, src_imgs, K_ref_inv, K_srcs, Rs, ts,
         cost = jnp.where(frac_in > 0.5, cost, 2.0)
         costs.append(cost)
     costs = jnp.stack(costs)  # [S, H, W]
+    if src_depths is not None and opt.geom_consistency:
+        # Geometric consistency regularizer on the per-view cost
+        # (ref: patch_match_cuda.cu:1038-1052).
+        costs = costs + opt.geom_consistency_regularizer * _geom_costs(
+            depth, K_ref, K_ref_inv, K_srcs, Rs, ts, src_depths,
+            opt.geom_consistency_max_cost)
     # View aggregation: average of per-pixel best half of the views
     # (robust mean approximating the reference's per-pixel view sampling).
     S = costs.shape[0]
@@ -237,12 +284,21 @@ def patch_match_stereo(
     ts,                 # [S, 3]    x_src = R x_ref + t
     key=None,
     options: PatchMatchOptions = PatchMatchOptions(),
+    src_depths=None,    # [S, H', W'] source depth maps -> enables the
+    #                     geometric-consistency second pass
+    init_depth=None,    # [H, W] warm start (the photometric result in
+    init_normal=None,   # the reference's second pass)
 ) -> PatchMatchResult:
     """Estimate a depth/normal map for the reference view.
 
     One jitted program: random init -> num_iterations x (red update, black
     update, random refinement). Every update evaluates all candidate
-    hypotheses for all pixels in parallel.
+    hypotheses for all pixels in parallel. With `src_depths` given and
+    `options.geom_consistency`, every hypothesis cost carries the
+    forward-backward reprojection regularizer (the reference's
+    geometric-consistency pass, ref: mvs/patch_match.cc second-phase
+    problems) and the final filter additionally requires
+    `filter_min_num_consistent` geometrically-consistent views.
     """
     opt = options
     if key is None:
@@ -252,14 +308,22 @@ def patch_match_stereo(
     K_ref_inv = jnp.linalg.inv(K_ref)
 
     cost_of = lambda d, n: _cost_for_hypothesis(
-        ref_img, src_imgs, K_ref_inv, K_srcs, Rs, ts, d, n, opt)
+        ref_img, src_imgs, K_ref_inv, K_srcs, Rs, ts, d, n, opt,
+        K_ref=K_ref, src_depths=src_depths)
 
     key, k_init_d, k_init_n = jax.random.split(key, 3)
-    # Random init in 1/depth (uniform inverse depth, ref random init).
-    inv_d = jax.random.uniform(k_init_d, (H, W), dtype,
-                               1.0 / opt.depth_max, 1.0 / opt.depth_min)
-    depth = 1.0 / inv_d
-    normal = _random_normals(k_init_n, (H, W), dtype)
+    if init_depth is not None:
+        depth = jnp.clip(jnp.where(init_depth > 0, init_depth,
+                                   0.5 * (opt.depth_min + opt.depth_max)),
+                         opt.depth_min, opt.depth_max)
+        normal = init_normal if init_normal is not None else \
+            _random_normals(k_init_n, (H, W), dtype)
+    else:
+        # Random init in 1/depth (uniform inverse depth, ref random init).
+        inv_d = jax.random.uniform(k_init_d, (H, W), dtype,
+                                   1.0 / opt.depth_max, 1.0 / opt.depth_min)
+        depth = 1.0 / inv_d
+        normal = _random_normals(k_init_n, (H, W), dtype)
     cost = cost_of(depth, normal)
 
     def consider(state, d_new, n_new, update_mask):
@@ -304,7 +368,19 @@ def patch_match_stereo(
         0, opt.num_iterations, iteration, (depth, normal, cost, key))
 
     if opt.filter:
-        bad = cost > (2.0 - 2.0 * opt.filter_min_ncc)
+        max_photo = 2.0 - 2.0 * opt.filter_min_ncc
+        if src_depths is not None and opt.geom_consistency:
+            max_photo += (opt.geom_consistency_regularizer
+                          * opt.geom_consistency_max_cost)
+            # Require enough geometrically consistent views
+            # (ref: patch_match_cuda.cu:1114-1124 filter).
+            g = _geom_costs(depth, K_ref, K_ref_inv, K_srcs, Rs, ts,
+                            src_depths, opt.geom_consistency_max_cost)
+            n_consistent = jnp.sum(
+                g <= opt.filter_geom_consistency_max_cost, axis=0)
+            depth = jnp.where(
+                n_consistent >= opt.filter_min_num_consistent, depth, 0.0)
+        bad = cost > max_photo
         depth = jnp.where(bad, 0.0, depth)
     return PatchMatchResult(depth=depth, normal=normal, cost=cost)
 

@@ -143,3 +143,48 @@ def save_vocab_tree(tree: VocabTree, path: str):
 def load_vocab_tree(path: str) -> VocabTree:
     z = np.load(path)
     return tree_from_arrays(z, int(z["branching"]), int(z["depth"]))
+
+
+def load_colmap_vocab_tree(path: str) -> VocabTree:
+    """Import the visual-words block of a COLMAP/FLANN vocab-tree file
+    (e.g. the distributed flickr100k trees).
+
+    Format (ref: src/retrieval/visual_index.h:539-558 VisualIndex::Read):
+    uint64 rows, uint64 cols, rows*cols uint8 descriptors, followed by
+    the serialized FLANN AutotunedIndex (opaque; not needed — this
+    framework searches words with batched MXU matmuls) and an inverted
+    index (empty in distributed trees). Returns a depth-1 tree whose
+    single level holds all words, L2-normalized to match this
+    framework's dot-product quantization (equivalent to FLANN L2 on the
+    near-constant-norm SIFT uint8 vectors).
+    """
+    import struct
+
+    with open(path, "rb") as f:
+        rows = struct.unpack("<Q", f.read(8))[0]
+        cols = struct.unpack("<Q", f.read(8))[0]
+        if not (0 < rows <= 100_000_000) or cols != 128:
+            raise ValueError(
+                f"{path}: not a COLMAP vocab tree (rows={rows}, "
+                f"cols={cols}; expected 128-D uint8 words)")
+        data = f.read(rows * cols)
+        if len(data) != rows * cols:
+            raise ValueError(f"{path}: truncated visual words block")
+    words = np.frombuffer(data, np.uint8).reshape(rows, cols)
+    centers = words.astype(np.float32)
+    centers /= np.maximum(
+        np.linalg.norm(centers, axis=1, keepdims=True), 1e-12)
+    return VocabTree(centers=(jnp.asarray(centers)[None],),
+                     branching=int(rows), depth=1)
+
+
+def load_any_vocab_tree(path: str) -> VocabTree:
+    """Load either this framework's .npz trees or COLMAP .bin trees."""
+    import struct
+
+    if path.endswith(".npz"):
+        return load_vocab_tree(path)
+    try:
+        return load_colmap_vocab_tree(path)
+    except (ValueError, struct.error):
+        return load_vocab_tree(path)

@@ -190,3 +190,47 @@ def test_fusion_rejects_inconsistent():
         np.stack([[0.0, 0, 0], [0.3, 0, 0]]),
         StereoFusionOptions(min_num_pixels=2))
     assert len(cloud.xyz) == 0
+
+
+def test_patch_match_geom_consistency_pass():
+    """The geometric pass (src depth maps given) keeps consistent depths
+    and suppresses pixels whose sources disagree
+    (ref: patch_match_cuda.cu ComputeGeomConsistencyCost + filter)."""
+    ref, srcs, K, Ks, Rs, ts, z_gt = _textured_plane_views(
+        depth0=4.0, slope=0.0)
+    opt = PatchMatchOptions(depth_min=1.0, depth_max=20.0,
+                            num_iterations=8, window_radius=3,
+                            filter=True, geom_consistency=True,
+                            filter_min_num_consistent=1)
+    # Exact source depth maps of the same plane (fronto-parallel at
+    # z=4 in each source frame up to the small baselines): use the
+    # photometric result of each source as in the CLI's two-pass flow;
+    # here the plane is z=4 in all frames (pure x-translations).
+    src_depths = np.full((srcs.shape[0],) + srcs.shape[1:], 4.0,
+                         np.float32)
+    res = patch_match_stereo(jnp.asarray(ref), jnp.asarray(srcs),
+                             jnp.asarray(K), jnp.asarray(Ks),
+                             jnp.asarray(Rs), jnp.asarray(ts),
+                             key=jax.random.PRNGKey(0), options=opt,
+                             src_depths=jnp.asarray(src_depths))
+    depth = np.asarray(res.depth)
+    inner = depth[10:-10, 15:-15]
+    gt = z_gt[10:-10, 15:-15]
+    ok = inner > 0
+    assert ok.mean() > 0.7, f"geom filter kept only {ok.mean():.2%}"
+    rel = np.abs(inner[ok] - gt[ok]) / gt[ok]
+    assert np.median(rel) < 0.01
+
+    # Inconsistent sources: the geometric term drags the solution away
+    # from (or filters out) the photometric optimum -> far fewer pixels
+    # recover the true depth than in the consistent case.
+    res_bad = patch_match_stereo(
+        jnp.asarray(ref), jnp.asarray(srcs), jnp.asarray(K),
+        jnp.asarray(Ks), jnp.asarray(Rs), jnp.asarray(ts),
+        key=jax.random.PRNGKey(0), options=opt,
+        src_depths=jnp.asarray(src_depths * 0.3))
+    inner_bad = np.asarray(res_bad.depth)[10:-10, 15:-15]
+    good_bad = ((inner_bad > 0)
+                & (np.abs(inner_bad - gt) / gt < 0.03)).mean()
+    assert good_bad < 0.5, \
+        f"conflicting src depths still recovered {good_bad:.2%} of gt"

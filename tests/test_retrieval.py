@@ -89,3 +89,43 @@ def test_visual_index_retrieves_similar_images():
     assert pairs.shape[1] == 2
     assert (pairs[:, 0] < pairs[:, 1]).all()
     assert len(pairs) >= 10
+
+
+def test_load_colmap_vocab_tree_format(tmp_path):
+    """Round-trip the COLMAP visual-words binary block
+    (ref: visual_index.h:539-558 Read format)."""
+    import struct
+
+    from sba_tpu.retrieval.vocab_tree import (
+        load_any_vocab_tree,
+        load_colmap_vocab_tree,
+        quantize_descriptors,
+    )
+
+    rng = np.random.default_rng(0)
+    words = rng.integers(0, 256, size=(64, 128), dtype=np.uint8)
+    path = tmp_path / "tree.bin"
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", 64))
+        f.write(struct.pack("<Q", 128))
+        f.write(words.tobytes())
+        f.write(b"\x00" * 32)  # trailing FLANN index bytes (ignored)
+    tree = load_colmap_vocab_tree(str(path))
+    assert tree.num_words == 64
+    assert tree.depth == 1
+    # A word's own (normalized) descriptor quantizes to itself.
+    q = words[:8].astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    ids = np.asarray(quantize_descriptors(tree, q))
+    np.testing.assert_array_equal(ids, np.arange(8))
+    # Dispatcher accepts both formats.
+    tree2 = load_any_vocab_tree(str(path))
+    assert tree2.num_words == 64
+    # Corrupt header rejected.
+    bad = tmp_path / "bad.bin"
+    with open(bad, "wb") as f:
+        f.write(struct.pack("<Q", 64))
+        f.write(struct.pack("<Q", 64))  # wrong cols
+        f.write(b"\x00" * (64 * 64))
+    with pytest.raises(ValueError):
+        load_colmap_vocab_tree(str(bad))
