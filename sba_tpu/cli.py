@@ -1133,6 +1133,553 @@ def run_project_generator(flags):
     print(f"wrote {output_path}")
 
 
+
+
+# ---------------------------------------------------------------------------
+# remaining reference commands (ref: exe/colmap.cc:101-147 registry)
+# ---------------------------------------------------------------------------
+
+
+def run_color_extractor(flags):
+    """Per-point mean RGB from the images (ref: exe/sfm.cc:231
+    RunColorExtractor -> Reconstruction::ExtractColorsForAllImages)."""
+    from sba_tpu.models.reconstruction import Reconstruction
+
+    output_path, = _require(flags, "output_path")
+    rec = Reconstruction.read(flags.get("input_path", output_path))
+    n = rec.extract_colors(flags.get("image_path", ""))
+    os.makedirs(output_path, exist_ok=True)
+    rec.write(output_path)
+    print(f"colored {n} / {rec.num_points3d()} points -> {output_path}")
+
+
+def run_point_filtering(flags):
+    """Filter 3D points by reprojection error / triangulation angle /
+    track length (ref: exe/sfm.cc:366 RunPointFiltering)."""
+    from sba_tpu.models.reconstruction import Reconstruction
+
+    input_path, output_path = _require(flags, "input_path", "output_path")
+    min_track_len = int(flags.get("min_track_len", 2))
+    max_reproj_error = float(flags.get("max_reproj_error", 4.0))
+    min_tri_angle = float(flags.get("min_tri_angle", 1.5))
+    rec = Reconstruction.read(input_path)
+    n = rec.filter_points_large_reprojection_error(max_reproj_error)
+    n += rec.filter_points_min_tri_angle(min_tri_angle)
+    for pid in list(rec.points3D.keys()):
+        p = rec.points3D.get(pid)
+        if p is not None and len(p.image_ids) < min_track_len:
+            n += len(p.image_ids)
+            rec.delete_point3d(pid)
+    os.makedirs(output_path, exist_ok=True)
+    rec.write(output_path)
+    print(f"Filtered observations: {n}")
+
+
+def run_image_deleter(flags):
+    """Deregister images listed by id or name (ref: exe/image.cc:77
+    RunImageDeleter)."""
+    from sba_tpu.models.reconstruction import Reconstruction
+
+    input_path, output_path = _require(flags, "input_path", "output_path")
+    rec = Reconstruction.read(input_path)
+
+    def lines(path):
+        with open(path) as f:
+            return [l.strip() for l in f if l.strip()]
+
+    if flags.get("image_ids_path"):
+        for s in lines(flags["image_ids_path"]):
+            iid = int(s)
+            if iid in rec.images and rec.is_registered(iid):
+                print(f"Deleting image_id={iid}, "
+                      f"image_name={rec.images[iid].name}")
+                rec.deregister_image(iid)
+            else:
+                print(f"WARNING: Skipping image_id={s} (not found)")
+    if flags.get("image_names_path"):
+        by_name = {im.name: iid for iid, im in rec.images.items()}
+        for name in lines(flags["image_names_path"]):
+            iid = by_name.get(name)
+            if iid is not None and rec.is_registered(iid):
+                print(f"Deleting image_id={iid}, image_name={name}")
+                rec.deregister_image(iid)
+            else:
+                print(f"WARNING: Skipping image_name={name} (not found)")
+    os.makedirs(output_path, exist_ok=True)
+    rec.write(output_path)
+
+
+def run_image_filterer(flags):
+    """Deregister images with degenerate intrinsics or too few
+    observations (ref: exe/image.cc:155 RunImageFilterer)."""
+    from sba_tpu.models.reconstruction import Reconstruction
+
+    input_path, output_path = _require(flags, "input_path", "output_path")
+    rec = Reconstruction.read(input_path)
+    before = rec.num_registered_images()
+    rec.filter_images(
+        float(flags.get("min_focal_length_ratio", 0.1)),
+        float(flags.get("max_focal_length_ratio", 10.0)),
+        float(flags.get("max_extra_param", 100.0)))
+    min_obs = int(flags.get("min_num_observations", 10))
+    for iid in list(rec.registered_image_ids):
+        if rec.images[iid].num_points3d() < min_obs:
+            rec.deregister_image(iid)
+    print(f"Filtered {before - rec.num_registered_images()} images "
+          f"from a total of {before} images")
+    os.makedirs(output_path, exist_ok=True)
+    rec.write(output_path)
+
+
+def _parse_boundary(boundary, rec):
+    vals = [float(v) for v in boundary.split(",")]
+    if len(vals) == 6:
+        return np.array(vals[:3]), np.array(vals[3:])
+    if len(vals) == 2:
+        return rec.compute_bounding_box(vals[0], vals[1])
+    raise SystemExit("ERROR: Invalid `boundary` - supported values are "
+                     "'x1,y1,z1,x2,y2,z2' or 'p1,p2'.")
+
+
+def run_model_cropper(flags):
+    """Crop a model to a bounding box (ref: exe/model.cc:613
+    RunModelCropper; absolute or percentile boundary)."""
+    from sba_tpu.models.reconstruction import Reconstruction
+
+    input_path, output_path, boundary = _require(
+        flags, "input_path", "output_path", "boundary")
+    rec = Reconstruction.read(input_path)
+    lo, hi = _parse_boundary(boundary, rec)
+    lo, hi = np.minimum(lo, hi), np.maximum(lo, hi)
+    cropped = rec.crop((lo, hi))
+    os.makedirs(output_path, exist_ok=True)
+    cropped.write(output_path)
+    print(f"cropped to [{lo}, {hi}]: {cropped.num_points3d()} points, "
+          f"{cropped.num_registered_images()} registered images")
+
+
+def run_model_splitter(flags):
+    """Split a model into spatial sub-models (ref: exe/model.cc:798
+    RunModelSplitter; split_type in {tiles, extent, parts})."""
+    from sba_tpu.models.reconstruction import Reconstruction
+
+    input_path, output_path, split_type, split_params = _require(
+        flags, "input_path", "output_path", "split_type", "split_params")
+    min_reg_images = int(flags.get("min_reg_images", 10))
+    min_num_points = int(flags.get("min_num_points", 100))
+    overlap = max(float(flags.get("overlap_ratio", 0.0)), 0.0)
+    rec = Reconstruction.read(input_path)
+    lo, hi = rec.compute_bounding_box(0.0, 1.0)
+    extent = np.maximum(hi - lo, 1e-9)
+
+    boxes = []
+    st = split_type.lower()
+    if st == "tiles":
+        sizes = np.array([float(v) for v in split_params.split(",")])
+        if sizes.size == 1:
+            sizes = np.repeat(sizes, 2)
+        counts = np.maximum(np.ceil(extent[:2] / sizes[:2]), 1).astype(int)
+        for i in range(counts[0]):
+            for j in range(counts[1]):
+                b_lo = lo.copy()
+                b_hi = hi.copy()
+                b_lo[0] = lo[0] + i * sizes[0]
+                b_hi[0] = b_lo[0] + sizes[0]
+                b_lo[1] = lo[1] + j * sizes[1]
+                b_hi[1] = b_lo[1] + sizes[1]
+                boxes.append((b_lo, b_hi))
+    elif st == "extent":
+        sizes = np.array([float(v) for v in split_params.split(",")])
+        if sizes.size < 3:
+            sizes = np.concatenate([sizes,
+                                    extent[sizes.size:]])
+        counts = np.maximum(np.ceil(extent / sizes), 1).astype(int)
+        for i in range(counts[0]):
+            for j in range(counts[1]):
+                for k in range(counts[2]):
+                    b_lo = lo + np.array([i, j, k]) * sizes
+                    boxes.append((b_lo, b_lo + sizes))
+    elif st == "parts":
+        n = int(split_params)
+        axis = int(np.argmax(extent))
+        step = extent[axis] / max(n, 1)
+        for i in range(n):
+            b_lo = lo.copy()
+            b_hi = hi.copy()
+            b_lo[axis] = lo[axis] + i * step
+            b_hi[axis] = b_lo[axis] + step
+            boxes.append((b_lo, b_hi))
+    else:
+        raise SystemExit("ERROR: Invalid `split_type` - supported values "
+                         "are {tiles, extent, parts}.")
+
+    os.makedirs(output_path, exist_ok=True)
+    written = 0
+    for idx, (b_lo, b_hi) in enumerate(boxes):
+        pad = (b_hi - b_lo) * overlap
+        sub = rec.crop((b_lo - pad, b_hi + pad))
+        if sub.num_registered_images() < min_reg_images or \
+                sub.num_points3d() < min_num_points:
+            continue
+        d = os.path.join(output_path, str(written))
+        os.makedirs(d, exist_ok=True)
+        sub.write(d)
+        written += 1
+    print(f"wrote {written} / {len(boxes)} sub-models -> {output_path}")
+
+
+def _read_transform_file(path):
+    """3x4 or 4x4 [sR | t] row-major text matrix
+    (ref: SimilarityTransform3::FromFile)."""
+    vals = []
+    with open(path) as f:
+        for line in f:
+            vals.extend(float(v) for v in line.split())
+    m = np.array(vals)
+    if m.size not in (12, 16):
+        raise SystemExit(f"{path}: expected a 3x4 or 4x4 transform")
+    m = m.reshape(-1, 4)[:3]
+    sR = m[:, :3]
+    s = float(np.cbrt(np.linalg.det(sR)))
+    return s, sR / s, m[:, 3]
+
+
+def run_model_transformer(flags):
+    """Apply a similarity transform from file to a sparse model or PLY
+    cloud (ref: exe/model.cc:983 RunModelTransformer)."""
+    from sba_tpu.estimators.coordinate_frame import transform_reconstruction
+    from sba_tpu.models.reconstruction import Reconstruction
+
+    input_path, output_path, transform_path = _require(
+        flags, "input_path", "output_path", "transform_path")
+    s, R, t = _read_transform_file(transform_path)
+    if flags.get("is_inverse", "0") in ("1", "true", "True"):
+        s, R, t = 1.0 / s, R.T, -(R.T @ t) / s
+    if input_path.endswith(".ply"):
+        from sba_tpu.io.ply import read_ply, write_ply
+
+        cloud = read_ply(input_path)
+        xyz = s * (cloud["xyz"] @ R.T) + t
+        normals = cloud.get("normals")
+        if normals is not None:
+            normals = normals @ R.T
+        write_ply(output_path, xyz, rgb=cloud.get("rgb"), normals=normals)
+        print(f"transformed {len(xyz)} PLY points -> {output_path}")
+        return
+    rec = Reconstruction.read(input_path)
+    transform_reconstruction(rec, s, R, t)
+    os.makedirs(output_path, exist_ok=True)
+    rec.write(output_path)
+    print(f"transformed model (scale {s:.6f}) -> {output_path}")
+
+
+def run_feature_importer(flags):
+    """Import features from COLMAP text files: <name>.txt with header
+    'N 128' and rows 'x y scale orientation d0..d127'
+    (ref: exe/feature.cc:179 RunFeatureImporter)."""
+    from sba_tpu.geometry import camera_models
+    from sba_tpu.io.database import Database
+    from sba_tpu.io.image_reader import ImageReaderOptions, \
+        camera_params_for_image
+    from PIL import Image as PILImage
+
+    db_path, image_path, import_path = _require(
+        flags, "database_path", "image_path", "import_path")
+    camera_model = flags.get("ImageReader.camera_model", "SIMPLE_RADIAL")
+    single_camera = flags.get("ImageReader.single_camera", "0") in (
+        "1", "true", "True")
+    names = _list_images(image_path, flags.get("image_list_path"))
+    spec = camera_models.model_by_name(camera_model)
+    reader_opt = ImageReaderOptions(camera_model=camera_model,
+                                    single_camera=single_camera)
+    db = Database(db_path)
+    shared_camera_id = None
+    n_imported = 0
+    for name in names:
+        full = os.path.join(image_path, name)
+        feat_path = os.path.join(import_path, name + ".txt")
+        if not os.path.exists(feat_path):
+            print(f"WARNING: no feature file for {name}")
+            continue
+        with PILImage.open(full) as im:
+            w, h = im.size
+        if shared_camera_id is None or not single_camera:
+            _m, params, has_prior = camera_params_for_image(
+                full, w, h, reader_opt)
+            cam_id = db.write_camera(spec.model_id, w, h, params,
+                                     prior_focal_length=has_prior)
+            if single_camera:
+                shared_camera_id = cam_id
+        else:
+            cam_id = shared_camera_id
+        image_id = db.write_image(name, cam_id)
+        with open(feat_path) as f:
+            header = f.readline().split()
+            n, dim = int(header[0]), int(header[1])
+            if dim != 128:
+                raise SystemExit(f"{feat_path}: descriptor dim {dim} != 128")
+            rows = np.loadtxt(f, ndmin=2) if n else np.zeros((0, 132))
+        if len(rows) != n:
+            raise SystemExit(f"{feat_path}: expected {n} rows, "
+                             f"got {len(rows)}")
+        kps = rows[:, :4].astype(np.float32) if n else \
+            np.zeros((0, 4), np.float32)
+        desc = rows[:, 4:4 + 128].astype(np.uint8) if n else \
+            np.zeros((0, 128), np.uint8)
+        db.write_keypoints(image_id, kps)
+        db.write_descriptors(image_id, desc)
+        n_imported += 1
+        print(f"  {name}: {n} features")
+    db.commit()
+    db.close()
+    print(f"imported features for {n_imported} images -> {db_path}")
+
+
+def run_image_rectifier(flags):
+    """Undistort + planar-rectify stereo pairs (ref: exe/image.cc:204
+    RunImageRectifier; stereo_pairs_list = two image names per line)."""
+    import jax.numpy as jnp
+    from PIL import Image as PILImage
+
+    from sba_tpu.geometry.quaternions import (
+        pose_inverse, pose_product)
+    from sba_tpu.geometry.undistortion import (
+        UndistortCameraOptions, rectify_and_undistort_stereo_pair)
+    from sba_tpu.models.reconstruction import Reconstruction
+
+    input_path, output_path, pairs_list = _require(
+        flags, "input_path", "output_path", "stereo_pairs_list")
+    image_path = flags.get("image_path", "")
+    opt = apply_flags(UndistortCameraOptions(), "UndistortCamera", flags)
+    rec = Reconstruction.read(input_path)
+    by_name = {im.name: iid for iid, im in rec.images.items()}
+    os.makedirs(output_path, exist_ok=True)
+    with open(pairs_list) as f:
+        pairs = [l.split() for l in f if l.strip()]
+    for n1, n2 in pairs:
+        if n1 not in by_name or n2 not in by_name:
+            print(f"WARNING: skipping pair {n1} {n2} (not in model)")
+            continue
+        im1 = rec.images[by_name[n1]]
+        im2 = rec.images[by_name[n2]]
+        cam1 = rec.cameras[im1.camera_id]
+        cam2 = rec.cameras[im2.camera_id]
+        q1_inv, t1_inv = pose_inverse(jnp.asarray(im1.qvec),
+                                      jnp.asarray(im1.tvec))
+        q_rel, t_rel = pose_product(jnp.asarray(im2.qvec),
+                                    jnp.asarray(im2.tvec), q1_inv, t1_inv)
+        img1 = np.asarray(PILImage.open(
+            os.path.join(image_path, n1)).convert("RGB"), np.float32)
+        img2 = np.asarray(PILImage.open(
+            os.path.join(image_path, n2)).convert("RGB"), np.float32)
+        r1, r2, und_cam, Q = rectify_and_undistort_stereo_pair(
+            img1, img2, cam1, cam2, np.asarray(q_rel), np.asarray(t_rel),
+            opt)
+        pair_dir = os.path.join(output_path,
+                                f"{os.path.splitext(n1)[0]}-"
+                                f"{os.path.splitext(n2)[0]}")
+        os.makedirs(pair_dir, exist_ok=True)
+        for tag, arr in (("left", r1), ("right", r2)):
+            PILImage.fromarray(np.clip(np.asarray(arr), 0, 255)
+                               .astype(np.uint8)).save(
+                os.path.join(pair_dir, f"{tag}.png"))
+        np.savetxt(os.path.join(pair_dir, "Q.txt"), Q)
+        print(f"  rectified {n1} / {n2} -> {pair_dir}")
+
+
+def run_image_undistorter_standalone(flags):
+    """Undistort images given explicit per-image camera specs
+    (ref: exe/image.cc:407; input_file lines =
+    'image_name CAMERA_MODEL w h params...')."""
+    from PIL import Image as PILImage
+
+    from sba_tpu.geometry import camera_models
+    from sba_tpu.geometry.undistortion import (
+        UndistortCameraOptions, undistort_image)
+    from sba_tpu.io.colmap_models import Camera
+
+    input_file, output_path = _require(flags, "input_file", "output_path")
+    image_path = flags.get("image_path", "")
+    opt = apply_flags(UndistortCameraOptions(), "UndistortCamera", flags)
+    os.makedirs(output_path, exist_ok=True)
+    n = 0
+    with open(input_file) as f:
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            name, model_name, w, h = parts[0], parts[1], int(parts[2]), \
+                int(parts[3])
+            spec = camera_models.model_by_name(model_name)
+            params = np.array([float(v) for v in parts[4:]])
+            if len(params) != spec.num_params:
+                raise SystemExit(
+                    f"{name}: {model_name} needs {spec.num_params} params")
+            cam = Camera(1, spec.model_id, w, h, params)
+            img = np.asarray(PILImage.open(
+                os.path.join(image_path, name)).convert("RGB"), np.float32)
+            und, _und_cam = undistort_image(img, cam, opt)
+            out = os.path.join(output_path, name)
+            os.makedirs(os.path.dirname(out) or output_path, exist_ok=True)
+            PILImage.fromarray(np.clip(np.asarray(und), 0, 255)
+                               .astype(np.uint8)).save(out)
+            n += 1
+    print(f"undistorted {n} images -> {output_path}")
+
+
+def run_rig_bundle_adjuster(flags):
+    """Rig-constrained bundle adjustment (ref: exe/sfm.cc:728
+    RunRigBundleAdjuster; rig_config_path = JSON with ref_camera_id +
+    per-camera image_prefix)."""
+    import json
+
+    import jax.numpy as jnp
+
+    from sba_tpu.models.camera_rig import CameraRig, rig_bundle_adjust
+    from sba_tpu.models.reconstruction import Reconstruction
+    from sba_tpu.optim.ba import BAOptions, build_problem
+
+    input_path, output_path, rig_config_path = _require(
+        flags, "input_path", "output_path", "rig_config_path")
+    rec = Reconstruction.read(input_path)
+    with open(rig_config_path) as f:
+        config = json.load(f)
+
+    arrays = rec.to_arrays()
+    row_of = {int(iid): r for r, iid in enumerate(arrays.image_ids)}
+    n_img = arrays.num_images
+    snap_ids = np.full(n_img, -1, np.int64)
+    cam_qs = np.tile(np.array([1.0, 0, 0, 0]), (n_img, 1))
+    cam_ts = np.zeros((n_img, 3))
+    n_snaps = 0
+    rigs = []
+    for rig_cfg in config:
+        rig = CameraRig(ref_camera_id=int(rig_cfg["ref_camera_id"]))
+        prefix_of = {}
+        for cam_cfg in rig_cfg["cameras"]:
+            rig.add_camera(int(cam_cfg["camera_id"]))
+            prefix_of[int(cam_cfg["camera_id"])] = \
+                cam_cfg.get("image_prefix", "")
+        # Group images into snapshots by the name with the camera's
+        # prefix stripped (ref: ReadCameraRigConfig).
+        groups = {}
+        for iid, im in rec.images.items():
+            if not rec.is_registered(iid) or \
+                    im.camera_id not in prefix_of:
+                continue
+            suffix = im.name[len(prefix_of[im.camera_id]):]
+            groups.setdefault(suffix, []).append(iid)
+        for suffix in sorted(groups):
+            rig.add_snapshot(groups[suffix])
+        rig.compute_rig_from_reconstruction(rec)
+        rigs.append(rig)
+        for snap in rig.snapshots:
+            for iid in snap:
+                row = row_of.get(int(iid))
+                if row is None:
+                    continue
+                snap_ids[row] = n_snaps
+                q, t = rig.cams_from_rig[rec.images[iid].camera_id]
+                cam_qs[row] = q
+                cam_ts[row] = t
+            n_snaps += 1
+        print(f"Camera Rig: {rig.num_cameras()} cameras, "
+              f"{len(rig.snapshots)} snapshots")
+    # Images outside every rig get their own singleton snapshot.
+    for row in range(n_img):
+        if snap_ids[row] < 0:
+            snap_ids[row] = n_snaps
+            n_snaps += 1
+
+    problem = build_problem(arrays, constant_pose_rows=(0,))
+    opt = apply_flags(BAOptions(), "BundleAdjustment", flags)
+    refine_rel = flags.get("RigBundleAdjustment.refine_relative_poses",
+                           "0") in ("1", "true", "True")
+    out = rig_bundle_adjust(
+        problem, snap_ids, jnp.asarray(cam_qs), jnp.asarray(cam_ts),
+        options=opt, refine_relative_poses=refine_rel)
+    rec.update_from_arrays(arrays,
+                           qvecs=np.asarray(out["image_qvecs"]),
+                           tvecs=np.asarray(out["image_tvecs"]))
+    os.makedirs(output_path, exist_ok=True)
+    rec.write(output_path)
+    print(f"rig BA final cost: {float(out['final_cost']):.6g}")
+
+
+def run_transitive_matcher(flags):
+    """Complete match graph transitively: match A-C when A-B and B-C
+    matched (ref: exe/feature.cc:356 RunTransitiveMatcher)."""
+    from sba_tpu.features.pairing import transitive_pairs
+    from sba_tpu.io.database import Database
+
+    db_path, = _require(flags, "database_path")
+    num_iterations = int(flags.get("TransitiveMatching.num_iterations",
+                                   "3"))
+    db = Database(db_path)
+    image_ids = sorted(db.read_images())
+    idx_of = {iid: i for i, iid in enumerate(image_ids)}
+    for it in range(num_iterations):
+        existing = np.array(
+            [(idx_of[a], idx_of[b])
+             for (a, b) in db.read_all_matches()
+             if a in idx_of and b in idx_of], np.int64).reshape(-1, 2)
+        pairs = transitive_pairs(existing, len(image_ids))
+        done = {tuple(sorted(p)) for p in existing.tolist()}
+        new = [p for p in pairs.tolist()
+               if tuple(sorted(p)) not in done]
+        if not new:
+            break
+        print(f"iteration {it + 1}: {len(new)} new pairs")
+        _match_and_verify(db, np.array(new), image_ids, flags)
+    db.close()
+
+
+def run_vocab_tree_retriever(flags):
+    """Rank database images for query images via the vocab tree
+    (ref: exe/vocab_tree.cc:155 RunVocabTreeRetriever)."""
+    from sba_tpu.io.database import Database
+    from sba_tpu.retrieval.visual_index import VisualIndex
+    from sba_tpu.retrieval.vocab_tree import load_any_vocab_tree
+
+    db_path, tree_path = _require(flags, "database_path",
+                                  "vocab_tree_path")
+    num_images = int(flags.get("num_images", 10))
+    tree = load_any_vocab_tree(tree_path)
+    db = Database(db_path)
+    names = {iid: img["name"] for iid, img in db.read_images().items()}
+
+    def id_list(path_key):
+        p = flags.get(path_key)
+        if not p:
+            return sorted(names)
+        with open(p) as f:
+            wanted = {l.strip() for l in f if l.strip()}
+        return sorted(i for i, n in names.items() if n in wanted)
+
+    index = VisualIndex(tree)
+    db_ids = id_list("database_image_list_path")
+    descs = {}
+    for iid in db_ids:
+        d = db.read_descriptors(iid)
+        if len(d):
+            index.add_image(iid, d)
+            descs[iid] = d
+    index.prepare()
+    for iid in id_list("query_image_list_path"):
+        d = descs.get(iid)
+        if d is None:
+            d = db.read_descriptors(iid)
+        if not len(d):
+            continue
+        ranked = index.query(d, num_images=num_images)
+        print(f"{names[iid]}:")
+        for other, score in ranked:
+            if other == iid:
+                continue
+            print(f"  {names[other]}  score={score:.4f}")
+    db.close()
+
+
 COMMANDS = {
     "database_creator": run_database_creator,
     "database_cleaner": run_database_cleaner,
@@ -1142,8 +1689,11 @@ COMMANDS = {
     "sequential_matcher": run_sequential_matcher,
     "spatial_matcher": run_spatial_matcher,
     "matches_importer": run_matches_importer,
+    "feature_importer": run_feature_importer,
+    "transitive_matcher": run_transitive_matcher,
     "vocab_tree_builder": run_vocab_tree_builder,
     "vocab_tree_matcher": run_vocab_tree_matcher,
+    "vocab_tree_retriever": run_vocab_tree_retriever,
     "mapper": run_mapper,
     "hierarchical_mapper": run_hierarchical_mapper,
     "automatic_reconstructor": run_automatic_reconstructor,
@@ -1155,14 +1705,25 @@ COMMANDS = {
     "image_undistorter": run_image_undistorter,
     "patch_match_stereo": run_patch_match_stereo,
     "stereo_fuser": run_stereo_fuser,
+    "stereo_fusion": run_stereo_fuser,
     "poisson_mesher": run_poisson_mesher,
     "delaunay_mesher": run_delaunay_mesher,
     "image_registrator": run_image_registrator,
+    "image_deleter": run_image_deleter,
+    "image_filterer": run_image_filterer,
+    "image_rectifier": run_image_rectifier,
+    "image_undistorter_standalone": run_image_undistorter_standalone,
+    "color_extractor": run_color_extractor,
+    "point_filtering": run_point_filtering,
+    "rig_bundle_adjuster": run_rig_bundle_adjuster,
     "model_merger": run_model_merger,
     "model_converter": run_model_converter,
     "model_analyzer": run_model_analyzer,
     "model_viewer": run_model_viewer,
     "model_aligner": run_model_aligner,
+    "model_cropper": run_model_cropper,
+    "model_splitter": run_model_splitter,
+    "model_transformer": run_model_transformer,
     "model_orientation_aligner": run_model_orientation_aligner,
     "model_comparer": run_model_comparer,
     "project_generator": run_project_generator,

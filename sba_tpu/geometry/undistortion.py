@@ -174,3 +174,97 @@ def undistort_reconstruction(reconstruction,
         image.xys = np.asarray(xy)
     reconstruction.cameras.update(new_cams)
     return new_cams
+
+
+def rectify_stereo_cameras(camera1: Camera, camera2: Camera, qvec, tvec):
+    """Planar stereo rectification homographies (pinhole cameras)
+    (ref: base/undistortion.cc:978-1040 RectifyStereoCameras).
+
+    qvec/tvec: relative pose x2 = R x1 + t between the two (undistorted)
+    cameras. Returns (H1 [3,3], H2 [3,3], Q [4,4]) with H* acting on
+    homogeneous pixel coordinates and Q the disparity-to-depth matrix.
+    """
+    import numpy as np
+
+    from sba_tpu.geometry.quaternions import (
+        angle_axis_to_quat, quat_to_angle_axis, quat_to_rotmat)
+
+    aa = np.asarray(quat_to_angle_axis(jnp.asarray(qvec, jnp.float64)))
+    R2 = np.asarray(quat_to_rotmat(angle_axis_to_quat(
+        jnp.asarray(-0.5 * aa))))
+    R1 = R2.T
+    t = R2 @ np.asarray(tvec, np.float64)
+
+    x_unit = np.array([1.0, 0, 0]) if t[0] >= 0 else np.array([-1.0, 0, 0])
+    axis = np.cross(t, x_unit)
+    if np.linalg.norm(axis) < 1e-15:
+        R_x = np.eye(3)
+    else:
+        angle = np.arccos(np.clip(abs(float(t @ x_unit))
+                                  / np.linalg.norm(t), -1, 1))
+        R_x = np.asarray(quat_to_rotmat(angle_axis_to_quat(
+            jnp.asarray(angle * axis / np.linalg.norm(axis)))))
+    R1 = R_x @ R1
+    R2 = R_x @ R2
+    t = R_x @ t
+
+    def K_of(cam):
+        spec = camera_models.model_by_id(cam.model_id)
+        p = cam.params
+        fi = spec.focal_idxs
+        cx, cy = (p[i] for i in spec.principal_idxs)
+        return np.array([[p[fi[0]], 0, cx], [0, p[fi[-1]], cy],
+                         [0, 0, 1.0]])
+
+    K1, K2 = K_of(camera1), K_of(camera2)
+    K = np.eye(3)
+    K[0, 0] = K[1, 1] = min(camera1.mean_focal_length(),
+                            camera2.mean_focal_length())
+    K[0, 2] = K1[0, 2]
+    K[1, 2] = 0.5 * (K1[1, 2] + K2[1, 2])
+    H1 = K @ R1 @ np.linalg.inv(K1)
+    H2 = K @ R2 @ np.linalg.inv(K2)
+    Q = np.eye(4)
+    Q[3, 0] = -K[1, 2]
+    Q[3, 1] = -K[0, 2]
+    Q[3, 2] = K[0, 0]
+    Q[2, 3] = -1.0 / t[0]
+    Q[3, 3] = 0.0
+    return H1, H2, Q
+
+
+def rectify_and_undistort_stereo_pair(image1, image2, camera1: Camera,
+                                      camera2: Camera, qvec, tvec,
+                                      options=None):
+    """Undistort + rectify a stereo pair
+    (ref: base/undistortion.cc:1042-1089). Returns (img1, img2,
+    undistorted Camera, Q). Both outputs share camera1's undistorted
+    geometry, as in the reference."""
+    import numpy as np
+
+    und_cam = undistort_camera(camera1, options)
+    H1, H2, Q = rectify_stereo_cameras(und_cam, und_cam, qvec, tvec)
+
+    def warp(img, src_cam, H):
+        # dst rectified pixel -> undistorted pixel (H^-1) -> source.
+        dh, dw = und_cam.height, und_cam.width
+        yy, xx = jnp.meshgrid(jnp.arange(dh) + 0.5, jnp.arange(dw) + 0.5,
+                              indexing="ij")
+        ph = jnp.stack([xx.reshape(-1), yy.reshape(-1),
+                        jnp.ones(dh * dw)], -1)
+        Hinv = jnp.asarray(np.linalg.inv(H))
+        pu = ph @ Hinv.T
+        pu = pu[:, :2] / jnp.where(jnp.abs(pu[:, 2:]) > 1e-12,
+                                   pu[:, 2:], 1e-12)
+        uv = camera_models.image_to_world(
+            und_cam.model_id, jnp.asarray(und_cam.params, jnp.float64), pu)
+        src_xy = camera_models.world_to_image(
+            src_cam.model_id, jnp.asarray(src_cam.params, jnp.float64), uv)
+        arr = jnp.asarray(img)
+        if arr.ndim == 2:
+            return bilinear_sample2d(arr, src_xy - 0.5).reshape(dh, dw)
+        return jnp.stack(
+            [bilinear_sample2d(arr[..., c], src_xy - 0.5).reshape(dh, dw)
+             for c in range(arr.shape[-1])], -1)
+
+    return warp(image1, camera1, H1), warp(image2, camera2, H2), und_cam, Q

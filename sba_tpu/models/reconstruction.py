@@ -261,6 +261,144 @@ class Reconstruction:
                 num_filtered += 1
         return num_filtered
 
+    def filter_points_min_tri_angle(self, min_tri_angle_deg: float) -> int:
+        """Delete points whose maximum pairwise triangulation angle over
+        the track is below the threshold
+        (ref: reconstruction.cc FilterPoints3DWithSmallTriangulationAngle)."""
+        from sba_tpu.geometry.quaternions import quat_rotate
+
+        centers = {}
+        for iid in self.registered_image_ids:
+            im = self.images[iid]
+            q_inv = np.array([im.qvec[0], -im.qvec[1], -im.qvec[2],
+                              -im.qvec[3]])
+            centers[iid] = -np.asarray(quat_rotate(q_inv, im.tvec))
+        min_cos = np.cos(np.deg2rad(min_tri_angle_deg))
+        num_filtered = 0
+        for pid in list(self.points3D.keys()):
+            p = self.points3D.get(pid)
+            if p is None:
+                continue
+            rays = []
+            for image_id in p.image_ids:
+                c = centers.get(int(image_id))
+                if c is None:
+                    continue
+                r = p.xyz - c
+                n = np.linalg.norm(r)
+                if n > 1e-12:
+                    rays.append(r / n)
+            ok = False
+            for i in range(len(rays)):
+                for j in range(i + 1, len(rays)):
+                    if abs(float(rays[i] @ rays[j])) < min_cos:
+                        ok = True
+                        break
+                if ok:
+                    break
+            if not ok:
+                num_filtered += len(p.image_ids)
+                self.delete_point3d(pid)
+        return num_filtered
+
+    def filter_images(self, min_focal_length_ratio: float = 0.1,
+                      max_focal_length_ratio: float = 10.0,
+                      max_extra_param: float = 100.0) -> list:
+        """Deregister images with degenerate intrinsics
+        (ref: reconstruction.cc FilterImages / camera HasBogusParams)."""
+        from sba_tpu.geometry import camera_models
+
+        filtered = []
+        for iid in list(self.registered_image_ids):
+            im = self.images[iid]
+            cam = self.cameras[im.camera_id]
+            spec = camera_models.model_by_id(cam.model_id)
+            ratio_ok = True
+            for fi in spec.focal_idxs:
+                ratio = cam.params[fi] / max(cam.width, cam.height)
+                if not (min_focal_length_ratio < ratio
+                        < max_focal_length_ratio):
+                    ratio_ok = False
+            extra_ok = all(abs(cam.params[i]) <= max_extra_param
+                           for i in spec.extra_idxs)
+            if not (ratio_ok and extra_ok):
+                self.deregister_image(iid)
+                filtered.append(iid)
+        return filtered
+
+    def compute_bounding_box(self, p0: float = 0.0, p1: float = 1.0):
+        """Percentile bounding box over the 3D points
+        (ref: reconstruction.cc ComputeBoundingBox)."""
+        if not self.points3D:
+            return np.zeros(3), np.zeros(3)
+        pts = np.stack([p.xyz for p in self.points3D.values()])
+        lo = np.quantile(pts, p0, axis=0)
+        hi = np.quantile(pts, p1, axis=0)
+        return lo, hi
+
+    def crop(self, bbox) -> "Reconstruction":
+        """New reconstruction containing the points inside bbox
+        = (lo [3], hi [3]) and the images observing them; images keep
+        their pose, registration limited to images with >= 1 surviving
+        point (ref: reconstruction.cc Crop)."""
+        import copy
+
+        lo, hi = np.asarray(bbox[0]), np.asarray(bbox[1])
+        out = Reconstruction()
+        out.cameras = copy.deepcopy(self.cameras)
+        for iid, im in self.images.items():
+            im2 = copy.deepcopy(im)
+            im2.point3D_ids = np.full_like(im.point3D_ids, -1)
+            out.images[iid] = im2
+        reg = set()
+        for pid, p in self.points3D.items():
+            if np.all(p.xyz >= lo) and np.all(p.xyz <= hi):
+                track = [(int(i), int(ix))
+                         for i, ix in zip(p.image_ids, p.point2D_idxs)]
+                new_pid = out.add_point3d(p.xyz.copy(), track,
+                                          rgb=tuple(p.rgb),
+                                          error=p.error)
+                del new_pid
+                reg.update(int(i) for i in p.image_ids)
+        out.registered_image_ids = [i for i in self.registered_image_ids
+                                    if i in reg]
+        return out
+
+    def extract_colors(self, image_path: str) -> int:
+        """Mean RGB over the track's observations for every 3D point
+        (ref: reconstruction.cc ExtractColorsForAllImages). Returns the
+        number of colored points."""
+        import os
+
+        from PIL import Image as PILImage
+
+        sums = {pid: np.zeros(3) for pid in self.points3D}
+        counts = {pid: 0 for pid in self.points3D}
+        for iid in self.registered_image_ids:
+            im = self.images[iid]
+            path = os.path.join(image_path, im.name)
+            if not os.path.exists(path):
+                continue
+            with PILImage.open(path) as f:
+                rgb = np.asarray(f.convert("RGB"), np.float64)
+            h, w = rgb.shape[:2]
+            tri = np.nonzero(im.point3D_ids != -1)[0]
+            for idx in tri:
+                x, y = im.xys[int(idx)]
+                xi = int(np.clip(round(x - 0.5), 0, w - 1))
+                yi = int(np.clip(round(y - 0.5), 0, h - 1))
+                pid = int(im.point3D_ids[int(idx)])
+                if pid in sums:
+                    sums[pid] += rgb[yi, xi]
+                    counts[pid] += 1
+        colored = 0
+        for pid, p in self.points3D.items():
+            if counts[pid]:
+                p.rgb = np.clip(sums[pid] / counts[pid], 0,
+                                255).astype(np.uint8)
+                colored += 1
+        return colored
+
     # -- IO ----------------------------------------------------------------
 
     @classmethod
@@ -276,7 +414,11 @@ class Reconstruction:
         return rec
 
     def write(self, path, ext=".bin") -> None:
-        cm.write_model(self.cameras, self.images, self.points3D, path, ext)
+        # Only registered images are serialized (ref: reconstruction.cc
+        # WriteImagesBinary/Text skip !IsRegistered()).
+        reg = set(self.registered_image_ids)
+        images = {iid: im for iid, im in self.images.items() if iid in reg}
+        cm.write_model(self.cameras, images, self.points3D, path, ext)
 
     def export_ply(self, path) -> None:
         cm.export_ply(self.points3D, path)
