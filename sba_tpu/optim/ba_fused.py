@@ -92,16 +92,107 @@ def _solve_reduced(S, b, free, opt: BAOptions):
         cond, body, (0, jnp.zeros_like(b), b, z0, jnp.dot(b, z0)))
     return x * free
 
+def _bucketize(problem: BAProblem, options: BAOptions, TP: int = 128,
+               max_buckets: int = 3):
+    """Partition points into track-length buckets (host-side).
 
-def _fused_step(static, lay, opt, qvecs, tvecs, pts_t, cams, lam,
-                free_arrays, interpret=False):
-    """One linearize + solve. Returns (u_pose [N,6], u_cam [C,12],
-    dp_t [3,Pp], predicted, g_inf)."""
-    N, C, Npad, Dk = lay.N, lay.C, lay.Npad, lay.Dk
-    nparams = lay.nparams
-    par = bk.pack_params(qvecs, tvecs, cams, static.image_cam, lay)
-    s_corr, img_red, ey, pt_pay, jw = bk.fused_schur(
-        static, par, pts_t, lam, lay, opt, interpret=interpret)
+    One global K (max track length) wastes up to K_max/K_mean in kernel
+    1 lanes; bucketing points by pow2-rounded track length bounds the
+    padding at 2x per bucket. Returns (buckets, pts0, perm_ranges):
+    buckets = [(static, lay, (lo, hi))] with [lo, hi) the bucket's
+    padded column range in the concatenated [3, P_total] point array;
+    perm_ranges = [(orig_idx [Pb], lo)] for un-permuting the result.
+    """
+    op = np.asarray(problem.obs_point)
+    oi = np.asarray(problem.obs_image)
+    oc = np.asarray(problem.obs_cam)
+    oxy = np.asarray(problem.obs_xy)
+    om = np.asarray(problem.obs_mask)
+    P = problem.points.shape[0]
+    counts = np.bincount(op[om > 0], minlength=P).astype(np.int64)
+    counts = np.maximum(counts, 1)
+
+    # Exact quantile-based slot counts (a pow2 rounding would inflate
+    # the top bucket; lanes are fine with any K since B = K*TP is
+    # always a multiple of 128).
+    qs = np.linspace(0, 1, max_buckets + 1)[1:]
+    ks = sorted({int(np.ceil(np.quantile(counts, q))) for q in qs})
+    ks[-1] = int(counts.max())
+    ks = sorted(set(ks))
+    k_of_point = np.empty(P, np.int64)
+    for p in range(P):
+        c = counts[p]
+        k_of_point[p] = next((k for k in ks if k >= c), ks[-1])
+
+    # Sort obs by point for slot assignment.
+    order = np.argsort(op, kind="stable")
+    offs = np.concatenate([[0], np.cumsum(np.bincount(op, minlength=P))])
+
+    buckets = []
+    perm_ranges = []
+    lo = 0
+    for K in ks:
+        idx = np.nonzero(k_of_point == K)[0]
+        if len(idx) == 0:
+            continue
+        Pb = len(idx)
+        Ob = Pb * K
+        sub_oi = np.zeros(Ob, np.int32)
+        sub_oc = np.zeros(Ob, np.int32)
+        sub_xy = np.zeros((Ob, 2), np.float64)
+        sub_m = np.zeros(Ob, np.float64)
+        for local, p in enumerate(idx):
+            rows = order[offs[p]:offs[p + 1]]
+            if len(rows) > K:
+                # Keep real observations ahead of masked/padding rows.
+                rows = rows[np.argsort(-om[rows], kind="stable")][:K]
+            n = len(rows)
+            base = local * K
+            sub_oi[base:base + n] = oi[rows]
+            sub_oc[base:base + n] = oc[rows]
+            sub_xy[base:base + n] = oxy[rows]
+            sub_m[base:base + n] = om[rows]
+        sub = problem._replace(
+            points=problem.points[idx],
+            free_points=problem.free_points[idx],
+            obs_image=jnp.asarray(sub_oi),
+            obs_point=jnp.asarray(
+                np.repeat(np.arange(Pb, dtype=np.int32), K)),
+            obs_cam=jnp.asarray(sub_oc),
+            obs_xy=jnp.asarray(sub_xy, problem.obs_xy.dtype),
+            obs_mask=jnp.asarray(sub_m, problem.obs_mask.dtype),
+            pt_gather=None, pt_mask=None, img_gather=None, img_mask=None,
+            image_cam=problem.image_cam)
+        lay = bk.plan_layout(sub, options, TP)
+        static = bk.build_static(sub, options, lay)
+        buckets.append((static, lay, (lo, lo + lay.Pp)))
+        perm_ranges.append((idx, lo))
+        lo += lay.Pp
+    return buckets, perm_ranges, lo
+
+
+def _fused_step(statics, lays, ranges, opt, qvecs, tvecs, pts_t, cams,
+                lam, free_arrays, interpret=False):
+    """One linearize + solve over all buckets. Returns (u_pose [N,6],
+    u_cam [C,12], dp_t [3, P_total], predicted, g_inf)."""
+    lay0 = lays[0]
+    N, C, Npad, Dk = lay0.N, lay0.C, lay0.Npad, lay0.Dk
+    nparams = lay0.nparams
+    image_cam = statics[0].image_cam
+
+    par = bk.pack_params(qvecs, tvecs, cams, image_cam, lay0)
+    s_corr = jnp.zeros((Dk, Dk), jnp.float32)
+    img_red = jnp.zeros((Npad, lay0.DI), jnp.float32)
+    ey = jnp.zeros((8, Dk), jnp.float32)
+    per_bucket = []
+    for static, lay, (lo, hi) in zip(statics, lays, ranges):
+        s_b, i_b, e_b, pt_pay, jw = bk.fused_schur(
+            static, par, pts_t[:, lo:hi], lam, lay, opt,
+            interpret=interpret)
+        s_corr = s_corr + s_b
+        img_red = img_red + i_b
+        ey = ey + e_b
+        per_bucket.append((pt_pay, jw))
 
     # ---- unpack image payload ----
     ofs = np.cumsum([0, 6, 36, 6 * nparams, nparams, nparams * nparams])
@@ -110,10 +201,10 @@ def _fused_step(static, lay, opt, qvecs, tvecs, pts_t, cams, lam,
     Hcc_pose = red[:, ofs[1]:ofs[2]].reshape(N, 6, 6)
     Hpc_img = red[:, ofs[2]:ofs[3]].reshape(N, 6, nparams)
     g_cam = jax.ops.segment_sum(red[:, ofs[3]:ofs[4]],
-                                static.image_cam[:N], num_segments=C)
+                                image_cam[:N], num_segments=C)
     Hcc_cam = jax.ops.segment_sum(
         red[:, ofs[4]:ofs[5]].reshape(N, nparams, nparams),
-        static.image_cam[:N], num_segments=C)
+        image_cam[:N], num_segments=C)
     clamp = lambda d: jnp.clip(d, 1e-6, 1e32)
     d_pose = jnp.einsum("nii->ni", Hcc_pose)
     d_cam = jnp.einsum("cii->ci", Hcc_cam)
@@ -129,7 +220,7 @@ def _fused_step(static, lay, opt, qvecs, tvecs, pts_t, cams, lam,
     ci_np = (6 * Npad + jnp.arange(C)[:, None]
              + jnp.arange(nparams)[None, :] * C)            # [C, np]
     S = S.at[ci_np[:, :, None], ci_np[:, None, :]].add(Hcc_cam)
-    cam_cols = ci_np[static.image_cam[:N]]                  # [N, np]
+    cam_cols = ci_np[image_cam[:N]]                         # [N, np]
     S = S.at[bi[:, :, None], cam_cols[:, None, :]].add(Hpc_img)
     S = S.at[cam_cols[:, :, None], bi[:, None, :]].add(
         jnp.swapaxes(Hpc_img, 1, 2))
@@ -149,49 +240,60 @@ def _fused_step(static, lay, opt, qvecs, tvecs, pts_t, cams, lam,
     u_cam_np = du[6 * Npad:6 * Npad + 12 * C].reshape(12, C).T[:, :nparams] \
         * free_cam_np
 
-    # ---- back-substitute + predicted sums ----
+    # ---- back-substitute + predicted sums (per bucket) ----
     du_pose_t = jnp.zeros((6, Npad), jnp.float32).at[:, :N].set(u_pose.T)
     du_cam_t = jnp.zeros((12, C), jnp.float32).at[:nparams].set(u_cam_np.T)
-    dp, acc = bk.backsub(static, du_pose_t, du_cam_t, pt_pay, jw, lam,
-                         lay, opt, interpret=interpret)
-    dp_t = dp[:3]                                           # [3, Pp]
-    g_pts = pt_pay[:3]
+    dp_t = jnp.zeros_like(pts_t)
+    t2 = jnp.float32(0.0)
+    g_dp = jnp.float32(0.0)
+    d_dp2 = jnp.float32(0.0)
+    g_inf_pts = jnp.float32(0.0)
+    for (static, lay, (lo, hi)), (pt_pay, jw) in zip(
+            zip(statics, lays, ranges), per_bucket):
+        dp, acc = bk.backsub(static, du_pose_t, du_cam_t, pt_pay, jw, lam,
+                             lay, opt, interpret=interpret)
+        dp_t = dp_t.at[:, lo:hi].set(dp[:3])
+        t2 = t2 + acc[0, 0]
+        g_dp = g_dp + acc[1, 0]
+        d_dp2 = d_dp2 + acc[2, 0]
+        g_inf_pts = jnp.maximum(g_inf_pts, jnp.max(jnp.abs(pt_pay[:3])))
 
-    gTd = (jnp.sum(g_pose * u_pose) + jnp.sum(g_cam * u_cam_np)
-           + acc[1, 0])
-    dHd = (acc[0, 0]
-           + jnp.sum(d_pose_l * u_pose * u_pose)
-           + jnp.sum(d_cam_l * u_cam_np * u_cam_np)
-           + acc[2, 0])
+    gTd = jnp.sum(g_pose * u_pose) + jnp.sum(g_cam * u_cam_np) + g_dp
+    dHd = (t2 + jnp.sum(d_pose_l * u_pose * u_pose)
+           + jnp.sum(d_cam_l * u_cam_np * u_cam_np) + d_dp2)
     predicted = -(gTd + 0.5 * dHd)
     g_inf = jnp.maximum(
         jnp.max(jnp.abs(g_pose)),
-        jnp.maximum(jnp.max(jnp.abs(g_cam)), jnp.max(jnp.abs(g_pts))))
+        jnp.maximum(jnp.max(jnp.abs(g_cam)), g_inf_pts))
     u_cam = jnp.zeros((C, MAXP), jnp.float32).at[:, :nparams].set(u_cam_np)
     return u_pose, u_cam, dp_t, predicted, g_inf
 
 
-@functools.partial(jax.jit, static_argnames=("lay", "options", "interpret"))
-def _fused_lm_loop(static, lay, problem, options, free_arrays,
-                   interpret=False):
+@functools.partial(jax.jit, static_argnames=("lays", "ranges", "options",
+                                             "interpret"))
+def _fused_lm_loop(statics, lays, ranges, pts0, problem, options,
+                   free_arrays, interpret=False):
     opt = options
     max_it = opt.max_iterations
-    pts_t0 = bk.pack_points(problem.points, lay)
-    q0a, t0a = problem.qvecs.astype(jnp.float32), \
-        problem.tvecs.astype(jnp.float32)
+    lay0 = lays[0]
+    q0a = problem.qvecs.astype(jnp.float32)
+    t0a = problem.tvecs.astype(jnp.float32)
     k0a = problem.cam_params.astype(jnp.float32)
 
     def cost_of(q, t, pts_t, k):
-        par = bk.pack_params(q, t, k, static.image_cam, lay)
-        return bk.fused_cost(static, par, pts_t, lay, opt,
-                             interpret=interpret)
+        par = bk.pack_params(q, t, k, statics[0].image_cam, lay0)
+        c = jnp.float32(0.0)
+        for static, lay, (lo, hi) in zip(statics, lays, ranges):
+            c = c + bk.fused_cost(static, par, pts_t[:, lo:hi], lay, opt,
+                                  interpret=interpret)
+        return c
 
-    cost0 = cost_of(q0a, t0a, pts_t0, k0a)
+    cost0 = cost_of(q0a, t0a, pts0, k0a)
 
     def body(state):
         (it, q, t, pts_t, k, lam, nu, cost, done, g_inf, trace) = state
         u_pose, u_cam, dp_t, predicted, g_inf = _fused_step(
-            static, lay, opt, q, t, pts_t, k, lam, free_arrays,
+            statics, lays, ranges, opt, q, t, pts_t, k, lam, free_arrays,
             interpret=interpret)
         q2 = quat_retract(q, u_pose[:, :3])
         t2 = t + u_pose[:, 3:]
@@ -231,41 +333,53 @@ def _fused_lm_loop(static, lay, problem, options, free_arrays,
 
     trace0 = jnp.full((max_it + 1,), jnp.nan, jnp.float32).at[0].set(cost0)
     lam0 = jnp.asarray(1.0 / opt.initial_trust_radius, jnp.float32)
-    init = (0, q0a, t0a, pts_t0, k0a, lam0, jnp.float32(2.0), cost0,
+    init = (0, q0a, t0a, pts0, k0a, lam0, jnp.float32(2.0), cost0,
             jnp.asarray(False), jnp.asarray(jnp.inf, jnp.float32), trace0)
     (it, q, t, pts_t, k, lam, nu, cost, done, g_inf, trace) = \
         jax.lax.while_loop(cond, body, init)
 
-    P = problem.points.shape[0]
-    out = problem._replace(qvecs=q, tvecs=t, points=pts_t[:, :P].T,
-                           cam_params=k)
     summary = BASummary(
         initial_cost=cost0, final_cost=cost, num_iterations=it,
         num_residuals=jnp.sum(problem.obs_mask).astype(jnp.int32),
         gradient_norm=g_inf, cost_trace=trace)
-    return out, summary
+    return (q, t, pts_t, k), summary
 
 
-def prepare(problem: BAProblem, options: BAOptions):
-    """Host-side prep (obs reorder + static tables + gauge masks).
-
-    Separated from the solve so that repeated solves over the same
+def prepare(problem: BAProblem, options: BAOptions, TP: int = 128,
+            max_buckets: int = 3):
+    """Host-side prep (track-length bucketing + static tables + gauge
+    masks). Separated from the solve so repeated solves over the same
     problem structure (mapper local/global BA, benchmarking) pay the
-    host cost once. Returns an opaque context for `solve_prepared`.
-    """
-    if options.obs_layout != "point_major":
-        problem = to_point_major(problem)
-        options = dataclasses.replace(options, obs_layout="point_major")
+    host cost once. Returns an opaque context for `solve_prepared`."""
     problem = jax.tree.map(
         lambda a: a.astype(jnp.float32)
         if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
         else a, problem)
-    lay = bk.plan_layout(problem, options)
-    static = bk.build_static(problem, options, lay)
+    if problem.image_cam is None:
+        from sba_tpu.optim.ba import _image_cam_of
+
+        problem = problem._replace(
+            image_cam=jnp.asarray(_image_cam_of(problem)))
+    buckets, perm_ranges, p_total = _bucketize(problem, options, TP,
+                                               max_buckets)
+    statics = tuple(b[0] for b in buckets)
+    lays = tuple(b[1] for b in buckets)
+    ranges = tuple(b[2] for b in buckets)
+
+    # Column of each original point in the concatenated padded layout
+    # (device-side permutation; avoids host round trips per solve).
+    P = problem.points.shape[0]
+    perm_cols = np.zeros(P, np.int32)
+    for idx, lo in perm_ranges:
+        perm_cols[idx] = lo + np.arange(len(idx), dtype=np.int32)
+    perm_cols = jnp.asarray(perm_cols)
+    pts0 = jnp.zeros((3, p_total), jnp.float32).at[:, perm_cols].set(
+        problem.points.astype(jnp.float32).T)
 
     # Gauge/free masks in kernel coordinates (host-side, static).
-    N, C, Npad, Dk = lay.N, lay.C, lay.Npad, lay.Dk
-    nparams = lay.nparams
+    lay0 = lays[0]
+    N, C, Npad, Dk = lay0.N, lay0.C, lay0.Npad, lay0.Dk
+    nparams = lay0.nparams
     free_pose = np.concatenate(
         [np.repeat(np.asarray(problem.free_rot)[:, None], 3, axis=1),
          np.asarray(problem.free_trans)], axis=1).astype(np.float32)
@@ -282,26 +396,33 @@ def prepare(problem: BAProblem, options: BAOptions):
     free[ci.reshape(-1)] = free_cam_np.reshape(-1)
     free_arrays = (jnp.asarray(free), jnp.asarray(free_pose),
                    jnp.asarray(free_cam_np))
-    return (static, lay, problem, options, free_arrays)
+    return (statics, lays, ranges, pts0, (perm_ranges, perm_cols),
+            problem, options, free_arrays)
 
 
 def solve_prepared(ctx, interpret: bool = False, qvecs=None, tvecs=None,
                    points=None, cam_params=None):
     """Run the LM loop on a prepared context, optionally with updated
     parameter values (same structure)."""
-    static, lay, problem, options, free_arrays = ctx
+    (statics, lays, ranges, pts0, (perm_ranges, perm_cols), problem,
+     options, free_arrays) = ctx
     if qvecs is not None:
         problem = problem._replace(
             qvecs=qvecs.astype(jnp.float32),
             tvecs=tvecs.astype(jnp.float32),
-            points=points.astype(jnp.float32),
             cam_params=cam_params.astype(jnp.float32))
-    return _fused_lm_loop(static, lay, problem, options, free_arrays,
-                          interpret=interpret)
+        pts0 = jnp.zeros(pts0.shape, jnp.float32).at[:, perm_cols].set(
+            points.astype(jnp.float32).T)
+    (q, t, pts_t, k), summary = _fused_lm_loop(
+        statics, lays, ranges, pts0, problem, options, free_arrays,
+        interpret=interpret)
+    # Un-permute points back to the problem's original order (device).
+    pts_out = pts_t[:, perm_cols].T
+    out = problem._replace(qvecs=q, tvecs=t, points=pts_out, cam_params=k)
+    return out, summary
 
 
 def bundle_adjust_fused(problem: BAProblem, options: BAOptions,
                         interpret: bool = False):
-    """Solve with the fused Pallas path. Problem may be in COO or
-    point-major layout; reordering happens here."""
+    """Solve with the fused Pallas path (COO or point-major input)."""
     return solve_prepared(prepare(problem, options), interpret=interpret)
