@@ -156,3 +156,26 @@ def test_sba_hard_numeric_mode_runs_and_does_not_worsen():
     assert float(summary.final_cost) <= float(summary.initial_cost) + 1e-9
     # Bounded updates (no divergence).
     assert np.abs(np.asarray(out.tvecs) - t0).max() < 0.5
+
+
+def test_packed_maps_match_unpacked_soft_residuals():
+    """The packed-neighborhood gather path (f32 production) matches the
+    unpacked bilinear path to f16 depth rounding."""
+    import jax.numpy as jnp
+
+    from sba_tpu.optim.sba import (SBAOptions, _all_residuals,
+                                   build_sba_problem)
+    from sba_tpu.utils.synthetic import make_sba_scene
+
+    qg, tg, cam, depth, sem, qn, tn = make_sba_scene(
+        num_images=4, image_size=(64, 48), pose_noise=0.01, seed=3)
+    opt = SBAOptions(pixel_step=4)
+    p32 = build_sba_problem(qn, tn, cam, depth, sem, opt,
+                            dtype=jnp.float32)
+    assert p32.depth_packed is not None
+    r_packed = np.asarray(_all_residuals(p32.qvecs, p32.tvecs, p32, opt,
+                                         soft=True))
+    p_plain = p32._replace(depth_packed=None, label_packed=None)
+    r_plain = np.asarray(_all_residuals(p_plain.qvecs, p_plain.tvecs,
+                                        p_plain, opt, soft=True))
+    np.testing.assert_allclose(r_packed, r_plain, atol=2e-3)
