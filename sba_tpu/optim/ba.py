@@ -716,6 +716,8 @@ def _solve_step_explicit_pm(problem: BAProblem, opt: BAOptions, lam):
     oi, oc = problem.obs_image, problem.obs_cam
     dtype = r.dtype
     D = 6 * N + MAXP * C
+    axis = opt.axis_name  # point-sharded SPMD: points/obs local, psum on
+    #                       all image-side reductions (parallel/)
 
     Jc = jnp.concatenate([Jq, Jt], axis=-1)       # [O, 2, 6]
 
@@ -748,6 +750,7 @@ def _solve_step_explicit_pm(problem: BAProblem, opt: BAOptions, lam):
               ).astype(dtype)                                  # [O, N]
     red = jnp.einsum("on,od->nd", onehot, img_pay,
                      preferred_element_type=dtype)             # [N, DI]
+    red = _allreduce(red, axis)
     ofs = np.cumsum([0, 6, 36, 6 * MAXP, MAXP, MAXP * MAXP])
     g_pose = red[:, ofs[0]:ofs[1]]
     Hcc_pose = red[:, ofs[1]:ofs[2]].reshape(N, 6, 6)
@@ -796,8 +799,8 @@ def _solve_step_explicit_pm(problem: BAProblem, opt: BAOptions, lam):
         jnp.swapaxes(Hpc_img, 1, 2))
 
     d_l = jnp.concatenate([d_pose_l.reshape(-1), d_cam_l.reshape(-1)])
-    S = B + jnp.diag(d_l) - jnp.dot(EL, EL.T,
-                                    preferred_element_type=dtype)
+    S = B + jnp.diag(d_l) - _allreduce(
+        jnp.dot(EL, EL.T, preferred_element_type=dtype), axis)
     free_pose = jnp.concatenate(
         [jnp.repeat(problem.free_rot[:, None], 3, axis=1),
          problem.free_trans], axis=1)
@@ -810,7 +813,7 @@ def _solve_step_explicit_pm(problem: BAProblem, opt: BAOptions, lam):
 
     # RHS via EL: E C^-1 g_p = EL @ (Lp^T g_p).
     Ltg = jnp.einsum("pji,pj->pi", Lp, g_pts).reshape(-1)      # [3P]
-    Ey = EL @ Ltg                                              # [D]
+    Ey = _allreduce(EL @ Ltg, axis)                            # [D]
     g_u = jnp.concatenate([g_pose.reshape(-1), g_cam.reshape(-1)])
     b = (-g_u + Ey) * free
 
@@ -833,15 +836,18 @@ def _solve_step_explicit_pm(problem: BAProblem, opt: BAOptions, lam):
          + jnp.einsum("oki,oi->ok", Jk, uc_o)
          + jnp.einsum("oki,oi->ok", Jx, dp_o))
     gTd = (jnp.sum(g_pose * u_pose) + jnp.sum(g_cam * u_cam)
-           + jnp.sum(g_pts * d_pts_step))
-    dHd = (jnp.sum(t * t)
+           + _allreduce(jnp.sum(g_pts * d_pts_step), axis))
+    dHd = (_allreduce(jnp.sum(t * t)
+                      + jnp.sum(d_pts_l * d_pts_step * d_pts_step), axis)
            + jnp.sum(d_pose_l * u_pose * u_pose)
-           + jnp.sum(d_cam_l * u_cam * u_cam)
-           + jnp.sum(d_pts_l * d_pts_step * d_pts_step))
+           + jnp.sum(d_cam_l * u_cam * u_cam))
     predicted = -(gTd + 0.5 * dHd)
+    g_inf_pts = jnp.max(jnp.abs(g_pts))
+    if axis is not None:
+        g_inf_pts = jax.lax.pmax(g_inf_pts, axis)
     g_inf = jnp.maximum(
         jnp.max(jnp.abs(g_pose)),
-        jnp.maximum(jnp.max(jnp.abs(g_cam)), jnp.max(jnp.abs(g_pts))))
+        jnp.maximum(jnp.max(jnp.abs(g_cam)), g_inf_pts))
     return u_pose, u_cam, d_pts_step, predicted, g_inf
 
 
@@ -1028,7 +1034,7 @@ def _solve_step(problem: BAProblem, opt: BAOptions, lam, use_dense: bool):
     """One linearization + linear solve. Returns the masked step and
     diagnostic quantities."""
     if opt.solver == "explicit_schur":
-        if opt.obs_layout == "point_major" and opt.axis_name is None:
+        if opt.obs_layout == "point_major":
             return _solve_step_explicit_pm(problem, opt, lam)
         return _solve_step_explicit(problem, opt, lam)
     r, Jq, Jt, Jx, Jk = _linearize(problem, opt)

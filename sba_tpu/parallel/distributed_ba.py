@@ -109,3 +109,127 @@ def distributed_bundle_adjust(problem: BAProblem, options: Optional[BAOptions],
     )
     out, summary = fn(problem)
     return out, summary
+
+
+# ---------------------------------------------------------------------------
+# Point-sharded (track-aware) partitioning + the point-major SPMD solve.
+# ---------------------------------------------------------------------------
+
+
+def shard_problem_by_points(problem: BAProblem, n_shards: int):
+    """Track-aware partition: every point and its ENTIRE track live on one
+    shard (SURVEY.md §7 stage 7: local landmark elimination, psum only on
+    the reduced camera system). Round-robin over track-length-sorted
+    points balances observation counts.
+
+    Returns (sharded BAProblem in per-shard point-major layout with
+    leading dim n_shards * Pmax, point_perm) where point_perm[global_row]
+    = original point index (-1 for padding)."""
+    op = np.asarray(problem.obs_point)
+    om = np.asarray(problem.obs_mask)
+    oi = np.asarray(problem.obs_image)
+    oc = np.asarray(problem.obs_cam)
+    oxy = np.asarray(problem.obs_xy)
+    P = problem.points.shape[0]
+    counts = np.bincount(op[om > 0], minlength=P)
+    K = max(int(counts.max()), 1)
+    order = np.argsort(-counts, kind="stable")
+    shard_of = np.empty(P, np.int64)
+    shard_of[order] = np.arange(P) % n_shards
+    locals_ = [np.nonzero(shard_of == d)[0] for d in range(n_shards)]
+    Pmax = max(max(len(l) for l in locals_), 1)
+
+    obs_order = np.argsort(op, kind="stable")
+    offs = np.concatenate([[0], np.cumsum(np.bincount(op, minlength=P))])
+
+    pts = np.zeros((n_shards * Pmax, 3))
+    freep = np.zeros(n_shards * Pmax)
+    perm = np.full(n_shards * Pmax, -1, np.int64)
+    Ob = Pmax * K
+    s_oi = np.zeros(n_shards * Ob, np.int32)
+    s_oc = np.zeros(n_shards * Ob, np.int32)
+    s_op = np.zeros(n_shards * Ob, np.int32)
+    s_xy = np.zeros((n_shards * Ob, 2))
+    s_m = np.zeros(n_shards * Ob)
+    pts_np = np.asarray(problem.points)
+    freep_np = np.asarray(problem.free_points)
+    for d, idx in enumerate(locals_):
+        base_p = d * Pmax
+        pts[base_p:base_p + len(idx)] = pts_np[idx]
+        freep[base_p:base_p + len(idx)] = freep_np[idx]
+        perm[base_p:base_p + len(idx)] = idx
+        for local, p in enumerate(idx):
+            rows = obs_order[offs[p]:offs[p + 1]]
+            if len(rows) > K:
+                rows = rows[np.argsort(-om[rows], kind="stable")][:K]
+            base = d * Ob + local * K
+            n = len(rows)
+            s_oi[base:base + n] = oi[rows]
+            s_oc[base:base + n] = oc[rows]
+            s_xy[base:base + n] = oxy[rows]
+            s_m[base:base + n] = om[rows]
+        # local point indices within the shard
+        s_op[d * Ob:(d + 1) * Ob] = np.repeat(
+            np.arange(Pmax, dtype=np.int32), K)
+
+    dtype = problem.points.dtype
+    image_cam = problem.image_cam
+    if image_cam is None:
+        from sba_tpu.optim.ba import _image_cam_of
+
+        image_cam = jnp.asarray(_image_cam_of(problem))
+    sharded = problem._replace(
+        points=jnp.asarray(pts, dtype),
+        free_points=jnp.asarray(freep, dtype),
+        obs_image=jnp.asarray(s_oi), obs_point=jnp.asarray(s_op),
+        obs_cam=jnp.asarray(s_oc),
+        obs_xy=jnp.asarray(s_xy, dtype),
+        obs_mask=jnp.asarray(s_m, dtype),
+        pt_gather=None, pt_mask=None, img_gather=None, img_mask=None,
+        image_cam=image_cam)
+    return sharded, jnp.asarray(perm)
+
+
+def distributed_bundle_adjust_pm(problem: BAProblem,
+                                 options: Optional[BAOptions],
+                                 mesh: Mesh):
+    """Point-sharded SPMD solve using the point-major explicit-Schur step
+    (the measured-fast single-chip formulation) with ONE psum each for
+    the image payload, the Schur correction, and the RHS per iteration —
+    landmark elimination is entirely shard-local by construction.
+    """
+    options = options or BAOptions()
+    axis_name = mesh.axis_names[0]
+    n = mesh.devices.size
+    import dataclasses
+
+    options = dataclasses.replace(
+        options, axis_name=axis_name, solver="explicit_schur",
+        obs_layout="point_major")
+    sharded, perm = shard_problem_by_points(problem, n)
+
+    sh, rep = P(axis_name), P()
+    specs = BAProblem(
+        qvecs=rep, tvecs=rep, points=sh, cam_params=rep,
+        obs_image=sh, obs_point=sh, obs_cam=sh, obs_xy=sh, obs_mask=sh,
+        free_rot=rep, free_trans=rep, free_points=sh, free_cam=rep,
+        image_cam=rep)
+
+    fn = jax.shard_map(
+        functools.partial(_bundle_adjust_impl, options=options,
+                          use_dense=False),
+        mesh=mesh,
+        in_specs=(specs,),
+        out_specs=(specs, P()),
+        check_vma=False,
+    )
+    out, summary = fn(sharded)
+    # Un-permute points to the original order.
+    perm_np = np.asarray(perm)
+    valid = perm_np >= 0
+    pts = np.asarray(problem.points).copy()
+    pts[perm_np[valid]] = np.asarray(out.points)[valid]
+    out = problem._replace(qvecs=out.qvecs, tvecs=out.tvecs,
+                           points=jnp.asarray(pts, problem.points.dtype),
+                           cam_params=out.cam_params)
+    return out, summary

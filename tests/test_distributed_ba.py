@@ -66,3 +66,39 @@ def test_shard_problem_placement(mesh):
     assert sharded.obs_image.shape[0] % 8 == 0
     shard_set = {d.device for d in sharded.obs_xy.addressable_shards}
     assert len(shard_set) == 8
+
+
+def test_point_sharded_pm_matches_single_device(mesh):
+    """Track-aware point sharding + point-major explicit Schur under
+    shard_map agrees with the single-device solve."""
+    from sba_tpu.parallel import distributed_bundle_adjust_pm
+
+    problem, truth = make_ba_problem(
+        num_images=6, num_points=83, pose_noise=0.02, point_noise=0.05,
+        seed=21)
+    opt = BAOptions(solver="explicit_schur", max_iterations=30)
+    out_s, sum_s = bundle_adjust(problem, opt)
+    out_d, sum_d = distributed_bundle_adjust_pm(problem, opt, mesh)
+    assert float(sum_d.final_cost) < 1e-10
+    np.testing.assert_allclose(np.asarray(out_d.qvecs),
+                               np.asarray(out_s.qvecs), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_d.tvecs),
+                               np.asarray(out_s.tvecs), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_d.points),
+                               np.asarray(out_s.points), atol=1e-4)
+
+
+def test_point_sharded_pm_uneven_and_masked(mesh):
+    """Point count not divisible by the mesh + masked observations."""
+    import jax.numpy as jnp
+
+    from sba_tpu.parallel import distributed_bundle_adjust_pm
+
+    problem, _ = make_ba_problem(num_images=5, num_points=61, seed=22,
+                                 pose_noise=0.02, point_noise=0.03)
+    mask = np.asarray(problem.obs_mask).copy()
+    mask[::17] = 0.0
+    problem = problem._replace(obs_mask=jnp.asarray(mask))
+    out, summary = distributed_bundle_adjust_pm(
+        problem, BAOptions(max_iterations=30), mesh)
+    assert float(summary.final_cost) < 1e-8
