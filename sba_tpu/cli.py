@@ -656,6 +656,7 @@ def run_model_converter(flags):
 
     input_path, output_path, output_type = _require(
         flags, "input_path", "output_path", "output_type")
+    skip = flags.get("skip_distortion", "0") in ("1", "true", "True")
     rec = Reconstruction.read(input_path)
     ot = output_type.upper()
     if ot in ("BIN",):
@@ -666,6 +667,25 @@ def run_model_converter(flags):
         rec.write(output_path, ext=".txt")
     elif ot in ("PLY",):
         rec.export_ply(output_path)
+    elif ot == "NVM":
+        if not rec.export_nvm(output_path, skip_distortion=skip):
+            raise SystemExit("NVM export failed (unsupported camera model)")
+    elif ot == "BUNDLER":
+        if not rec.export_bundler(output_path + ".bundle.out",
+                                  output_path + ".list.txt",
+                                  skip_distortion=skip):
+            raise SystemExit("Bundler export failed")
+    elif ot == "CAM":
+        os.makedirs(output_path, exist_ok=True)
+        if not rec.export_cam(output_path, skip_distortion=skip):
+            raise SystemExit("CAM export failed")
+    elif ot == "R3D":
+        os.makedirs(output_path, exist_ok=True)
+        if not rec.export_recon3d(output_path, skip_distortion=skip):
+            raise SystemExit("Recon3D export failed")
+    elif ot == "VRML":
+        rec.export_vrml(output_path + ".images.wrl",
+                        output_path + ".points3D.wrl")
     else:
         raise SystemExit(f"unsupported output_type {output_type}")
     print(f"converted {input_path} -> {output_path} ({ot})")

@@ -399,6 +399,281 @@ class Reconstruction:
                 colored += 1
         return colored
 
+
+    # -- export formats (ref: reconstruction.cc ExportNVM/Bundler/Cam/
+    #    Recon3D/VRML; consumed by VisualSfM / Bundler / MVE / CMVS /
+    #    Capturing Reality / VRML viewers) ---------------------------------
+
+    def _distortion_k(self, camera, skip_distortion, negate=False,
+                      allow_k2=True):
+        """(k1, k2) for the Bundler-family exporters; None if model
+        unsupported."""
+        from sba_tpu.geometry import camera_models
+
+        spec = camera_models.model_by_id(camera.model_id)
+        if skip_distortion or spec.name in ("SIMPLE_PINHOLE", "PINHOLE"):
+            return 0.0, 0.0
+        if spec.name == "SIMPLE_RADIAL":
+            k1 = float(camera.params[spec.extra_idxs[0]])
+            return (-k1 if negate else k1), 0.0
+        if allow_k2 and spec.name == "RADIAL":
+            k1 = float(camera.params[spec.extra_idxs[0]])
+            k2 = float(camera.params[spec.extra_idxs[1]])
+            return ((-k1, -k2) if negate else (k1, k2))
+        return None
+
+    def _reg_images_and_centers(self):
+        import jax.numpy as jnp
+
+        from sba_tpu.geometry.quaternions import quat_rotate, quat_to_rotmat
+
+        out = []
+        for iid in self.registered_image_ids:
+            im = self.images[iid]
+            q_inv = np.array([im.qvec[0], -im.qvec[1], -im.qvec[2],
+                              -im.qvec[3]])
+            center = -np.asarray(quat_rotate(jnp.asarray(q_inv),
+                                             jnp.asarray(im.tvec)))
+            R = np.asarray(quat_to_rotmat(jnp.asarray(im.qvec)))
+            out.append((iid, im, center, R))
+        return out
+
+    def export_nvm(self, path, skip_distortion=False) -> bool:
+        """VisualSfM NVM_V3 (ref: reconstruction.cc:813-899 ExportNVM)."""
+        from sba_tpu.geometry import camera_models
+
+        rows = self._reg_images_and_centers()
+        idx_of = {}
+        lines = ["NVM_V3 ", " ", f"{len(rows)}  "]
+        for i, (iid, im, center, _R) in enumerate(rows):
+            cam = self.cameras[im.camera_id]
+            k = self._distortion_k(cam, skip_distortion, negate=True,
+                                   allow_k2=False)
+            if k is None:
+                print("WARNING: NVM only supports `SIMPLE_RADIAL` and "
+                      "pinhole camera models.")
+                return False
+            q = im.qvec
+            lines.append(
+                f"{im.name} {cam.mean_focal_length():.17g} "
+                f"{q[0]:.17g} {q[1]:.17g} {q[2]:.17g} {q[3]:.17g} "
+                f"{center[0]:.17g} {center[1]:.17g} {center[2]:.17g} "
+                f"{k[0]:.17g} 0")
+            idx_of[iid] = i
+        lines.append("")
+        lines.append(str(len(self.points3D)))
+        for p in self.points3D.values():
+            obs = []
+            seen = set()
+            for img_id, p2d in zip(p.image_ids, p.point2D_idxs):
+                img_id = int(img_id)
+                if img_id in seen or img_id not in idx_of:
+                    continue
+                seen.add(img_id)
+                xy = self.images[img_id].xys[int(p2d)]
+                obs.append(f"{idx_of[img_id]} {int(p2d)} "
+                           f"{xy[0]:.17g} {xy[1]:.17g}")
+            lines.append(
+                f"{p.xyz[0]:.17g} {p.xyz[1]:.17g} {p.xyz[2]:.17g} "
+                f"{int(p.rgb[0])} {int(p.rgb[1])} {int(p.rgb[2])} "
+                f"{len(obs)} " + " ".join(obs))
+        with open(path, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        return True
+
+    def export_bundler(self, path, list_path, skip_distortion=False) -> bool:
+        """Bundler v0.3 .out + image list (ref: reconstruction.cc:1087
+        ExportBundler). Bundler's camera looks down -z; rows 2/3 of R and
+        ty/tz are negated; 2D coords are principal-point-centered with +y
+        up."""
+        from sba_tpu.geometry import camera_models
+
+        rows = self._reg_images_and_centers()
+        idx_of = {iid: i for i, (iid, *_rest) in enumerate(rows)}
+        lines = ["# Bundle file v0.3",
+                 f"{len(rows)} {len(self.points3D)}"]
+        names = []
+        for iid, im, _c, R in rows:
+            cam = self.cameras[im.camera_id]
+            k = self._distortion_k(cam, skip_distortion)
+            if k is None:
+                print("WARNING: Bundler only supports `SIMPLE_RADIAL`, "
+                      "`RADIAL`, and pinhole camera models.")
+                return False
+            lines.append(f"{cam.mean_focal_length():.17g} "
+                         f"{k[0]:.17g} {k[1]:.17g}")
+            lines.append(f"{R[0,0]:.17g} {R[0,1]:.17g} {R[0,2]:.17g}")
+            lines.append(f"{-R[1,0]:.17g} {-R[1,1]:.17g} {-R[1,2]:.17g}")
+            lines.append(f"{-R[2,0]:.17g} {-R[2,1]:.17g} {-R[2,2]:.17g}")
+            t = im.tvec
+            lines.append(f"{t[0]:.17g} {-t[1]:.17g} {-t[2]:.17g}")
+            names.append(im.name)
+        for p in self.points3D.values():
+            lines.append(f"{p.xyz[0]:.17g} {p.xyz[1]:.17g} {p.xyz[2]:.17g}")
+            lines.append(f"{int(p.rgb[0])} {int(p.rgb[1])} {int(p.rgb[2])}")
+            obs = [str(len(p.image_ids))]
+            for img_id, p2d in zip(p.image_ids, p.point2D_idxs):
+                img_id = int(img_id)
+                if img_id not in idx_of:
+                    continue
+                im = self.images[img_id]
+                cam = self.cameras[im.camera_id]
+                from sba_tpu.geometry import camera_models as cmm
+
+                spec = cmm.model_by_id(cam.model_id)
+                cx, cy = (cam.params[i] for i in spec.principal_idxs)
+                xy = im.xys[int(p2d)]
+                obs.append(f"{idx_of[img_id]} {int(p2d)} "
+                           f"{xy[0] - cx:.17g} {cy - xy[1]:.17g}")
+            lines.append(" ".join(obs))
+        with open(path, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        with open(list_path, "w") as f:
+            f.write("\n".join(names) + "\n")
+        return True
+
+    def export_cam(self, path, skip_distortion=False) -> bool:
+        """Per-image MVE .cam files (ref: reconstruction.cc:901
+        ExportCam)."""
+        import os
+
+        from sba_tpu.geometry import camera_models
+
+        for iid, im, _c, R in self._reg_images_and_centers():
+            cam = self.cameras[im.camera_id]
+            k = self._distortion_k(cam, skip_distortion)
+            if k is None:
+                print("WARNING: CAM only supports `SIMPLE_RADIAL`, "
+                      "`RADIAL`, and pinhole camera models.")
+                return False
+            k1, k2 = k
+            if k1 != 0.0 and k2 == 0.0:
+                k2 = 1e-10
+            spec = camera_models.model_by_id(cam.model_id)
+            fi = spec.focal_idxs
+            fx = float(cam.params[fi[0]])
+            fy = float(cam.params[fi[-1]])
+            if cam.width * fy < cam.height * fx:
+                focal = fy / cam.height
+            else:
+                focal = fx / cam.width
+            cx, cy = (float(cam.params[i]) for i in spec.principal_idxs)
+            name = os.path.join(path,
+                                os.path.splitext(im.name)[0] + ".cam")
+            os.makedirs(os.path.dirname(name) or path, exist_ok=True)
+            t = im.tvec
+            with open(name, "w") as f:
+                f.write(f"{t[0]:.17g} {t[1]:.17g} {t[2]:.17g} "
+                        + " ".join(f"{R[i,j]:.17g}" for i in range(3)
+                                   for j in range(3)) + "\n")
+                f.write(f"{focal:.17g} {k1:.17g} {k2:.17g} "
+                        f"{fy / fx:.17g} {cx / cam.width:.17g} "
+                        f"{cy / cam.height:.17g}\n")
+        return True
+
+    def export_recon3d(self, path, skip_distortion=False) -> bool:
+        """Recon3D directory (ref: reconstruction.cc:974 ExportRecon3D)."""
+        import os
+
+        from sba_tpu.geometry import camera_models
+
+        base = os.path.join(path, "Recon")
+        os.makedirs(base, exist_ok=True)
+        rows = self._reg_images_and_centers()
+        idx_of = {iid: i for i, (iid, *_r) in enumerate(rows)}
+        synth = ["colmap 1.0", f"{len(rows)} {len(self.points3D)}"]
+        img_list, img_map = [], []
+        for i, (iid, im, _c, R) in enumerate(rows):
+            cam = self.cameras[im.camera_id]
+            k = self._distortion_k(cam, skip_distortion, negate=True)
+            if k is None:
+                print("WARNING: Recon3D only supports `SIMPLE_RADIAL`, "
+                      "`RADIAL`, and pinhole camera models.")
+                return False
+            scale = 1.0 / max(cam.width, cam.height)
+            synth.append(f"{scale * cam.mean_focal_length():.17g} "
+                         f"{k[0]:.17g} {k[1]:.17g}")
+            for r in range(3):
+                synth.append(" ".join(f"{R[r,j]:.17g}" for j in range(3)))
+            t = im.tvec
+            synth.append(f"{t[0]:.17g} {t[1]:.17g} {t[2]:.17g}")
+            img_list.append(im.name)
+            img_list.append(f"{cam.width} {cam.height}")
+            img_map.append(str(i))
+        for p in self.points3D.values():
+            synth.append(f"{p.xyz[0]:.17g} {p.xyz[1]:.17g} "
+                         f"{p.xyz[2]:.17g}")
+            synth.append(f"{int(p.rgb[0])} {int(p.rgb[1])} "
+                         f"{int(p.rgb[2])}")
+            obs = []
+            seen = set()
+            for img_id, p2d in zip(p.image_ids, p.point2D_idxs):
+                img_id = int(img_id)
+                if img_id in seen or img_id not in idx_of:
+                    continue
+                seen.add(img_id)
+                im = self.images[img_id]
+                cam = self.cameras[im.camera_id]
+                spec = camera_models.model_by_id(cam.model_id)
+                cx, cy = (cam.params[i] for i in spec.principal_idxs)
+                scale = 1.0 / max(cam.width, cam.height)
+                xy = im.xys[int(p2d)]
+                obs.append(f"{idx_of[img_id]} {int(p2d)} -1.0 "
+                           f"{(xy[0] - cx) * scale:.17g} "
+                           f"{(xy[1] - cy) * scale:.17g}")
+            synth.append(f"{len(obs)} " + " ".join(obs))
+        with open(os.path.join(base, "synth_0.out"), "w") as f:
+            f.write("\n".join(synth) + "\n")
+        with open(os.path.join(base, "urd-images.txt"), "w") as f:
+            f.write("\n".join(img_list) + "\n")
+        with open(os.path.join(base, "imagemap_0.txt"), "w") as f:
+            f.write("\n".join(img_map) + "\n")
+        return True
+
+    def export_vrml(self, images_path, points_path, image_scale=1.0,
+                    image_rgb=(1.0, 0.0, 0.0)) -> None:
+        """VRML camera frusta + colored point cloud
+        (ref: reconstruction.cc:1194 ExportVRML)."""
+        six = image_scale * 0.15
+        siy = image_scale * 0.1
+        frustum = np.array([
+            [-six, -siy, 2 * six], [six, -siy, 2 * six],
+            [six, siy, 2 * six], [-six, siy, 2 * six], [0, 0, 0],
+            [-six / 3, -siy / 3, 2 * six], [six / 3, -siy / 3, 2 * six],
+            [six / 3, siy / 3, 2 * six], [-six / 3, siy / 3, 2 * six]])
+        with open(images_path, "w") as f:
+            for _iid, im, center, R in self._reg_images_and_centers():
+                pts = frustum @ R + center  # camera->world: R^T x + c
+                f.write("Shape{\n appearance Appearance {\n"
+                        "  material DEF Default-ffRffGffB Material {\n"
+                        "  ambientIntensity 0\n"
+                        f"  diffuseColor  {image_rgb[0]} {image_rgb[1]}"
+                        f" {image_rgb[2]}\n"
+                        "  emissiveColor 0.1 0.1 0.1 } }\n"
+                        " geometry IndexedFaceSet {\n solid FALSE \n"
+                        " colorPerVertex TRUE \n ccw TRUE \n"
+                        " coord Coordinate {\n point [\n")
+                for p in pts:
+                    f.write(f" {p[0]:.6g} {p[1]:.6g} {p[2]:.6g}\n")
+                f.write(" ]\n }\n coordIndex [\n"
+                        " 0, 1, 2, 3, -1\n 5, 6, 4, -1\n"
+                        " 6, 7, 4, -1\n 7, 8, 4, -1\n 8, 5, 4, -1\n"
+                        " ]\n }\n}\n")
+        with open(points_path, "w") as f:
+            f.write("#VRML V2.0 utf8\n"
+                    "Background { skyColor [1.0 1.0 1.0] }\n"
+                    "Shape{ appearance Appearance {\n"
+                    " material Material { emissiveColor 1 1 1} }\n"
+                    " geometry PointSet {\n coord Coordinate {\n"
+                    "  point [\n")
+            for p in self.points3D.values():
+                f.write(f"{p.xyz[0]:.6g} {p.xyz[1]:.6g} {p.xyz[2]:.6g}\n")
+            f.write("  ] }\n color Color { color [\n")
+            for p in self.points3D.values():
+                f.write(f"{p.rgb[0]/255:.3g} {p.rgb[1]/255:.3g} "
+                        f"{p.rgb[2]/255:.3g}\n")
+            f.write(" ] } } }\n")
+
     # -- IO ----------------------------------------------------------------
 
     @classmethod

@@ -126,3 +126,59 @@ def test_observation_bookkeeping():
     rec.delete_observation(1, 0)
     assert pid not in rec.points3D
     assert rec.images[2].point3D_ids[0] == -1
+
+
+def test_export_formats(tmp_path):
+    """NVM / Bundler / CAM / Recon3D / VRML exports produce parseable
+    files (ref: reconstruction.cc Export* family)."""
+    import jax.numpy as jnp
+
+    from sba_tpu.io.colmap_models import Camera, Image
+    from sba_tpu.models.reconstruction import Reconstruction
+
+    rng = np.random.default_rng(0)
+    rec = Reconstruction()
+    rec.add_camera(Camera(1, 2, 64, 48, np.array([60.0, 32, 24, 0.01])))
+    pts = rng.uniform(-1, 1, (12, 3)) + [0, 0, 5]
+    for i in range(3):
+        rec.add_image(Image(i + 1, np.array([1.0, 0, 0, 0]),
+                            np.array([0.2 * i, 0, 0]), 1, f"im{i}.png",
+                            rng.uniform(0, 40, (12, 2)),
+                            np.full(12, -1, np.int64)), registered=True)
+    for p in range(len(pts)):
+        rec.add_point3d(pts[p], [(i + 1, p) for i in range(3)],
+                        rgb=(10, 20, 30))
+
+    nvm = tmp_path / "m.nvm"
+    assert rec.export_nvm(str(nvm))
+    lines = nvm.read_text().splitlines()
+    assert lines[0].startswith("NVM_V3")
+    assert int(lines[2]) == 3
+    n_img_lines = 3
+    assert int(lines[3 + n_img_lines + 1]) == 12
+
+    out = tmp_path / "bundle"
+    assert rec.export_bundler(str(out) + ".bundle.out",
+                              str(out) + ".list.txt")
+    bl = (tmp_path / "bundle.bundle.out").read_text().splitlines()
+    assert bl[0].startswith("# Bundle file")
+    assert bl[1] == "3 12"
+    assert len((tmp_path / "bundle.list.txt").read_text().splitlines()) == 3
+
+    camdir = tmp_path / "cams"
+    camdir.mkdir()
+    assert rec.export_cam(str(camdir))
+    cam_files = sorted(camdir.glob("*.cam"))
+    assert len(cam_files) == 3
+    assert len(cam_files[0].read_text().splitlines()) == 2
+
+    r3d = tmp_path / "r3d"
+    r3d.mkdir()
+    assert rec.export_recon3d(str(r3d))
+    synth = (r3d / "Recon" / "synth_0.out").read_text().splitlines()
+    assert synth[0] == "colmap 1.0"
+    assert synth[1] == "3 12"
+
+    rec.export_vrml(str(tmp_path / "i.wrl"), str(tmp_path / "p.wrl"))
+    assert "Shape{" in (tmp_path / "i.wrl").read_text()
+    assert "#VRML" in (tmp_path / "p.wrl").read_text()
