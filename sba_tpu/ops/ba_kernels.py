@@ -49,8 +49,8 @@ from sba_tpu.optim.losses import loss_value, loss_weight
 
 MAXP = camera_models.MAX_NUM_PARAMS
 
-SUPPORTED_MODELS = (0, 1, 2, 3)  # SIMPLE_PINHOLE, PINHOLE, SIMPLE_RADIAL,
-#                                  RADIAL — analytic heads below.
+SUPPORTED_MODELS = (0, 1, 2, 3, 4, 5)  # SIMPLE_PINHOLE, PINHOLE,
+#   SIMPLE_RADIAL, RADIAL, OPENCV, OPENCV_FISHEYE — analytic heads below.
 
 
 def _round_up(x, m):
@@ -266,6 +266,58 @@ def _head(model_id, k, u, v):
              (f * (dd * u * v), f * (d + dd * v * v)))
         dk = [(u * d, v * d), (one, zero), (zero, one),
               (f * u * r2, f * v * r2), (f * u * r2 * r2, f * v * r2 * r2)]
+        return px, py, a, dk
+    if model_id == 4:       # OPENCV: fx, fy, cx, cy, k1, k2, p1, p2
+        fx, fy, cx, cy, k1, k2, p1, p2 = k
+        u2, v2, uv = u * u, v * v, u * v
+        r2 = u2 + v2
+        r4 = r2 * r2
+        radial = k1 * r2 + k2 * r4
+        drad = 2.0 * (k1 + 2.0 * k2 * r2)   # d(radial)/d(u) = drad*u
+        xp = u * (1.0 + radial) + 2.0 * p1 * uv + p2 * (r2 + 2.0 * u2)
+        yp = v * (1.0 + radial) + 2.0 * p2 * uv + p1 * (r2 + 2.0 * v2)
+        px, py = fx * xp + cx, fy * yp + cy
+        zero = jnp.zeros_like(u)
+        one = jnp.ones_like(u)
+        dxp_du = 1.0 + radial + u2 * drad + 2.0 * p1 * v + 6.0 * p2 * u
+        dxy = uv * drad + 2.0 * p1 * u + 2.0 * p2 * v   # = dxp_dv = dyp_du
+        dyp_dv = 1.0 + radial + v2 * drad + 2.0 * p2 * u + 6.0 * p1 * v
+        a = ((fx * dxp_du, fx * dxy), (fy * dxy, fy * dyp_dv))
+        dk = [(xp, zero), (zero, yp), (one, zero), (zero, one),
+              (fx * u * r2, fy * v * r2), (fx * u * r4, fy * v * r4),
+              (fx * 2.0 * uv, fy * (r2 + 2.0 * v2)),
+              (fx * (r2 + 2.0 * u2), fy * 2.0 * uv)]
+        return px, py, a, dk
+    if model_id == 5:       # OPENCV_FISHEYE: fx, fy, cx, cy, k1, k2, k3, k4
+        fx, fy, cx, cy, k1, k2, k3, k4 = k
+        u2, v2, uv = u * u, v * v, u * v
+        r2 = u2 + v2
+        r = jnp.sqrt(r2)
+        safe_r = jnp.maximum(r, 1e-12)
+        small = r < 1e-8
+        theta = jnp.arctan(r)
+        t2 = theta * theta
+        t4 = t2 * t2
+        poly = 1.0 + k1 * t2 + k2 * t4 + k3 * t4 * t2 + k4 * t4 * t4
+        dpoly = 2.0 * k1 + 4.0 * k2 * t2 + 6.0 * k3 * t4 \
+            + 8.0 * k4 * t4 * t2                      # d(poly)/d(t2) * 2
+        thetad = theta * poly
+        s = jnp.where(small, 1.0, thetad / safe_r)
+        # g = (ds/dr)/r; limit r->0 is 2*(k1 - 1/3).
+        dthetad = poly + t2 * dpoly                   # d(thetad)/d(theta)
+        g_main = (dthetad / (1.0 + r2) - s) / jnp.maximum(r2, 1e-24)
+        g = jnp.where(small, 2.0 * (k1 - 1.0 / 3.0), g_main)
+        xp, yp = u * s, v * s
+        px, py = fx * xp + cx, fy * yp + cy
+        zero = jnp.zeros_like(u)
+        one = jnp.ones_like(u)
+        a = ((fx * (s + u2 * g), fx * uv * g),
+             (fy * uv * g, fy * (s + v2 * g)))
+        # d(thetad)/d(ki) = theta^(2i+1); d(px)/d(ki) = fx*u*theta^(2i+1)/r.
+        t1r = jnp.where(small, r2, theta * t2 / safe_r)
+        dk_rows = [t1r, t1r * t2, t1r * t4, t1r * t4 * t2]
+        dk = [(xp, zero), (zero, yp), (one, zero), (zero, one)] + \
+            [(fx * u * d, fy * v * d) for d in dk_rows]
         return px, py, a, dk
     raise NotImplementedError(model_id)
 

@@ -23,11 +23,25 @@ from sba_tpu.ops import ba_kernels as bk
 from sba_tpu.utils.synthetic import make_ba_problem
 
 
+# Small nonzero distortion per model so the analytic kernel heads are
+# exercised off the pinhole special case (params: see camera_models.py).
+_DISTORT = {
+    2: {3: 0.02},
+    3: {3: 0.02, 4: -0.005},
+    4: {4: 0.02, 5: -0.005, 6: 1e-3, 7: -2e-3},
+    5: {4: 0.02, 5: -0.005, 6: 1e-3, 7: -2e-3},
+}
+
+
 def _setup(model_id=0, **kw):
     problem, truth = make_ba_problem(
         num_images=6, num_points=150, observations_per_point=4,
         pose_noise=0.01, point_noise=0.05, pixel_noise=0.0, seed=0,
         dtype=jnp.float32, model_id=model_id, **kw)
+    cam = np.array(problem.cam_params)
+    for i, val in _DISTORT.get(model_id, {}).items():
+        cam[:, i] = val
+    problem = problem._replace(cam_params=jnp.asarray(cam, jnp.float32))
     opt = BAOptions(model_id=model_id, dtype="float32",
                     solver="explicit_schur", obs_layout="point_major")
     pm = to_point_major(problem)
@@ -41,7 +55,7 @@ def _setup(model_id=0, **kw):
     return problem, truth, pm, opt, lay, static, par, pts
 
 
-@pytest.mark.parametrize("model_id", [0, 2])
+@pytest.mark.parametrize("model_id", [0, 1, 2, 3, 4, 5])
 def test_fused_cost_matches_xla(model_id):
     _, _, pm, opt, lay, static, par, pts = _setup(model_id)
     c_k = bk.fused_cost(static, par, pts, lay, opt, interpret=True)
@@ -98,8 +112,9 @@ def test_fused_payloads_match_xla():
                                atol=3e-5 * np.abs(Ey).max())
 
 
-def test_fused_step_matches_xla():
-    _, _, pm, opt, lay, static, par, pts = _setup()
+@pytest.mark.parametrize("model_id", [0, 3, 4, 5])
+def test_fused_step_matches_xla(model_id):
+    _, _, pm, opt, lay, static, par, pts = _setup(model_id)
     lam = jnp.float32(1e-3)
     u_pose_x, u_cam_x, dpts_x, pred_x, ginf_x = \
         _solve_step_explicit_pm(pm, opt, lam)
