@@ -285,3 +285,53 @@ def make_gsba_scene(
     )
     cam_params = np.tile(cam, (num_images, 1))
     return qvecs, tvecs, cam_params, semantic, cyl, q0, t0, cyl0
+
+
+def make_synthetic_reconstruction(num_images: int = 8, num_points: int = 120,
+                                  seed: int = 0, image_size=(640, 480),
+                                  focal: float = 500.0):
+    """Exact synthetic `Reconstruction` (host container), built from the
+    same arc-of-cameras geometry as `make_ba_problem` — used to exercise
+    host-side tools (pose graph construction, analyzers, exporters)."""
+    from sba_tpu.io.colmap_models import Camera, Image, Point3D  # noqa: F401
+    from sba_tpu.models.reconstruction import Reconstruction
+    from sba_tpu.geometry import camera_models
+
+    problem, truth = make_ba_problem(
+        num_images=num_images, num_points=num_points, seed=seed,
+        image_size=image_size, focal=focal)
+    qvecs, tvecs, pts = truth["qvecs"], truth["tvecs"], truth["points"]
+    spec = camera_models.model_by_id(0)
+    w, h = image_size
+
+    rec = Reconstruction()
+    rec.add_camera(Camera(camera_id=1, model_id=0, width=w, height=h,
+                          params=np.asarray(truth["cam_params"][0, :spec.num_params],
+                                            np.float64)))
+
+    obs_image = np.asarray(problem.obs_image)
+    obs_point = np.asarray(problem.obs_point)
+    obs_xy = np.asarray(problem.obs_xy)
+
+    # Per-image keypoint tables in observation order.
+    kp_rows = {i: np.nonzero(obs_image == i)[0] for i in range(num_images)}
+    for i in range(num_images):
+        rows = kp_rows[i]
+        rec.add_image(Image(
+            image_id=i + 1, qvec=qvecs[i].copy(), tvec=tvecs[i].copy(),
+            camera_id=1, name=f"image{i:04d}.png",
+            xys=obs_xy[rows].astype(np.float64),
+            point3D_ids=np.full(len(rows), -1, np.int64)), registered=True)
+
+    # Tracks: for each point, (image_id, kp_idx within that image).
+    for p in range(num_points):
+        rows = np.nonzero(obs_point == p)[0]
+        if len(rows) < 2:
+            continue
+        track = []
+        for r in rows:
+            img = int(obs_image[r])
+            kp_idx = int(np.searchsorted(kp_rows[img], r))
+            track.append((img + 1, kp_idx))
+        rec.add_point3d(pts[p], track)
+    return rec
