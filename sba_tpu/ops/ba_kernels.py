@@ -49,8 +49,8 @@ from sba_tpu.optim.losses import loss_value, loss_weight
 
 MAXP = camera_models.MAX_NUM_PARAMS
 
-SUPPORTED_MODELS = (0, 1, 2, 3, 4, 5)  # SIMPLE_PINHOLE, PINHOLE,
-#   SIMPLE_RADIAL, RADIAL, OPENCV, OPENCV_FISHEYE — analytic heads below.
+SUPPORTED_MODELS = tuple(range(11))  # all 11 COLMAP camera models have
+#   analytic heads below (ref: src/base/camera_models.h model registry).
 
 
 def _round_up(x, m):
@@ -318,6 +318,159 @@ def _head(model_id, k, u, v):
         dk_rows = [t1r, t1r * t2, t1r * t4, t1r * t4 * t2]
         dk = [(xp, zero), (zero, yp), (one, zero), (zero, one)] + \
             [(fx * u * d, fy * v * d) for d in dk_rows]
+        return px, py, a, dk
+    if model_id == 6:       # FULL_OPENCV: fx,fy,cx,cy,k1,k2,p1,p2,k3,k4,k5,k6
+        fx, fy, cx, cy, k1, k2, p1, p2, k3, k4, k5, k6 = k
+        u2, v2, uv = u * u, v * v, u * v
+        r2 = u2 + v2
+        r4 = r2 * r2
+        r6 = r4 * r2
+        num = 1.0 + k1 * r2 + k2 * r4 + k3 * r6
+        den = 1.0 + k4 * r2 + k5 * r4 + k6 * r6
+        inv_d = 1.0 / den
+        radial = num * inv_d
+        dnum = k1 + 2.0 * k2 * r2 + 3.0 * k3 * r4   # d(num)/d(r2)
+        dden = k4 + 2.0 * k5 * r2 + 3.0 * k6 * r4
+        drad = 2.0 * (dnum - radial * dden) * inv_d  # d(radial)/du = drad*u
+        xp = u * radial + 2.0 * p1 * uv + p2 * (r2 + 2.0 * u2)
+        yp = v * radial + 2.0 * p2 * uv + p1 * (r2 + 2.0 * v2)
+        px, py = fx * xp + cx, fy * yp + cy
+        zero = jnp.zeros_like(u)
+        one = jnp.ones_like(u)
+        dxp_du = radial + u2 * drad + 2.0 * p1 * v + 6.0 * p2 * u
+        dxy = uv * drad + 2.0 * p1 * u + 2.0 * p2 * v
+        dyp_dv = radial + v2 * drad + 2.0 * p2 * u + 6.0 * p1 * v
+        a = ((fx * dxp_du, fx * dxy), (fy * dxy, fy * dyp_dv))
+        nd2 = radial * inv_d                        # num / den^2
+        dk = [(xp, zero), (zero, yp), (one, zero), (zero, one),
+              (fx * u * r2 * inv_d, fy * v * r2 * inv_d),
+              (fx * u * r4 * inv_d, fy * v * r4 * inv_d),
+              (fx * 2.0 * uv, fy * (r2 + 2.0 * v2)),
+              (fx * (r2 + 2.0 * u2), fy * 2.0 * uv),
+              (fx * u * r6 * inv_d, fy * v * r6 * inv_d),
+              (-fx * u * r2 * nd2, -fy * v * r2 * nd2),
+              (-fx * u * r4 * nd2, -fy * v * r4 * nd2),
+              (-fx * u * r6 * nd2, -fy * v * r6 * nd2)]
+        return px, py, a, dk
+    if model_id == 7:       # FOV: fx, fy, cx, cy, omega
+        fx, fy, cx, cy, omega = k
+        u2, v2, uv = u * u, v * v, u * v
+        r2 = u2 + v2
+        r = jnp.sqrt(r2)
+        safe_r2 = jnp.maximum(r2, 1e-24)
+        small_r = r2 < 1e-4                        # ref camera_models.h guard
+        tanh = jnp.tan(omega * 0.5)
+        aa = 2.0 * tanh                            # atan argument slope
+        safe_om = jnp.where(jnp.abs(omega) > 1e-12, omega, 1.0)
+        small_om = omega * omega < 1e-4            # ref guard thresholds
+        # factor s = atan(a r) / (omega r); small-r/omega Taylor as the ref.
+        s_main = jnp.arctan(aa * r) / (jnp.maximum(r, 1e-12) * safe_om)
+        s_small = (-2.0 * tanh * (4.0 * r2 * tanh * tanh - 3.0)) / (3.0 * safe_om)
+        s_om = omega * omega * r2 / 3.0 - omega * omega / 12.0 + 1.0
+        s = jnp.where(small_om, s_om, jnp.where(small_r, s_small, s_main))
+        # g = (ds/dr)/r: main ((a/(om(1+a^2 r^2)) - s)/r2; Taylor limits.
+        g_main = (aa / (safe_om * (1.0 + aa * aa * r2)) - s) / safe_r2
+        g_small = -2.0 * aa * aa * aa / (3.0 * safe_om)
+        g = jnp.where(small_om, 2.0 * omega * omega / 3.0,
+                      jnp.where(small_r, g_small, g_main))
+        # omega derivative of s: (1+a^2/4)/(om(1+a^2 r^2)) - s/om.
+        dsdo_main = (1.0 + 0.25 * aa * aa) / (safe_om * (1.0 + aa * aa * r2)) \
+            - s / safe_om
+        dsdo = jnp.where(small_om, 2.0 * omega * r2 / 3.0 - omega / 6.0,
+                         dsdo_main)
+        xp, yp = u * s, v * s
+        px, py = fx * xp + cx, fy * yp + cy
+        zero = jnp.zeros_like(u)
+        one = jnp.ones_like(u)
+        a = ((fx * (s + u2 * g), fx * uv * g),
+             (fy * uv * g, fy * (s + v2 * g)))
+        dk = [(xp, zero), (zero, yp), (one, zero), (zero, one),
+              (fx * u * dsdo, fy * v * dsdo)]
+        return px, py, a, dk
+    if model_id in (8, 9):  # SIMPLE_RADIAL_FISHEYE / RADIAL_FISHEYE
+        if model_id == 8:
+            f, cx, cy, k1 = k
+            k2 = jnp.zeros_like(k1)
+        else:
+            f, cx, cy, k1, k2 = k
+        u2, v2, uv = u * u, v * v, u * v
+        r2 = u2 + v2
+        r = jnp.sqrt(r2)
+        safe_r = jnp.maximum(r, 1e-12)
+        small = r < 1e-8
+        theta = jnp.arctan(r)
+        t2 = theta * theta
+        t4 = t2 * t2
+        poly = 1.0 + k1 * t2 + k2 * t4
+        dthetad = 1.0 + 3.0 * k1 * t2 + 5.0 * k2 * t4  # d(theta*poly)/d(theta)
+        thetad = theta * poly
+        s = jnp.where(small, 1.0, thetad / safe_r)
+        g_main = (dthetad / (1.0 + r2) - s) / jnp.maximum(r2, 1e-24)
+        g = jnp.where(small, 2.0 * (k1 - 1.0 / 3.0), g_main)
+        xp, yp = u * s, v * s
+        px, py = f * xp + cx, f * yp + cy
+        zero = jnp.zeros_like(u)
+        one = jnp.ones_like(u)
+        a = ((f * (s + u2 * g), f * uv * g),
+             (f * uv * g, f * (s + v2 * g)))
+        t1r = jnp.where(small, r2, theta * t2 / safe_r)
+        dk = [(xp, yp), (one, zero), (zero, one),
+              (f * u * t1r, f * v * t1r)]
+        if model_id == 9:
+            dk.append((f * u * t1r * t2, f * v * t1r * t2))
+        return px, py, a, dk
+    if model_id == 10:      # THIN_PRISM_FISHEYE:
+        #                     fx,fy,cx,cy,k1,k2,p1,p2,k3,k4,sx1,sy1
+        fx, fy, cx, cy, k1, k2, p1, p2, k3, k4, sx1, sy1 = k
+        r2 = u * u + v * v
+        r = jnp.sqrt(r2)
+        safe_r = jnp.maximum(r, 1e-12)
+        small = r < 1e-8
+        theta = jnp.arctan(r)
+        s = jnp.where(small, 1.0, theta / safe_r)       # equidistant pre-map
+        gs_main = (1.0 / (1.0 + r2) - s) / jnp.maximum(r2, 1e-24)
+        gs = jnp.where(small, -2.0 / 3.0, gs_main)      # (ds/dr)/r
+        up, vp = u * s, v * s
+        # pre-map Jacobian
+        j00 = s + u * u * gs
+        j01 = u * v * gs
+        j11 = s + v * v * gs
+        # thin-prism distortion on (up, vp)
+        p2_ = up * up + vp * vp
+        p4 = p2_ * p2_
+        p6 = p4 * p2_
+        p8 = p6 * p2_
+        uvp = up * vp
+        radial = k1 * p2_ + k2 * p4 + k3 * p6 + k4 * p8
+        drad = 2.0 * (k1 + 2.0 * k2 * p2_ + 3.0 * k3 * p4 + 4.0 * k4 * p6)
+        xp = up * (1.0 + radial) + 2.0 * p1 * uvp + p2 * (p2_ + 2.0 * up * up) \
+            + sx1 * p2_
+        yp = vp * (1.0 + radial) + 2.0 * p2 * uvp + p1 * (p2_ + 2.0 * vp * vp) \
+            + sy1 * p2_
+        px, py = fx * xp + cx, fy * yp + cy
+        # thin-prism Jacobian wrt (up, vp)
+        b00 = 1.0 + radial + up * up * drad + 2.0 * p1 * vp + 6.0 * p2 * up \
+            + 2.0 * sx1 * up
+        b01 = uvp * drad + 2.0 * p1 * up + 2.0 * p2 * vp + 2.0 * sx1 * vp
+        b10 = uvp * drad + 2.0 * p2 * vp + 2.0 * p1 * up + 2.0 * sy1 * up
+        b11 = 1.0 + radial + vp * vp * drad + 2.0 * p2 * up + 6.0 * p1 * vp \
+            + 2.0 * sy1 * vp
+        # chain: A = F * B * J_premap
+        a00 = b00 * j00 + b01 * j01
+        a01 = b00 * j01 + b01 * j11
+        a10 = b10 * j00 + b11 * j01
+        a11 = b10 * j01 + b11 * j11
+        a = ((fx * a00, fx * a01), (fy * a10, fy * a11))
+        zero = jnp.zeros_like(u)
+        one = jnp.ones_like(u)
+        dk = [(xp, zero), (zero, yp), (one, zero), (zero, one),
+              (fx * up * p2_, fy * vp * p2_),
+              (fx * up * p4, fy * vp * p4),
+              (fx * 2.0 * uvp, fy * (p2_ + 2.0 * vp * vp)),
+              (fx * (p2_ + 2.0 * up * up), fy * 2.0 * uvp),
+              (fx * up * p6, fy * vp * p6),
+              (fx * up * p8, fy * vp * p8),
+              (fx * p2_, zero), (zero, fy * p2_)]
         return px, py, a, dk
     raise NotImplementedError(model_id)
 

@@ -30,6 +30,13 @@ _DISTORT = {
     3: {3: 0.02, 4: -0.005},
     4: {4: 0.02, 5: -0.005, 6: 1e-3, 7: -2e-3},
     5: {4: 0.02, 5: -0.005, 6: 1e-3, 7: -2e-3},
+    6: {4: 0.02, 5: -0.005, 6: 1e-3, 7: -2e-3, 8: 1e-3,
+        9: 0.01, 10: -2e-3, 11: 5e-4},
+    7: {4: 0.08},
+    8: {3: 0.02},
+    9: {3: 0.02, 4: -0.005},
+    10: {4: 0.02, 5: -0.005, 6: 1e-3, 7: -2e-3, 8: 1e-3, 9: -5e-4,
+         10: 8e-4, 11: -6e-4},
 }
 
 
@@ -55,7 +62,7 @@ def _setup(model_id=0, **kw):
     return problem, truth, pm, opt, lay, static, par, pts
 
 
-@pytest.mark.parametrize("model_id", [0, 1, 2, 3, 4, 5])
+@pytest.mark.parametrize("model_id", list(range(11)))
 def test_fused_cost_matches_xla(model_id):
     _, _, pm, opt, lay, static, par, pts = _setup(model_id)
     c_k = bk.fused_cost(static, par, pts, lay, opt, interpret=True)
@@ -112,7 +119,7 @@ def test_fused_payloads_match_xla():
                                atol=3e-5 * np.abs(Ey).max())
 
 
-@pytest.mark.parametrize("model_id", [0, 3, 4, 5])
+@pytest.mark.parametrize("model_id", [0, 3, 4, 5, 6, 7, 9, 10])
 def test_fused_step_matches_xla(model_id):
     _, _, pm, opt, lay, static, par, pts = _setup(model_id)
     lam = jnp.float32(1e-3)
