@@ -610,6 +610,7 @@ def _interleave3(rows, TP):
 # ---------------------------------------------------------------------------
 
 def _fused_schur_kernel(model_id, nparams, loss, loss_scale, lay,
+                        schur_bf16,
                         lam_ref, par_ref, free_ref, pts_ref, freep_ref,
                         obs_sta_ref, obs_img_ref, obs_cam_ref,
                         s_ref, img_ref, ey_ref, pt_ref, jw_ref,
@@ -715,7 +716,11 @@ def _fused_schur_kernel(model_id, nparams, loss, loss_scale, lay,
     # Row convention (tile semantics of pltpu.repeat): pose row =
     # i*Npad + n, cam row = 6*Npad + m*C + c; column = j*TP + p_local.
     # The epilogue (optim/ba_fused.py) indexes S/Ey/du with the SAME
-    # convention.
+    # convention. (Two rejected alternatives, both measured SLOWER at
+    # bench scale on v5e: a bf16 elb scratch — Mosaic's masked bf16
+    # accumulates fall off the fast path — and an MXU "scatter-matmul"
+    # construction (oh . WL_ij) @ pmat^T with a 0/1 lane-projection,
+    # which does K-fold redundant MXU work: 281 -> 228 it/s.)
     elb_ref[:, :] = jnp.zeros_like(elb_ref)
     lane3 = jax.lax.broadcasted_iota(jnp.int32, (1, 3 * TP), 1) // TP
     for s in range(K):
@@ -756,8 +761,9 @@ def _fused_schur_kernel(model_id, nparams, loss, loss_scale, lay,
         elb_ref[6 * Npad:6 * Npad + 12 * C, :] += ohcrep * cfull
 
     elb = elb_ref[:, :]
+    elb_mm = elb.astype(jnp.bfloat16) if schur_bf16 else elb
     s_ref[:, :] += jax.lax.dot_general(
-        elb, elb, (((1,), (1,)), ((), ())),
+        elb_mm, elb_mm, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
 
     # ---- RHS coupling Ey += ELb @ (Lp^T g_p) ----
@@ -781,7 +787,7 @@ def fused_schur(static: KernelStatic, par, pts, lam, lay: KernelLayout,
     nparams = lay.nparams
     kern = functools.partial(
         _fused_schur_kernel, opt.model_id, nparams, opt.loss,
-        opt.loss_scale, lay)
+        opt.loss_scale, lay, getattr(opt, "schur_bf16", False))
     PT_ROWS = 24
     grid = (nb,)
     lam_arr = jnp.asarray(lam, jnp.float32).reshape(1, 1)

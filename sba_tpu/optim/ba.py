@@ -296,6 +296,13 @@ class BAOptions:
     refine_extra_params: bool = True
     refine_extrinsics: bool = True
     dtype: str = "float64"
+    # Fused path: compute the Schur-correction EL EL^T products in
+    # bfloat16 with f32 accumulation (the TPU MXU's native contract).
+    # S_corr is a damped correction term — bf16 products cost ~3 decimal
+    # digits there while the gradient/RHS stay f32, so LM trajectories
+    # match to ~1e-3 and converge to the same optimum (guarded by
+    # tests/test_ba_fused.py::test_fused_converges_bf16).
+    schur_bf16: bool = True
     # SPMD: when set, the solve runs inside shard_map with observations
     # sharded over this mesh axis; every reduction gains a psum over it
     # (parallel/distributed_ba.py). None = single device.

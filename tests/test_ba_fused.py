@@ -49,7 +49,9 @@ def _setup(model_id=0, **kw):
     for i, val in _DISTORT.get(model_id, {}).items():
         cam[:, i] = val
     problem = problem._replace(cam_params=jnp.asarray(cam, jnp.float32))
-    opt = BAOptions(model_id=model_id, dtype="float32",
+    # schur_bf16=False: these are exact-parity tests of the f32 math
+    # (the bf16 default is covered by test_fused_converges_bf16).
+    opt = BAOptions(model_id=model_id, dtype="float32", schur_bf16=False,
                     solver="explicit_schur", obs_layout="point_major")
     pm = to_point_major(problem)
     lay = bk.plan_layout(pm, opt)
@@ -154,6 +156,21 @@ def test_fused_lm_converges():
     dq = min(np.abs(np.asarray(out.qvecs) - truth["qvecs"]).max(),
              np.abs(np.asarray(out.qvecs) + truth["qvecs"]).max())
     assert dq < 1e-2
+
+
+def test_fused_converges_bf16():
+    """bf16 Schur-correction products (the TPU default) must reach the
+    same optimum as the all-f32 path — S_corr only steers the step."""
+    problem, truth, *_ = _setup()
+    opt16 = BAOptions(model_id=0, max_iterations=25, dtype="float32",
+                      schur_bf16=True)
+    opt32 = BAOptions(model_id=0, max_iterations=25, dtype="float32",
+                      schur_bf16=False)
+    out16, s16 = bf.bundle_adjust_fused(problem, opt16, interpret=True)
+    out32, s32 = bf.bundle_adjust_fused(problem, opt32, interpret=True)
+    assert float(s16.final_cost) < 1e-4 * float(s16.initial_cost)
+    np.testing.assert_allclose(np.asarray(out16.tvecs),
+                               np.asarray(out32.tvecs), atol=5e-3)
 
 
 def test_fused_respects_gauge_masks():
