@@ -41,7 +41,10 @@ def can_use_fused(problem: BAProblem, options: BAOptions) -> bool:
         return False
     if problem.points.dtype != jnp.float32:
         return False
-    if problem.qvecs.shape[0] > 128:   # Dk = 896 keeps S resident in VMEM
+    # S ([Dk, Dk] f32) must stay VMEM-resident across grid steps:
+    # Dk = 6*round_up(N,128) + 128 -> N <= 256 keeps S (Dk 1664, 11 MB)
+    # under Mosaic's 16 MB scoped-vmem limit (N=512 -> 41 MB OOMs).
+    if problem.qvecs.shape[0] > 256:
         return False
     if problem.cam_params.shape[0] > 10:
         return False

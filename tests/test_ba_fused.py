@@ -158,6 +158,18 @@ def test_fused_lm_converges():
     assert dq < 1e-2
 
 
+def test_fused_lm_converges_beyond_128_images():
+    """N > 128 exercises the Npad=256 layout (Dk 1664); the fused path
+    accepts up to 256 images (S stays under the scoped-VMEM limit)."""
+    problem, truth = make_ba_problem(
+        num_images=140, num_points=250, observations_per_point=4,
+        pose_noise=0.01, point_noise=0.05, pixel_noise=0.0, seed=3,
+        dtype=jnp.float32)
+    opt = BAOptions(model_id=0, max_iterations=15, dtype="float32")
+    out, summary = bf.bundle_adjust_fused(problem, opt, interpret=True)
+    assert float(summary.final_cost) < 1e-3 * float(summary.initial_cost)
+
+
 def test_fused_converges_bf16():
     """bf16 Schur-correction products (the TPU default) must reach the
     same optimum as the all-f32 path — S_corr only steers the step."""
