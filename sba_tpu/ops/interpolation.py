@@ -174,3 +174,74 @@ def bilinear_label_agreement_packed(label_nbhd_u32, xy, label, fill=0.0):
     p = ((1 - fye) * ((1 - fxe) * a00 + fxe * a01)
          + fye * ((1 - fxe) * a10 + fxe * a11))
     return jnp.where(inb, p, fill)
+
+
+def pack_depth_nbhd_u8(depth_map, lo=None, hi=None):
+    """[H, W] f32 depths -> (u32 map, lo, hi): the full 2x2 patch
+    d(y,x), d(y,x+1), d(y+1,x), d(y+1,x+1) quantized to u8 against the
+    per-map [lo, hi] range (edge-clamped), one byte per neighbor.
+
+    ONE gather then yields the whole bilinear depth patch. Quantization
+    step = range/255 (e.g. 8 cm over a 20 m scene) — far below the
+    reference's depth_error_threshold gate (default 2.0,
+    ref: src/optim/semantic_bundle_adjustment.h:76)."""
+    import numpy as np
+
+    m = np.asarray(depth_map, np.float32)
+    if lo is None:
+        lo = float(m.min())
+    if hi is None:
+        hi = float(m.max())
+    scale = 255.0 / max(hi - lo, 1e-12)
+    q = np.clip(np.round((m - lo) * scale), 0, 255).astype(np.uint32)
+    r = np.pad(q, ((0, 1), (0, 1)), mode="edge")
+    packed = (r[:-1, :-1] | (r[:-1, 1:] << 8)
+              | (r[1:, :-1] << 16) | (r[1:, 1:] << 24))
+    return packed, np.float32(lo), np.float32(hi)
+
+
+def _bilinear_setup(H, W, xy):
+    x = xy[..., 0]
+    y = xy[..., 1]
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = x - x0
+    fy = y - y0
+    inb = (x >= 0) & (x <= W - 1) & (y >= 0) & (y <= H - 1)
+    x0c = jnp.clip(x0, 0, W - 1)
+    y0c = jnp.clip(y0, 0, H - 1)
+    fxe = jnp.where(x0c >= W - 1, 0.0, fx)
+    fye = jnp.where(y0c >= H - 1, 0.0, fy)
+    return x0c, y0c, fxe, fye, inb
+
+
+def bilinear_depth_u8_flat(flat_u32, H, W, base, xy, lo, hi, fill=0.0):
+    """Bilinear depth from a flattened stack of `pack_depth_nbhd_u8`
+    maps: ONE flat-index gather per sample (flat-index gathers measured
+    ~30% faster than batched per-map gathers on v5e). `base` is the
+    sample's map offset (pd * H * W); lo/hi its dequant range."""
+    x0c, y0c, fxe, fye, inb = _bilinear_setup(H, W, xy)
+    u = jnp.take(flat_u32, base + y0c * W + x0c)
+    dq = (hi - lo) / 255.0
+    v00 = (u & 0xFF).astype(xy.dtype)
+    v01 = ((u >> 8) & 0xFF).astype(xy.dtype)
+    v10 = ((u >> 16) & 0xFF).astype(xy.dtype)
+    v11 = ((u >> 24) & 0xFF).astype(xy.dtype)
+    v = ((1 - fye) * ((1 - fxe) * v00 + fxe * v01)
+         + fye * ((1 - fxe) * v10 + fxe * v11)) * dq + lo
+    return jnp.where(inb, v, fill)
+
+
+def bilinear_label_agreement_flat(flat_u32, H, W, base, xy, label, fill=0.0):
+    """`bilinear_label_agreement_packed` against a flattened map stack
+    (one flat-index gather; see bilinear_depth_u8_flat)."""
+    x0c, y0c, fxe, fye, inb = _bilinear_setup(H, W, xy)
+    u = jnp.take(flat_u32, base + y0c * W + x0c)
+    lab = label.astype(jnp.uint32)
+    a00 = ((u & 0xFF) == lab).astype(xy.dtype)
+    a01 = (((u >> 8) & 0xFF) == lab).astype(xy.dtype)
+    a10 = (((u >> 16) & 0xFF) == lab).astype(xy.dtype)
+    a11 = (((u >> 24) & 0xFF) == lab).astype(xy.dtype)
+    p = ((1 - fye) * ((1 - fxe) * a00 + fxe * a01)
+         + fye * ((1 - fxe) * a10 + fxe * a11))
+    return jnp.where(inb, p, fill)

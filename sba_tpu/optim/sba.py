@@ -58,11 +58,11 @@ from sba_tpu.geometry.quaternions import (
 )
 from sba_tpu.ops.interpolation import (
     bilinear_label_agreement,
-    bilinear_label_agreement_packed,
+    bilinear_label_agreement_flat,
     bilinear_sample2d,
-    bilinear_sample2d_packed,
+    bilinear_depth_u8_flat,
     nearest_sample2d,
-    pack_depth_rows,
+    pack_depth_nbhd_u8,
     pack_label_neighborhood,
 )
 from sba_tpu.optim.losses import loss_value, loss_weight
@@ -94,11 +94,15 @@ class SBAProblem(NamedTuple):
     pair_mask: jnp.ndarray    # [Q] float
     free_rot: jnp.ndarray     # [N]
     free_trans: jnp.ndarray   # [N, 3]
-    # Packed 2x2-neighborhood maps (ops/interpolation.py pack_*): cut
-    # the soft path's gather count from 8 to 3 per sample (TPU gathers
-    # cost per descriptor). None -> unpacked fallback (f64 tests).
-    depth_packed: Optional[jnp.ndarray] = None   # [N, H, W] u32
-    label_packed: Optional[jnp.ndarray] = None   # [N, H, W] u32
+    # Packed 2x2-neighborhood maps (ops/interpolation.py pack_*),
+    # FLATTENED to [N*H*W] for global-index gathers: the soft path costs
+    # 2 gathers per sample (one u8-quantized depth patch, one label
+    # patch) instead of the unpacked path's 8. Flat indexing measured
+    # ~30% faster than batched per-map gathers on v5e.
+    # None -> unpacked fallback (f64 numeric-parity tests).
+    depth_packed: Optional[jnp.ndarray] = None   # [N*H*W] u32 (u8 2x2)
+    label_packed: Optional[jnp.ndarray] = None   # [N*H*W] u32
+    depth_range: Optional[jnp.ndarray] = None    # [N, 2] dequant (lo, hi)
 
 
 @dataclass(frozen=True)
@@ -166,8 +170,11 @@ def _warp_pair(q_src, t_src, q_dst, t_dst, cam_src, cam_dst, pix_xy, src_depth):
 def _pair_residual_soft(q_src, t_src, q_dst, t_dst, cam_src, cam_dst,
                         depth_dst, sem_dst, pix_xy, src_depth, src_label,
                         opt: SBAOptions, depth_packed=None,
-                        label_packed=None):
-    """Differentiable residual field for one pair: [S]."""
+                        label_packed=None, base=None, depth_lo=None,
+                        depth_hi=None):
+    """Differentiable residual field for one pair: [S]. With packed
+    maps, depth_packed/label_packed are the FLAT [N*H*W] stacks and
+    `base` the destination map's offset (pd * H * W)."""
     xy2, z2 = _warp_pair(q_src, t_src, q_dst, t_dst, cam_src, cam_dst,
                          pix_xy, src_depth)
     H, W = depth_dst.shape
@@ -180,15 +187,16 @@ def _pair_residual_soft(q_src, t_src, q_dst, t_dst, cam_src, cam_dst,
     # Also require the point in front of the dst camera.
     gb = gb * jax.nn.sigmoid(z2 / 0.01)
     if depth_packed is not None:
-        depth2 = bilinear_sample2d_packed(depth_packed, xy2, fill=-1e6)
+        depth2 = bilinear_depth_u8_flat(depth_packed, H, W, base, xy2,
+                                        depth_lo, depth_hi, fill=-1e6)
     else:
         depth2 = bilinear_sample2d(depth_dst, xy2, fill=-1e6)
     derr = jnp.abs(depth2 - z2)
     gd = jax.nn.sigmoid((opt.depth_error_threshold - derr)
                         / (opt.tau_depth * opt.depth_error_threshold))
     if label_packed is not None:
-        agree = bilinear_label_agreement_packed(label_packed, xy2,
-                                                src_label, fill=0.0)
+        agree = bilinear_label_agreement_flat(label_packed, H, W, base,
+                                              xy2, src_label, fill=0.0)
     else:
         agree = bilinear_label_agreement(sem_dst, xy2, src_label, fill=0.0)
     valid_src = (src_depth > 0).astype(xy2.dtype)  # ref .cc:809 skip
@@ -240,10 +248,14 @@ def _all_residuals(qvecs, tvecs, problem: SBAProblem, opt: SBAOptions, soft: boo
         if soft:
             return _pair_residual_soft(
                 *args, opt,
-                depth_packed=None if problem.depth_packed is None
-                else problem.depth_packed[pd],
-                label_packed=None if problem.label_packed is None
-                else problem.label_packed[pd])
+                depth_packed=problem.depth_packed,
+                label_packed=problem.label_packed,
+                base=pd * problem.depth_maps.shape[-1]
+                * problem.depth_maps.shape[-2],
+                depth_lo=None if problem.depth_range is None
+                else problem.depth_range[pd, 0],
+                depth_hi=None if problem.depth_range is None
+                else problem.depth_range[pd, 1])
         return _pair_residual_hard(*args, opt)[0]
 
     r = jax.vmap(one)(problem.pair_src, problem.pair_dst)  # [Q, S]
@@ -305,10 +317,14 @@ def _pair_jacobians(problem: SBAProblem, opt: SBAOptions):
         if opt.mode == "soft":
             return _pair_residual_soft(
                 *args, opt,
-                depth_packed=None if problem.depth_packed is None
-                else problem.depth_packed[pd],
-                label_packed=None if problem.label_packed is None
-                else problem.label_packed[pd])
+                depth_packed=problem.depth_packed,
+                label_packed=problem.label_packed,
+                base=pd * problem.depth_maps.shape[-1]
+                * problem.depth_maps.shape[-2],
+                depth_lo=None if problem.depth_range is None
+                else problem.depth_range[pd, 0],
+                depth_hi=None if problem.depth_range is None
+                else problem.depth_range[pd, 1])
         return _pair_residual_hard(*args, opt)[0]
 
     z6 = jnp.zeros(6, problem.tvecs.dtype)
@@ -337,8 +353,13 @@ def _pair_jacobians(problem: SBAProblem, opt: SBAOptions):
             return r, jnp.moveaxis(J, 0, -1)
 
     r, J = jax.vmap(one)(problem.pair_src, problem.pair_dst)
-    # Mask + IRLS weights.
+    # Robust cost at the linearization point — a free byproduct (the
+    # evaluate-at-proposal LM loop uses it as the trial cost, saving a
+    # separate residual pass per iteration).
     s = r * r
+    cost = 0.5 * jnp.sum(loss_value(opt.loss, s, opt.loss_scale)
+                         * problem.pair_mask[:, None])
+    # Mask + IRLS weights.
     w = problem.pair_mask[:, None] * loss_weight(opt.loss, s, opt.loss_scale)
     sw = jnp.sqrt(w)
     r = r * sw
@@ -350,7 +371,7 @@ def _pair_jacobians(problem: SBAProblem, opt: SBAOptions):
     msrc = free_pose[problem.pair_src][:, None, :]  # [Q,1,6]
     mdst = free_pose[problem.pair_dst][:, None, :]
     J = J * jnp.concatenate([msrc, mdst], axis=-1)
-    return r, J
+    return r, J, cost
 
 
 def _assemble_dense(problem: SBAProblem, r, J):
@@ -375,62 +396,89 @@ def _assemble_dense(problem: SBAProblem, r, J):
 @functools.partial(jax.jit, static_argnames=("opt",))
 def _sba_impl(problem: SBAProblem, opt: SBAOptions):
     N = problem.qvecs.shape[0]
-    soft = opt.mode == "soft"
     max_it = opt.max_iterations
 
     free_pose = jnp.concatenate(
         [jnp.repeat(problem.free_rot[:, None], 3, axis=1), problem.free_trans],
         axis=1).reshape(-1)
 
-    cost0 = _cost(problem.qvecs, problem.tvecs, problem, opt, soft)
-
-    def body(state):
-        it, q, t, lam, nu, cost, done, trace = state
-        prob = problem._replace(qvecs=q, tvecs=t)
-        r, J = _pair_jacobians(prob, opt)
-        H, g = _assemble_dense(prob, r, J)
+    def solve(H, g, lam):
         d = jnp.clip(jnp.diag(H), 1e-6, 1e32)
         Hd = H + jnp.diag(lam * d + (1.0 - free_pose))
-        delta = -jax.scipy.linalg.solve(Hd, g, assume_a="pos")
-        delta = delta * free_pose
-        du = delta.reshape(N, 6)
-
-        q2 = quat_retract(q, du[:, :3])
-        t2 = t + du[:, 3:]
-        new_cost = _cost(q2, t2, problem, opt, soft)
-        actual = cost - new_cost
+        delta = -jax.scipy.linalg.solve(Hd, g, assume_a="pos") * free_pose
         predicted = -(jnp.dot(g, delta)
                       + 0.5 * jnp.dot(delta, H @ delta)
                       + 0.5 * jnp.sum(lam * d * delta * delta))
-        rho = actual / jnp.maximum(predicted, 1e-30)
-        accept = (actual > 0) & (predicted > 0)
+        return delta, predicted
+
+    def propose(q, t, delta):
+        du = delta.reshape(N, 6)
+        return quat_retract(q, du[:, :3]), t + du[:, 3:]
+
+    # Evaluate-at-proposal LM: each iteration runs ONE linearization pass
+    # (at the pending proposal) whose residuals double as the trial cost;
+    # on acceptance the pass's (H, g) seed the next solve, on rejection
+    # the base linearization is reused with a larger lambda. Legal here
+    # because the normal equations carry no baked-in damping (lambda is
+    # applied at solve time) — unlike the fused BA path's whitened Schur
+    # kernels. Halves the map-gather passes per iteration vs the
+    # classic linearize + separate-trial-cost loop.
+    lam0 = jnp.asarray(1.0 / opt.initial_trust_radius,
+                       problem.tvecs.dtype)
+    r0, J0, cost0 = _pair_jacobians(problem, opt)
+    H0, g0 = _assemble_dense(problem, r0, J0)
+    delta0, pred0 = solve(H0, g0, lam0)
+    qp0, tp0 = propose(problem.qvecs, problem.tvecs, delta0)
+
+    def body(state):
+        (it, q, t, cost, H, g, qp, tp, pred, step_norm, lam, nu, done,
+         trace) = state
+        prob = problem._replace(qvecs=qp, tvecs=tp)
+        r, J, cost_prop = _pair_jacobians(prob, opt)
+
+        actual = cost - cost_prop
+        rho = actual / jnp.maximum(pred, 1e-30)
+        accept = (actual > 0) & (pred > 0)
 
         lam = jnp.where(accept,
-                        jnp.maximum(lam * jnp.maximum(1.0 / 3.0, 1.0 - (2 * rho - 1.0) ** 3), 1e-14),
+                        jnp.maximum(lam * jnp.maximum(
+                            1.0 / 3.0, 1.0 - (2 * rho - 1.0) ** 3), 1e-14),
                         jnp.minimum(lam * nu, 1e10))
         nu = jnp.where(accept, 2.0, nu * 2.0)
-        q = jnp.where(accept, q2, q)
-        t = jnp.where(accept, t2, t)
-        cost_new = jnp.where(accept, new_cost, cost)
+
+        Hn, gn = _assemble_dense(prob, r, J)
+        H = jnp.where(accept, Hn, H)
+        g = jnp.where(accept, gn, g)
+        q = jnp.where(accept, qp, q)
+        t = jnp.where(accept, tp, t)
+        cost_new = jnp.where(accept, cost_prop, cost)
 
         g_inf = jnp.max(jnp.abs(g))
-        step_norm = jnp.linalg.norm(delta)
-        done = ((accept & (jnp.abs(actual) < opt.function_tolerance * jnp.maximum(cost, 1e-30)))
+        done = ((accept & (jnp.abs(actual)
+                           < opt.function_tolerance
+                           * jnp.maximum(cost, 1e-30)))
                 | (g_inf < opt.gradient_tolerance)
-                | (accept & (step_norm < opt.parameter_tolerance * (1.0 + jnp.linalg.norm(t))))
+                | (accept & (step_norm < opt.parameter_tolerance
+                             * (1.0 + jnp.linalg.norm(t))))
                 | (lam >= 1e10))
+
+        delta, pred2 = solve(H, g, lam)
+        qp2, tp2 = propose(q, t, delta)
         trace = trace.at[it + 1].set(cost_new)
-        return it + 1, q, t, lam, nu, cost_new, done, trace
+        return (it + 1, q, t, cost_new, H, g, qp2, tp2, pred2,
+                jnp.linalg.norm(delta), lam, nu, done, trace)
 
     def cond(state):
-        it, q, t, lam, nu, cost, done, trace = state
+        it = state[0]
+        done = state[-2]
         return (it < max_it) & (~done)
 
     trace0 = jnp.full((max_it + 1,), jnp.nan, cost0.dtype).at[0].set(cost0)
-    init = (0, problem.qvecs, problem.tvecs,
-            jnp.asarray(1.0 / opt.initial_trust_radius, cost0.dtype),
-            jnp.asarray(2.0, cost0.dtype), cost0, jnp.asarray(False), trace0)
-    it, q, t, lam, nu, cost, done, trace = jax.lax.while_loop(cond, body, init)
+    init = (0, problem.qvecs, problem.tvecs, cost0, H0, g0, qp0, tp0,
+            pred0, jnp.linalg.norm(delta0), lam0,
+            jnp.asarray(2.0, cost0.dtype), jnp.asarray(False), trace0)
+    (it, q, t, cost, H, g, qp, tp, pred, step_norm, lam, nu, done,
+     trace) = jax.lax.while_loop(cond, body, init)
 
     out = problem._replace(qvecs=q, tvecs=t)
     hard = evaluate_hard(out, opt)
@@ -493,14 +541,16 @@ def build_sba_problem(qvecs, tvecs, cam_params, depth_maps, semantic_maps,
     # the exact unpacked gathers for numeric-parity tests).
     packed_ok = (dtype == jnp.float32 and sem_np.min() >= 0
                  and sem_np.max() <= 255)
-    depth_packed = label_packed = None
+    depth_packed = label_packed = depth_range = None
     if packed_ok:
+        packs = [pack_depth_nbhd_u8(depth_np[i]) for i in range(N)]
         depth_packed = jnp.asarray(
-            np.stack([pack_depth_rows(depth_np[i])
-                      for i in range(N)]))
+            np.stack([p[0] for p in packs]).reshape(-1))
+        depth_range = jnp.asarray(
+            np.array([[p[1], p[2]] for p in packs], np.float32))
         label_packed = jnp.asarray(
             np.stack([pack_label_neighborhood(sem_np[i].astype(np.int64))
-                      for i in range(N)]))
+                      for i in range(N)]).reshape(-1))
 
     return SBAProblem(
         qvecs=jnp.asarray(qvecs, dtype), tvecs=jnp.asarray(tvecs, dtype),
@@ -515,4 +565,5 @@ def build_sba_problem(qvecs, tvecs, cam_params, depth_maps, semantic_maps,
         free_rot=jnp.asarray(free_rot, dtype),
         free_trans=jnp.asarray(free_trans, dtype),
         depth_packed=depth_packed, label_packed=label_packed,
+        depth_range=depth_range,
     )
