@@ -37,6 +37,9 @@ class HierarchicalMapperOptions:
         default_factory=SceneClusteringOptions)
     mapper: MapperControllerOptions = field(
         default_factory=MapperControllerOptions)
+    # Post-merge pose-graph relaxation of cluster-seam error (extension
+    # over the reference, which stops at similarity alignment).
+    relax_poses: bool = True
 
 
 def merge_reconstructions(rec1: Reconstruction, rec2: Reconstruction,
@@ -112,6 +115,91 @@ def merge_reconstructions(rec1: Reconstruction, rec2: Reconstruction,
     return True
 
 
+def relax_merged_model(base: Reconstruction,
+                       partials: List[Reconstruction],
+                       min_common_points: int = 10,
+                       pg_options=None) -> bool:
+    """Pose-graph relaxation of a merged model.
+
+    The reference's hierarchical merge stops at similarity alignment
+    (ref: src/controllers/hierarchical_mapper.cc:116 + reconstruction.cc
+    Merge) — seam error between clusters stays in the model until the
+    next global BA. This relaxes it first, at pose-graph cost: each
+    partial's internal relative poses (already expressed in the base
+    frame by `merge_reconstructions`) become SE(3) edge measurements,
+    weighted by covisibility; conflicting measurements across cluster
+    seams distribute in the least-squares sense. Returns False when the
+    graph has no edges (nothing to relax).
+    """
+    import jax.numpy as jnp
+    from collections import Counter
+
+    from sba_tpu.optim.pose_graph import (
+        PoseGraphOptions, make_problem, optimize_pose_graph, relative_pose,
+    )
+
+    name2base = {base.images[i].name: i
+                 for i in base.registered_image_ids}
+    img_ids = list(base.registered_image_ids)
+    id2row = {iid: k for k, iid in enumerate(img_ids)}
+
+    ei, ej, rq, rt, wts = [], [], [], [], []
+    for part in partials:
+        cnt: Counter = Counter()
+        for pid, pt in part.points3D.items():
+            track = [int(im) for im in pt.image_ids
+                     if part.is_registered(int(im))]
+            for a in range(len(track)):
+                for b in range(a + 1, len(track)):
+                    if track[a] != track[b]:
+                        cnt[(min(track[a], track[b]),
+                             max(track[a], track[b]))] += 1
+        for (i2, j2), c in cnt.items():
+            if c < min_common_points:
+                continue
+            ni = part.images[i2].name
+            nj = part.images[j2].name
+            if ni not in name2base or nj not in name2base:
+                continue
+            ri = id2row[name2base[ni]]
+            rj = id2row[name2base[nj]]
+            if ri == rj:
+                continue
+            qi, ti = part.images[i2].qvec, part.images[i2].tvec
+            qj, tj = part.images[j2].qvec, part.images[j2].tvec
+            q_ij, t_ij = relative_pose(jnp.asarray(qi), jnp.asarray(ti),
+                                       jnp.asarray(qj), jnp.asarray(tj))
+            ei.append(ri)
+            ej.append(rj)
+            rq.append(np.asarray(q_ij))
+            rt.append(np.asarray(t_ij))
+            wts.append(c)
+    if not ei:
+        return False
+
+    qvecs = np.stack([base.images[i].qvec for i in img_ids])
+    tvecs = np.stack([base.images[i].tvec for i in img_ids])
+    sqrt_info = np.sqrt(np.asarray(wts, np.float64))[:, None, None] \
+        * np.eye(6)[None]
+    # Anchor the most-connected image.
+    deg = np.bincount(np.array(ei + ej), minlength=len(img_ids))
+    fixed = np.zeros(len(img_ids))
+    fixed[int(np.argmax(deg))] = 1.0
+    problem = make_problem(
+        qvecs, tvecs, np.asarray(ei, np.int32), np.asarray(ej, np.int32),
+        np.stack(rq), np.stack(rt), sqrt_info=sqrt_info,
+        pose_fixed=fixed, dtype=jnp.float64)
+    opt = pg_options or PoseGraphOptions(max_iterations=50, loss="huber",
+                                         loss_scale=1.0)
+    out, _ = optimize_pose_graph(problem, opt)
+    q = np.asarray(out.qvecs, np.float64)
+    t = np.asarray(out.tvecs, np.float64)
+    for k, iid in enumerate(img_ids):
+        base.images[iid].qvec = q[k]
+        base.images[iid].tvec = t[k]
+    return True
+
+
 def reconstruct_hierarchical(
     database_cache,
     options: Optional[HierarchicalMapperOptions] = None,
@@ -142,14 +230,17 @@ def reconstruct_hierarchical(
     partials.sort(key=lambda r: -r.num_registered_images())
     base = partials[0]
     pending = partials[1:]
+    merged = [base]
     progress = True
     while pending and progress:
         progress = False
         for k, rec in enumerate(pending):
             if merge_reconstructions(base, rec):
-                pending.pop(k)
+                merged.append(pending.pop(k))
                 progress = True
                 break
+    if opt.relax_poses and len(merged) > 1:
+        relax_merged_model(base, merged)
     return [base] + pending
 
 

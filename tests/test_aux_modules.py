@@ -202,3 +202,62 @@ def test_lad_exact_solution():
     b = jnp.asarray([1.0, -2.0, 3.0, 0.0])
     res = solve_least_absolute_deviations(A, b)
     np.testing.assert_allclose(np.asarray(res.x), np.asarray(b), atol=1e-3)
+
+
+def test_relax_merged_model_repairs_seam_error():
+    """Pose-graph relaxation of a merged model: partials carry accurate
+    intra-cluster relative poses; artificial seam error injected into
+    the merged model's cluster-2 poses must relax back out."""
+    from sba_tpu.sfm.hierarchical_mapper import relax_merged_model
+    from sba_tpu.utils.synthetic import make_synthetic_reconstruction
+    from sba_tpu.geometry.quaternions import (angle_axis_to_quat,
+                                              quat_multiply, quat_normalize)
+
+    rng = np.random.default_rng(4)
+    base = make_synthetic_reconstruction(num_images=8, num_points=160,
+                                         seed=5)
+    truth = {i: (base.images[i].qvec.copy(), base.images[i].tvec.copy())
+             for i in base.registered_image_ids}
+
+    # Partials = exact-truth sub-reconstructions (already in base frame,
+    # as merge_reconstructions leaves them): images 1-5 and 4-8.
+    def sub(rec, ids):
+        from sba_tpu.models.reconstruction import Reconstruction
+        out = Reconstruction()
+        for cid, cam in rec.cameras.items():
+            out.add_camera(cam)
+        from sba_tpu.io.colmap_models import Image as CImage
+        for iid in ids:
+            im = rec.images[iid]
+            out.add_image(CImage(
+                image_id=iid, qvec=im.qvec.copy(), tvec=im.tvec.copy(),
+                camera_id=im.camera_id, name=im.name, xys=im.xys.copy(),
+                point3D_ids=np.full(len(im.xys), -1, np.int64)),
+                registered=True)
+        for pid, p in rec.points3D.items():
+            track = [(int(i), int(f)) for i, f in
+                     zip(p.image_ids, p.point2D_idxs) if int(i) in ids]
+            if len(track) >= 2:
+                out.add_point3d(p.xyz, track)
+        return out
+
+    part1 = sub(base, set(range(1, 6)))
+    part2 = sub(base, set(range(4, 9)))
+
+    # Inject seam error: perturb the merged model's poses for images 6-8.
+    for iid in (6, 7, 8):
+        im = base.images[iid]
+        daa = rng.normal(size=3) * 0.05
+        im.qvec = np.asarray(quat_normalize(quat_multiply(
+            angle_axis_to_quat(jnp.asarray(daa)), jnp.asarray(im.qvec))))
+        im.tvec = im.tvec + rng.normal(size=3) * 0.1
+
+    pre_err = max(np.linalg.norm(base.images[i].tvec - truth[i][1])
+                  for i in (6, 7, 8))
+    assert pre_err > 0.05
+
+    assert relax_merged_model(base, [part1, part2],
+                              min_common_points=5) is True
+    for i in base.registered_image_ids:
+        np.testing.assert_allclose(base.images[i].tvec, truth[i][1],
+                                   atol=1e-3)
