@@ -59,6 +59,13 @@ class SiftExtractionOptions:
     upright: bool = False            # single zero orientation
     darkness_adaptivity: bool = False
     normalization: str = "L1_ROOT"   # or "L2"
+    # DSP-SIFT (Dong & Soatto): average the descriptor over pooled domain
+    # sizes (ref: src/feature/sift.h:97-100 defaults). One vmapped batch
+    # over the scale multipliers — the gathers batch, nothing loops.
+    domain_size_pooling: bool = False
+    dsp_min_scale: float = 1.0 / 6.0
+    dsp_max_scale: float = 3.0
+    dsp_num_scales: int = 10
     # TPU additions: static shape budgets.
     candidates_per_octave: int = 4096
     sigma0: float = 1.6              # base blur of octave 0 level 0
@@ -339,7 +346,7 @@ _D_ORI = 8       # 8 orientation bins
 _D_GRID = 16     # 16x16 sample grid
 
 
-def _descriptors(mag, ang, kx, ky, ksigma, korient):
+def _descriptors(mag, ang, kx, ky, ksigma, korient, opt=None):
     """128-D SIFT descriptors for all keypoints of one level.
 
     Each keypoint samples a rotated 16x16 grid spanning the standard
@@ -388,6 +395,18 @@ def _descriptors(mag, ang, kx, ky, ksigma, korient):
         # desc[y, x, o] = sum_s wm wy wx wo — einsum contracts on MXU.
         desc = jnp.einsum("s,sy,sx,so->yxo", wm, wy, wx, wo)
         return desc.reshape(-1)
+
+    if opt is not None and opt.domain_size_pooling:
+        # DSP-SIFT: mean descriptor over pooled domain sizes
+        # (ref: src/feature/sift.h:97-100; VLFeat dsp implementation).
+        scales = jnp.linspace(opt.dsp_min_scale, opt.dsp_max_scale,
+                              opt.dsp_num_scales, dtype=mag.dtype)
+
+        def pooled(kxi, kyi, sig, ori):
+            d = jax.vmap(lambda s: one(kxi, kyi, sig * s, ori))(scales)
+            return jnp.mean(d, axis=0)
+
+        return jax.vmap(pooled)(kx, ky, ksigma, korient)
 
     return jax.vmap(one)(kx, ky, ksigma, korient)
 
@@ -483,7 +502,7 @@ def _extract_octave(base, octave_idx: int, opt: SiftExtractionOptions,
     descs = jnp.zeros((C * n_ori, 128), dog.dtype)
     for s in inner_levels:
         m, a = grads[s]
-        d_s = _descriptors(m, a, kx_flat, ky_flat, ks_flat, ko_flat)
+        d_s = _descriptors(m, a, kx_flat, ky_flat, ks_flat, ko_flat, opt)
         descs = jnp.where((lvl_flat == s)[:, None], d_s, descs)
     descs = descs.reshape(C, n_ori, 128)
 

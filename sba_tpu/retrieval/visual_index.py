@@ -33,13 +33,21 @@ class VisualIndex:
         self._histograms: List[np.ndarray] = []
         self._idf: Optional[np.ndarray] = None
         self._matrix: Optional[np.ndarray] = None
+        self._words: Dict[int, np.ndarray] = {}
+        self._geoms: Dict[int, np.ndarray] = {}
 
-    def add_image(self, image_id: int, descriptors) -> None:
+    def add_image(self, image_id: int, descriptors, keypoints=None) -> None:
+        """keypoints [N, 4] (x, y, scale, orientation) enables
+        vote-and-verify spatial re-ranking at query time
+        (ref: visual_index.h stores FeatureGeometry per posting)."""
         words = np.asarray(quantize_descriptors(self.tree, descriptors))
         hist = np.bincount(words, minlength=self.tree.num_words) \
             .astype(np.float32)
         self._image_ids.append(image_id)
         self._histograms.append(hist)
+        self._words[image_id] = words
+        if keypoints is not None:
+            self._geoms[image_id] = np.asarray(keypoints, np.float32)
         self._idf = None  # invalidate
 
     def prepare(self) -> None:
@@ -53,9 +61,15 @@ class VisualIndex:
         self._matrix = tfidf / np.maximum(norms, 1e-9)
 
     def query(self, descriptors, num_images: int = 10,
-              exclude_image_id: Optional[int] = None
+              exclude_image_id: Optional[int] = None,
+              keypoints=None, num_verifications: int = 0
               ) -> List[Tuple[int, float]]:
-        """-> [(image_id, score)] ranked by cosine TF-IDF similarity."""
+        """-> [(image_id, score)] ranked by cosine TF-IDF similarity.
+
+        With `keypoints` [N, 4] and num_verifications > 0, the top
+        candidates are spatially re-ranked by vote-and-verify: the
+        effective inlier count adds to the score
+        (ref: visual_index.h:483 image_score.score += VoteAndVerify)."""
         if self._idf is None or self._matrix is None:
             self.prepare()
         words = np.asarray(quantize_descriptors(self.tree, descriptors))
@@ -71,9 +85,27 @@ class VisualIndex:
             if exclude_image_id is not None and iid == exclude_image_id:
                 continue
             out.append((iid, float(scores[k])))
-            if len(out) >= num_images:
+            if len(out) >= max(num_images, num_verifications):
                 break
-        return out
+
+        if num_verifications > 0 and keypoints is not None:
+            from sba_tpu.retrieval.vote_and_verify import (
+                vote_and_verify, word_matches,
+            )
+
+            reranked = []
+            for iid, score in out[:num_verifications]:
+                if iid in self._geoms:
+                    g1, g2 = word_matches(words, np.asarray(keypoints),
+                                          self._words[iid],
+                                          self._geoms[iid])
+                    if len(g1):
+                        score += int(vote_and_verify(g1, g2))
+                reranked.append((iid, score))
+            reranked += out[num_verifications:]
+            reranked.sort(key=lambda t: -t[1])
+            out = reranked
+        return out[:num_images]
 
     def num_images(self) -> int:
         return len(self._image_ids)

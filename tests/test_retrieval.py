@@ -129,3 +129,71 @@ def test_load_colmap_vocab_tree_format(tmp_path):
         f.write(b"\x00" * (64 * 64))
     with pytest.raises(ValueError):
         load_colmap_vocab_tree(str(bad))
+
+
+def test_vote_and_verify_scores_consistent_geometry():
+    """Vote-and-verify (ref: retrieval/vote_and_verify.{h,cc}, ACCV'16):
+    geometrically consistent matches under one similarity transform get a
+    high effective inlier count; scrambled geometry gets ~none."""
+    from sba_tpu.retrieval.vote_and_verify import (
+        VoteAndVerifyOptions, vote_and_verify,
+    )
+
+    rng = np.random.default_rng(0)
+    n = 120
+    x1 = rng.uniform(50, 950, size=(n, 2)).astype(np.float32)
+    s1 = rng.uniform(1.0, 3.0, size=n).astype(np.float32)
+    o1 = rng.uniform(0, 2 * np.pi, size=n).astype(np.float32)
+    # Similarity: scale 1.5, rotation 0.3 rad, translation (120, -40).
+    sc, th, tx, ty = 1.5, 0.3, 120.0, -40.0
+    ca, sa = np.cos(th), np.sin(th)
+    x2 = np.stack([sc * (ca * x1[:, 0] - sa * x1[:, 1]) + tx,
+                   sc * (sa * x1[:, 0] + ca * x1[:, 1]) + ty], axis=1)
+    g1 = np.concatenate([x1, s1[:, None], o1[:, None]], axis=1)
+    g2 = np.concatenate([x2, (s1 * sc)[:, None], (o1 + th)[:, None]],
+                        axis=1).astype(np.float32)
+    # 20% outlier matches.
+    bad = rng.choice(n, size=24, replace=False)
+    g2_noisy = g2.copy()
+    g2_noisy[bad, :2] = rng.uniform(0, 1000, size=(24, 2))
+
+    score = int(vote_and_verify(g1, g2_noisy))
+    assert score >= n - len(bad) - 5
+
+    # Scrambled correspondence: no consistent transform.
+    perm = rng.permutation(n)
+    score_bad = int(vote_and_verify(g1, g2[perm]))
+    assert score_bad < 20
+    assert score > 3 * score_bad
+
+
+def test_visual_index_spatial_reranking():
+    """The spatially consistent image outranks a same-words-different-
+    layout distractor once vote-and-verify re-ranks."""
+    rng = np.random.default_rng(1)
+    d, _ = _clustered_descriptors(rng, 10, 30)
+    tree = build_vocab_tree(d, branching=5, depth=2, iters=10)
+
+    base_desc = d[:90]
+    kp = np.concatenate([
+        rng.uniform(0, 800, size=(90, 2)),
+        rng.uniform(1, 3, size=(90, 1)),
+        rng.uniform(0, 2 * np.pi, size=(90, 1))], axis=1).astype(np.float32)
+
+    index = VisualIndex(tree)
+    # Image 1: same descriptors, same geometry (shifted) = true match.
+    kp_true = kp.copy()
+    kp_true[:, 0] += 50
+    index.add_image(1, base_desc, keypoints=kp_true)
+    # Image 2: same descriptors, scrambled geometry = BoW-equal distractor.
+    index.add_image(2, base_desc, keypoints=kp[rng.permutation(90)])
+    index.prepare()
+
+    plain = index.query(base_desc, num_images=2)
+    scores = dict(plain)
+    assert abs(scores[1] - scores[2]) < 1e-6  # BoW cannot tell them apart
+
+    ranked = index.query(base_desc, num_images=2, keypoints=kp,
+                         num_verifications=2)
+    assert ranked[0][0] == 1
+    assert ranked[0][1] > ranked[1][1] + 10
