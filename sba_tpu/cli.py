@@ -427,8 +427,19 @@ def run_mapper(flags):
     print(f"loaded {cache.num_images()} images, "
           f"{len(cache.correspondence_graph.image_pairs)} pairs")
 
+    # Resume from an existing model (ref: exe/sfm.cc RunMapper input_path,
+    # controllers/incremental_mapper.cc:394-399 continued reconstruction).
+    initial = None
+    input_path = flags.get("input_path", "")
+    if input_path:
+        from sba_tpu.models.reconstruction import Reconstruction
+
+        initial = Reconstruction.read(input_path)
+        print(f"resuming from {input_path}: "
+              f"{initial.num_registered_images()} registered images")
+
     models = reconstruct_incremental(
-        cache, opt,
+        cache, opt, initial_reconstruction=initial,
         callback=lambda ev, info: (print(f"  [{ev}] {info}"), True)[1])
     os.makedirs(output_path, exist_ok=True)
     for k, rec in enumerate(models):
@@ -1062,7 +1073,12 @@ def run_stereo_fuser(flags):
         np.stack(depths), np.stack(normals), np.stack(images_g),
         np.stack(Ks), np.stack(qs), np.stack(tvs), opt)
     write_fused_ply(cloud, output_path)
-    print(f"fused {len(cloud.xyz)} points -> {output_path}")
+    # Visibility sidecar (ref: fusion.cc writes fused.ply.vis; format of
+    # scripts/python/read_write_fused_vis.py).
+    from sba_tpu.mvs.fusion import write_fused_vis
+
+    write_fused_vis(cloud, output_path + ".vis")
+    print(f"fused {len(cloud.xyz)} points -> {output_path} (+.vis)")
 
 
 def _run_mesher(flags):

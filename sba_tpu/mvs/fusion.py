@@ -41,6 +41,11 @@ class FusedPointCloud(NamedTuple):
     normal: np.ndarray    # [M, 3]
     color: np.ndarray     # [M] grayscale in [0,1] (or [M,3] if rgb given)
     num_views: np.ndarray  # [M]
+    # Per-point visibility (ragged, CSR-style): which views fused into
+    # each point — written to fused.ply.vis (ref: mvs/fusion.cc
+    # WriteVisibility / scripts/python/read_write_fused_vis.py format).
+    vis_counts: np.ndarray = None   # [M] uint32
+    vis_idxs: np.ndarray = None     # [sum(vis_counts)] uint32
 
 
 def _cam_to_world(R, t, pts_cam):
@@ -91,6 +96,8 @@ def fuse_depth_maps(
         acc_p = p_world
         acc_n = n_world
         acc_c = images[i]
+        vis_bits = [None] * N   # per-view consistency masks [H, W]
+        vis_bits[i] = depths[i] > 0
         for j in range(N):
             if j == i:
                 continue
@@ -113,6 +120,7 @@ def fuse_depth_maps(
             normal_ok = dotp > cos_thr
             ok = inb & (z_j > 0) & (d_j > 0) & depth_ok & normal_ok \
                 & (depths[i] > 0)
+            vis_bits[j] = ok
             votes = votes + ok.astype(jnp.int32)
             # Accumulate the consistent sample's world position.
             Kinv_j = jnp.linalg.inv(Ks[j])
@@ -126,14 +134,16 @@ def fuse_depth_maps(
             acc_n = acc_n + jnp.where(ok[..., None], n_j_world, 0.0)
             acc_c = acc_c + jnp.where(ok, images[j][yi, xi], 0.0)
         cnt = votes.astype(depths.dtype)[..., None]
-        return votes, acc_p / cnt, acc_n / cnt, acc_c / cnt[..., 0]
+        return (votes, acc_p / cnt, acc_n / cnt, acc_c / cnt[..., 0],
+                jnp.stack(vis_bits))
 
     # Device pass per view; host compaction (variable-size output).
     all_xyz, all_n, all_c, all_v = [], [], [], []
+    all_vis_cnt, all_vis_idx = [], []
     used = np.zeros((N, H, W), bool)  # avoid duplicating fused pixels
     consistency_jit = jax.jit(consistency, static_argnums=0)
     for i in range(N):
-        votes, p_avg, n_avg, c_avg = consistency_jit(i)
+        votes, p_avg, n_avg, c_avg, vis = consistency_jit(i)
         votes = np.asarray(votes)
         keep = (votes >= opt.min_num_pixels) \
             & (np.asarray(depths[i]) > 0) & ~used[i]
@@ -146,6 +156,10 @@ def fuse_depth_maps(
         all_n.append(nn)
         all_c.append(np.asarray(c_avg)[ys, xs])
         all_v.append(votes[ys, xs])
+        # Visibility lists (CSR): views whose samples fused into the point.
+        okk = np.asarray(vis)[:, ys, xs]          # [N, M_i] bool
+        all_vis_cnt.append(okk.sum(0).astype(np.uint32))
+        all_vis_idx.append(np.nonzero(okk.T)[1].astype(np.uint32))
         # Mark source pixels of other views as consumed: project fused
         # points into each later view and invalidate hits.
         pts = all_xyz[-1]
@@ -167,12 +181,16 @@ def fuse_depth_maps(
 
     if not all_xyz:
         return FusedPointCloud(np.zeros((0, 3)), np.zeros((0, 3)),
-                               np.zeros(0), np.zeros(0, int))
+                               np.zeros(0), np.zeros(0, int),
+                               np.zeros(0, np.uint32),
+                               np.zeros(0, np.uint32))
     return FusedPointCloud(
         xyz=np.concatenate(all_xyz),
         normal=np.concatenate(all_n),
         color=np.concatenate(all_c),
-        num_views=np.concatenate(all_v))
+        num_views=np.concatenate(all_v),
+        vis_counts=np.concatenate(all_vis_cnt),
+        vis_idxs=np.concatenate(all_vis_idx))
 
 
 def write_fused_ply(cloud: FusedPointCloud, path):
@@ -195,3 +213,41 @@ def write_fused_ply(cloud: FusedPointCloud, path):
         for p, n, c in zip(xyz, nrm, col8):
             f.write(f"{p[0]} {p[1]} {p[2]} {n[0]} {n[1]} {n[2]} "
                     f"{c[0]} {c[1]} {c[2]}\n")
+
+
+def write_fused_vis(cloud: FusedPointCloud, path):
+    """Binary fused.ply.vis: uint64 num_points, then per point a uint32
+    count followed by count uint32 image indices (format of
+    ref: scripts/python/read_write_fused_vis.py write_fused_ply_vis /
+    mvs/fusion.cc visibility output)."""
+    import struct
+
+    counts = cloud.vis_counts
+    idxs = cloud.vis_idxs
+    if counts is None:
+        counts = np.asarray(cloud.num_views, np.uint32) * 0
+        idxs = np.zeros(0, np.uint32)
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", len(cloud.xyz)))
+        off = 0
+        for c in counts:
+            c = int(c)
+            f.write(struct.pack("<I", c))
+            f.write(np.asarray(idxs[off:off + c], "<u4").tobytes())
+            off += c
+
+
+def read_fused_vis(path):
+    """-> (counts [M] uint32, idxs flat uint32) from a fused.ply.vis."""
+    import struct
+
+    with open(path, "rb") as f:
+        (m,) = struct.unpack("<Q", f.read(8))
+        counts = np.empty(m, np.uint32)
+        idxs = []
+        for i in range(m):
+            (c,) = struct.unpack("<I", f.read(4))
+            counts[i] = c
+            idxs.append(np.frombuffer(f.read(4 * c), "<u4"))
+    return counts, (np.concatenate(idxs) if idxs
+                    else np.zeros(0, np.uint32))

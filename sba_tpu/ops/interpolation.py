@@ -102,80 +102,6 @@ def pack_label_neighborhood(label_map) -> "np.ndarray":
             | (r[1:, :-1] << 16) | (r[1:, 1:] << 24))
 
 
-def pack_depth_rows(depth_map) -> "np.ndarray":
-    """[H, W] f32 depths -> u32 map where bits [0:16] = f16(d(y,x)) and
-    [16:32] = f16(d(y,x+1)) (edge-clamped). Two gathers (rows y0, y0+1)
-    then yield the full 2x2 depth patch at f16 precision (rel err ~5e-4,
-    far below the reference's depth_error_threshold=2.0 gate)."""
-    import numpy as np
-
-    m = np.asarray(depth_map, np.float32)
-    r = np.pad(m, ((0, 0), (0, 1)), mode="edge")
-    lo = r[:, :-1].astype(np.float16).view(np.uint16).astype(np.uint32)
-    hi = r[:, 1:].astype(np.float16).view(np.uint16).astype(np.uint32)
-    return lo | (hi << 16)
-
-
-def _unpack_f16_pair(u):
-    lo = jax.lax.bitcast_convert_type(
-        (u & 0xFFFF).astype(jnp.uint16), jnp.float16).astype(jnp.float32)
-    hi = jax.lax.bitcast_convert_type(
-        (u >> 16).astype(jnp.uint16), jnp.float16).astype(jnp.float32)
-    return lo, hi
-
-
-def bilinear_sample2d_packed(depth_rows_u32, xy, fill=0.0):
-    """Bilinear depth sampling from a `pack_depth_rows` map: 2 gathers
-    per sample instead of 4. Matches bilinear_sample2d to f16 rounding."""
-    H, W = depth_rows_u32.shape
-    x = xy[..., 0]
-    y = xy[..., 1]
-    x0 = jnp.floor(x).astype(jnp.int32)
-    y0 = jnp.floor(y).astype(jnp.int32)
-    fx = x - x0
-    fy = y - y0
-    inb = (x >= 0) & (x <= W - 1) & (y >= 0) & (y <= H - 1)
-    x0c = jnp.clip(x0, 0, W - 1)
-    y0c = jnp.clip(y0, 0, H - 1)
-    y1c = jnp.clip(y0 + 1, 0, H - 1)
-    flat = depth_rows_u32.reshape(-1)
-    top = jnp.take(flat, y0c * W + x0c)
-    bot = jnp.take(flat, y1c * W + x0c)
-    v00, v01 = _unpack_f16_pair(top)
-    v10, v11 = _unpack_f16_pair(bot)
-    # Clamp the x-lerp at the right edge (packed pair is edge-clamped).
-    fxe = jnp.where(x0c >= W - 1, 0.0, fx)
-    v = ((1 - fy) * ((1 - fxe) * v00 + fxe * v01)
-         + fy * ((1 - fxe) * v10 + fxe * v11))
-    return jnp.where(inb, v, fill)
-
-
-def bilinear_label_agreement_packed(label_nbhd_u32, xy, label, fill=0.0):
-    """`bilinear_label_agreement` from a `pack_label_neighborhood` map:
-    ONE gather per sample instead of 4."""
-    H, W = label_nbhd_u32.shape
-    x = xy[..., 0]
-    y = xy[..., 1]
-    x0 = jnp.floor(x).astype(jnp.int32)
-    y0 = jnp.floor(y).astype(jnp.int32)
-    fx = x - x0
-    fy = y - y0
-    inb = (x >= 0) & (x <= W - 1) & (y >= 0) & (y <= H - 1)
-    x0c = jnp.clip(x0, 0, W - 1)
-    y0c = jnp.clip(y0, 0, H - 1)
-    u = jnp.take(label_nbhd_u32.reshape(-1), y0c * W + x0c)
-    lab = label.astype(jnp.uint32)
-    a00 = ((u & 0xFF) == lab).astype(x.dtype)
-    a01 = (((u >> 8) & 0xFF) == lab).astype(x.dtype)
-    a10 = (((u >> 16) & 0xFF) == lab).astype(x.dtype)
-    a11 = (((u >> 24) & 0xFF) == lab).astype(x.dtype)
-    fxe = jnp.where(x0c >= W - 1, 0.0, fx)
-    fye = jnp.where(y0c >= H - 1, 0.0, fy)
-    p = ((1 - fye) * ((1 - fxe) * a00 + fxe * a01)
-         + fye * ((1 - fxe) * a10 + fxe * a11))
-    return jnp.where(inb, p, fill)
-
-
 def pack_depth_nbhd_u8(depth_map, lo=None, hi=None):
     """[H, W] f32 depths -> (u32 map, lo, hi): the full 2x2 patch
     d(y,x), d(y,x+1), d(y+1,x), d(y+1,x+1) quantized to u8 against the

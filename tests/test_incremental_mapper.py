@@ -120,3 +120,30 @@ def test_mapper_handles_empty_database():
     cache = DatabaseCache.create(db)
     models = reconstruct_incremental(cache)
     assert models == []
+
+
+def test_mapper_resumes_from_partial_model(synthetic_scene):
+    """Continued reconstruction (ref: controllers/incremental_mapper.cc
+    :394-399 / exe mapper --input_path): seed the mapper with a partial
+    model and verify the remaining images register into it."""
+    s = synthetic_scene
+    cache = DatabaseCache.create(s["db"], min_num_matches=15)
+    opts = MapperControllerOptions()
+    opts.mapper.init_min_num_inliers = 50
+    opts.mapper.abs_pose_min_num_inliers = 15
+    full = reconstruct_incremental(cache, opts)[0]
+    reg = sorted(i for i in full.images if full.is_registered(i))
+    assert len(reg) == 8
+
+    # Partial = the full model with the last 3 images deregistered.
+    partial = full
+    for iid in reg[-3:]:
+        partial.deregister_image(iid)
+    partial.filter_points_min_track_length(2) \
+        if hasattr(partial, "filter_points_min_track_length") else None
+    assert partial.num_registered_images() == 5
+
+    resumed = reconstruct_incremental(
+        cache, opts, initial_reconstruction=partial)[0]
+    assert resumed.num_registered_images() == 8
+    assert resumed.compute_mean_reprojection_error() < 1.0

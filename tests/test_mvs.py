@@ -234,3 +234,48 @@ def test_patch_match_geom_consistency_pass():
                 & (np.abs(inner_bad - gt) / gt < 0.03)).mean()
     assert good_bad < 0.5, \
         f"conflicting src depths still recovered {good_bad:.2%} of gt"
+
+
+def test_fused_vis_roundtrip(tmp_path):
+    """fused.ply.vis sidecar: per-point visibility lists round-trip in the
+    reference binary format (ref: scripts/python/read_write_fused_vis.py)."""
+    from sba_tpu.mvs.fusion import (FusedPointCloud, read_fused_vis,
+                                    write_fused_vis)
+
+    cloud = FusedPointCloud(
+        xyz=np.zeros((3, 3)), normal=np.zeros((3, 3)),
+        color=np.zeros(3), num_views=np.array([2, 3, 1]),
+        vis_counts=np.array([2, 3, 1], np.uint32),
+        vis_idxs=np.array([0, 4, 1, 2, 3, 5], np.uint32))
+    p = str(tmp_path / "fused.ply.vis")
+    write_fused_vis(cloud, p)
+    counts, idxs = read_fused_vis(p)
+    np.testing.assert_array_equal(counts, cloud.vis_counts)
+    np.testing.assert_array_equal(idxs, cloud.vis_idxs)
+
+
+def test_fusion_emits_visibility_lists():
+    """fuse_depth_maps fills vis_counts/vis_idxs consistent with
+    num_views."""
+    import jax.numpy as jnp
+    from sba_tpu.mvs.fusion import StereoFusionOptions, fuse_depth_maps
+    from sba_tpu.geometry.quaternions import quat_rotate
+
+    # Two fronto-parallel views of a plane at z=5, slight baseline.
+    H, W, N = 32, 40, 3
+    f = 40.0
+    K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1.0]])
+    qs = np.tile(np.array([1.0, 0, 0, 0]), (N, 1))
+    ts = np.stack([np.array([0.1 * i, 0, 0]) for i in range(N)])
+    depths = np.full((N, H, W), 5.0, np.float32)
+    normals = np.zeros((N, H, W, 3), np.float32)
+    normals[..., 2] = -1.0
+    images = np.random.default_rng(0).uniform(size=(N, H, W)).astype(np.float32)
+    cloud = fuse_depth_maps(depths, normals, images, np.stack([K] * N),
+                            qs, ts, StereoFusionOptions(min_num_pixels=2))
+    assert len(cloud.xyz) > 0
+    assert cloud.vis_counts is not None
+    assert cloud.vis_counts.sum() == len(cloud.vis_idxs)
+    np.testing.assert_array_equal(cloud.vis_counts,
+                                  np.asarray(cloud.num_views, np.uint32))
+    assert cloud.vis_idxs.max() < N
