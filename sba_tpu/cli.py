@@ -567,6 +567,40 @@ def run_bundle_adjuster(flags):
           f"{float(s.final_cost):.6g} in {int(s.num_iterations)} iters")
 
 
+def run_pose_graph_optimizer(flags):
+    """SE(3)/Sim(3) pose-graph relaxation over a covisibility graph —
+    an extension beyond the reference CLI (COLMAP has no pose-graph
+    command); the loop-closure/model-stitch step for large scenes.
+    Flags: --input_path --output_path
+    [--PoseGraph.min_common_points 15] [--PoseGraph.max_iterations 50]
+    [--PoseGraph.sim3 0] [--PoseGraph.loss huber]"""
+    from sba_tpu.models.reconstruction import Reconstruction
+    from sba_tpu.optim.pose_graph import (
+        PoseGraphOptions, apply_pose_graph_result, optimize_pose_graph,
+        pose_graph_from_reconstruction,
+    )
+
+    input_path, output_path = _require(flags, "input_path", "output_path")
+    rec = Reconstruction.read(input_path)
+    min_common = int(flags.get("PoseGraph.min_common_points", "15"))
+    sim3 = flags.get("PoseGraph.sim3", "0") in ("1", "true", "True")
+    opt = PoseGraphOptions(
+        max_iterations=int(flags.get("PoseGraph.max_iterations", "50")),
+        sim3=sim3,
+        loss=flags.get("PoseGraph.loss", "huber"),
+        loss_scale=float(flags.get("PoseGraph.loss_scale", "1.0")))
+    problem, img_ids = pose_graph_from_reconstruction(
+        rec, min_common_points=min_common, sim3=sim3)
+    out, s = optimize_pose_graph(problem, opt)
+    apply_pose_graph_result(rec, out, img_ids)
+    os.makedirs(output_path, exist_ok=True)
+    rec.write(output_path)
+    print(f"pose graph: {len(img_ids)} nodes, "
+          f"{int(s.num_residuals)} edges, cost "
+          f"{float(s.initial_cost):.6g} -> {float(s.final_cost):.6g} "
+          f"in {int(s.num_iterations)} iters")
+
+
 def run_semantic_bundle_adjuster(flags):
     """Ref: exe/sfm.cc:169 RunSemanticBundleAdjuster."""
     from sba_tpu.controllers.semantic_ba import (
@@ -1752,6 +1786,7 @@ COMMANDS = {
     "color_extractor": run_color_extractor,
     "point_filtering": run_point_filtering,
     "rig_bundle_adjuster": run_rig_bundle_adjuster,
+    "pose_graph_optimizer": run_pose_graph_optimizer,
     "model_merger": run_model_merger,
     "model_converter": run_model_converter,
     "model_analyzer": run_model_analyzer,

@@ -83,14 +83,27 @@ def synthetic_scene():
                 tvecs=np.stack(tvecs), points=pts, f=f)
 
 
-def test_incremental_mapping_recovers_scene(synthetic_scene):
-    s = synthetic_scene
-    cache = DatabaseCache.create(s["db"], min_num_matches=15)
+@pytest.fixture(scope="module")
+def mapper_opts():
     opts = MapperControllerOptions()
     opts.mapper.init_min_num_inliers = 50
     opts.mapper.abs_pose_min_num_inliers = 15
-    models = reconstruct_incremental(cache, opts)
+    return opts
+
+
+@pytest.fixture(scope="module")
+def reconstructed(synthetic_scene, mapper_opts):
+    """One shared full reconstruction (reconstruction is the slow part;
+    tests must not mutate it — take a deepcopy)."""
+    cache = DatabaseCache.create(synthetic_scene["db"], min_num_matches=15)
+    models = reconstruct_incremental(cache, mapper_opts)
     assert len(models) >= 1
+    return cache, models
+
+
+def test_incremental_mapping_recovers_scene(synthetic_scene, reconstructed):
+    s = synthetic_scene
+    _, models = reconstructed
     rec = models[0]
     assert rec.num_registered_images() == 8
     assert rec.num_points3d() > 150
@@ -122,16 +135,14 @@ def test_mapper_handles_empty_database():
     assert models == []
 
 
-def test_mapper_resumes_from_partial_model(synthetic_scene):
+def test_mapper_resumes_from_partial_model(reconstructed, mapper_opts):
     """Continued reconstruction (ref: controllers/incremental_mapper.cc
     :394-399 / exe mapper --input_path): seed the mapper with a partial
     model and verify the remaining images register into it."""
-    s = synthetic_scene
-    cache = DatabaseCache.create(s["db"], min_num_matches=15)
-    opts = MapperControllerOptions()
-    opts.mapper.init_min_num_inliers = 50
-    opts.mapper.abs_pose_min_num_inliers = 15
-    full = reconstruct_incremental(cache, opts)[0]
+    import copy
+
+    cache, models = reconstructed
+    full = copy.deepcopy(models[0])
     reg = sorted(i for i in full.images if full.is_registered(i))
     assert len(reg) == 8
 
@@ -139,11 +150,9 @@ def test_mapper_resumes_from_partial_model(synthetic_scene):
     partial = full
     for iid in reg[-3:]:
         partial.deregister_image(iid)
-    partial.filter_points_min_track_length(2) \
-        if hasattr(partial, "filter_points_min_track_length") else None
     assert partial.num_registered_images() == 5
 
     resumed = reconstruct_incremental(
-        cache, opts, initial_reconstruction=partial)[0]
+        cache, mapper_opts, initial_reconstruction=partial)[0]
     assert resumed.num_registered_images() == 8
     assert resumed.compute_mean_reprojection_error() < 1.0
