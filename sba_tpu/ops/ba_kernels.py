@@ -83,14 +83,18 @@ class KernelStatic(NamedTuple):
     perm_obs: jnp.ndarray  # [O'] point-major obs row per kernel lane (-1 pad)
 
 
-def plan_layout(problem, opt, TP: int = 128) -> KernelLayout:
+def plan_layout(problem, opt, TP: int = 128,
+                block_multiple: int = 1) -> KernelLayout:
+    """`block_multiple`: pad the block count to a multiple of it so the
+    point blocks divide evenly over an SPMD mesh axis (parallel/
+    ba_fused_spmd.py shards blocks across devices)."""
     P = problem.points.shape[0]
     O = problem.obs_image.shape[0]
     K = O // P
     N = problem.qvecs.shape[0]
     C = problem.cam_params.shape[0]
     nparams = camera_models.model_by_id(opt.model_id).num_params
-    Pp = _round_up(P, TP)
+    Pp = _round_up(P, TP * block_multiple)
     nb = Pp // TP
     Npad = _round_up(N, 128)
     Dk = 6 * Npad + _round_up(12 * C, 128)

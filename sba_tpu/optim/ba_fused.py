@@ -15,7 +15,10 @@ Per LM iteration:
   kernel 3 (cost)                    -> trial cost for accept/reject
 
 f32 only; dispatched from optim.ba.bundle_adjust when the problem fits
-(supported camera model, <=128 images, single device, f32).
+(supported camera model, <=256 images, single device, f32). The SPMD
+multi-chip variant (point blocks sharded over a mesh, psum on the
+reduced system) lives in parallel/ba_fused_spmd.py and reuses
+`_fused_lm_loop_impl` via its `axis_name` parameter.
 """
 
 from __future__ import annotations
@@ -96,15 +99,16 @@ def _solve_reduced(S, b, free, opt: BAOptions):
     return x * free
 
 def _bucketize(problem: BAProblem, options: BAOptions, TP: int = 128,
-               max_buckets: int = 3):
+               max_buckets: int = 3, block_multiple: int = 1):
     """Partition points into track-length buckets (host-side).
 
     One global K (max track length) wastes up to K_max/K_mean in kernel
     1 lanes; bucketing points by pow2-rounded track length bounds the
-    padding at 2x per bucket. Returns (buckets, pts0, perm_ranges):
-    buckets = [(static, lay, (lo, hi))] with [lo, hi) the bucket's
-    padded column range in the concatenated [3, P_total] point array;
-    perm_ranges = [(orig_idx [Pb], lo)] for un-permuting the result.
+    padding at 2x per bucket. Returns buckets = [(static, lay, idx)]
+    with idx the bucket's original point indices ([Pb] np.int64); the
+    bucket's padded point array is [3, lay.Pp] with columns [0, Pb)
+    real. `block_multiple` pads each bucket's block count so the point
+    blocks divide evenly over an SPMD mesh (parallel/ba_fused_spmd.py).
     """
     op = np.asarray(problem.obs_point)
     oi = np.asarray(problem.obs_image)
@@ -132,8 +136,6 @@ def _bucketize(problem: BAProblem, options: BAOptions, TP: int = 128,
     offs = np.concatenate([[0], np.cumsum(np.bincount(op, minlength=P))])
 
     buckets = []
-    perm_ranges = []
-    lo = 0
     for K in ks:
         idx = np.nonzero(k_of_point == K)[0]
         if len(idx) == 0:
@@ -166,18 +168,23 @@ def _bucketize(problem: BAProblem, options: BAOptions, TP: int = 128,
             obs_mask=jnp.asarray(sub_m, problem.obs_mask.dtype),
             pt_gather=None, pt_mask=None, img_gather=None, img_mask=None,
             image_cam=problem.image_cam)
-        lay = bk.plan_layout(sub, options, TP)
+        lay = bk.plan_layout(sub, options, TP, block_multiple)
         static = bk.build_static(sub, options, lay)
-        buckets.append((static, lay, (lo, lo + lay.Pp)))
-        perm_ranges.append((idx, lo))
-        lo += lay.Pp
-    return buckets, perm_ranges, lo
+        buckets.append((static, lay, idx))
+    return buckets
 
 
-def _fused_step(statics, lays, ranges, opt, qvecs, tvecs, pts_t, cams,
-                lam, free_arrays, interpret=False):
+def _fused_step(statics, lays, opt, qvecs, tvecs, pts_list, cams,
+                lam, free_arrays, axis_name=None, interpret=False):
     """One linearize + solve over all buckets. Returns (u_pose [N,6],
-    u_cam [C,12], dp_t [3, P_total], predicted, g_inf)."""
+    u_cam [C,12], dp_list (per-bucket [3, Pp]), predicted, g_inf).
+
+    With `axis_name`, point blocks are sharded over that mesh axis
+    (parallel/ba_fused_spmd.py): the point-side work stays local and
+    exactly three psums (S_corr, image payload, Ey) plus the scalar
+    accumulator reductions make the replicated epilogue see the global
+    reduced system — the SURVEY §7 stage-7 design (local landmark
+    elimination, collectives only on the reduced camera system)."""
     lay0 = lays[0]
     N, C, Npad, Dk = lay0.N, lay0.C, lay0.Npad, lay0.Dk
     nparams = lay0.nparams
@@ -188,14 +195,18 @@ def _fused_step(statics, lays, ranges, opt, qvecs, tvecs, pts_t, cams,
     img_red = jnp.zeros((Npad, lay0.DI), jnp.float32)
     ey = jnp.zeros((8, Dk), jnp.float32)
     per_bucket = []
-    for static, lay, (lo, hi) in zip(statics, lays, ranges):
+    for static, lay, pts_b in zip(statics, lays, pts_list):
         s_b, i_b, e_b, pt_pay, jw = bk.fused_schur(
-            static, par, pts_t[:, lo:hi], lam, lay, opt,
+            static, par, pts_b, lam, lay, opt,
             interpret=interpret)
         s_corr = s_corr + s_b
         img_red = img_red + i_b
         ey = ey + e_b
         per_bucket.append((pt_pay, jw))
+    if axis_name is not None:
+        s_corr = jax.lax.psum(s_corr, axis_name)
+        img_red = jax.lax.psum(img_red, axis_name)
+        ey = jax.lax.psum(ey, axis_name)
 
     # ---- unpack image payload ----
     ofs = np.cumsum([0, 6, 36, 6 * nparams, nparams, nparams * nparams])
@@ -246,20 +257,24 @@ def _fused_step(statics, lays, ranges, opt, qvecs, tvecs, pts_t, cams,
     # ---- back-substitute + predicted sums (per bucket) ----
     du_pose_t = jnp.zeros((6, Npad), jnp.float32).at[:, :N].set(u_pose.T)
     du_cam_t = jnp.zeros((12, C), jnp.float32).at[:nparams].set(u_cam_np.T)
-    dp_t = jnp.zeros_like(pts_t)
+    dp_list = []
     t2 = jnp.float32(0.0)
     g_dp = jnp.float32(0.0)
     d_dp2 = jnp.float32(0.0)
     g_inf_pts = jnp.float32(0.0)
-    for (static, lay, (lo, hi)), (pt_pay, jw) in zip(
-            zip(statics, lays, ranges), per_bucket):
+    for (static, lay), (pt_pay, jw) in zip(zip(statics, lays), per_bucket):
         dp, acc = bk.backsub(static, du_pose_t, du_cam_t, pt_pay, jw, lam,
                              lay, opt, interpret=interpret)
-        dp_t = dp_t.at[:, lo:hi].set(dp[:3])
+        dp_list.append(dp[:3])
         t2 = t2 + acc[0, 0]
         g_dp = g_dp + acc[1, 0]
         d_dp2 = d_dp2 + acc[2, 0]
         g_inf_pts = jnp.maximum(g_inf_pts, jnp.max(jnp.abs(pt_pay[:3])))
+    if axis_name is not None:
+        t2 = jax.lax.psum(t2, axis_name)
+        g_dp = jax.lax.psum(g_dp, axis_name)
+        d_dp2 = jax.lax.psum(d_dp2, axis_name)
+        g_inf_pts = jax.lax.pmax(g_inf_pts, axis_name)
 
     gTd = jnp.sum(g_pose * u_pose) + jnp.sum(g_cam * u_cam_np) + g_dp
     dHd = (t2 + jnp.sum(d_pose_l * u_pose * u_pose)
@@ -269,13 +284,14 @@ def _fused_step(statics, lays, ranges, opt, qvecs, tvecs, pts_t, cams,
         jnp.max(jnp.abs(g_pose)),
         jnp.maximum(jnp.max(jnp.abs(g_cam)), g_inf_pts))
     u_cam = jnp.zeros((C, MAXP), jnp.float32).at[:, :nparams].set(u_cam_np)
-    return u_pose, u_cam, dp_t, predicted, g_inf
+    return u_pose, u_cam, dp_list, predicted, g_inf
 
 
-@functools.partial(jax.jit, static_argnames=("lays", "ranges", "options",
-                                             "interpret"))
-def _fused_lm_loop(statics, lays, ranges, pts0, problem, options,
-                   free_arrays, interpret=False):
+def _fused_lm_loop_impl(statics, lays, pts0, problem, options,
+                        free_arrays, axis_name=None, interpret=False):
+    """LM loop body shared by the single-chip jit and the shard_map SPMD
+    wrapper (parallel/ba_fused_spmd.py). pts0 is a tuple of per-bucket
+    [3, Pp_b] arrays (sharded along blocks in the SPMD case)."""
     opt = options
     max_it = opt.max_iterations
     lay0 = lays[0]
@@ -283,24 +299,26 @@ def _fused_lm_loop(statics, lays, ranges, pts0, problem, options,
     t0a = problem.tvecs.astype(jnp.float32)
     k0a = problem.cam_params.astype(jnp.float32)
 
-    def cost_of(q, t, pts_t, k):
+    def cost_of(q, t, pts_list, k):
         par = bk.pack_params(q, t, k, statics[0].image_cam, lay0)
         c = jnp.float32(0.0)
-        for static, lay, (lo, hi) in zip(statics, lays, ranges):
-            c = c + bk.fused_cost(static, par, pts_t[:, lo:hi], lay, opt,
+        for static, lay, pts_b in zip(statics, lays, pts_list):
+            c = c + bk.fused_cost(static, par, pts_b, lay, opt,
                                   interpret=interpret)
+        if axis_name is not None:
+            c = jax.lax.psum(c, axis_name)
         return c
 
     cost0 = cost_of(q0a, t0a, pts0, k0a)
 
     def body(state):
         (it, q, t, pts_t, k, lam, nu, cost, done, g_inf, trace) = state
-        u_pose, u_cam, dp_t, predicted, g_inf = _fused_step(
-            statics, lays, ranges, opt, q, t, pts_t, k, lam, free_arrays,
-            interpret=interpret)
+        u_pose, u_cam, dp_list, predicted, g_inf = _fused_step(
+            statics, lays, opt, q, t, pts_t, k, lam, free_arrays,
+            axis_name=axis_name, interpret=interpret)
         q2 = quat_retract(q, u_pose[:, :3])
         t2 = t + u_pose[:, 3:]
-        pts2 = pts_t + dp_t
+        pts2 = tuple(p + dp for p, dp in zip(pts_t, dp_list))
         k2 = k + u_cam
         new_cost = cost_of(q2, t2, pts2, k2)
         actual = cost - new_cost
@@ -314,12 +332,18 @@ def _fused_lm_loop(statics, lays, ranges, pts0, problem, options,
         nu = jnp.where(accept, 2.0, nu * 2.0)
         q = jnp.where(accept, q2, q)
         t = jnp.where(accept, t2, t)
-        pts_t = jnp.where(accept, pts2, pts_t)
+        pts_t = tuple(jnp.where(accept, p2, p)
+                      for p2, p in zip(pts2, pts_t))
         k = jnp.where(accept, k2, k)
         cost_new = jnp.where(accept, new_cost, cost)
+        dp2_sum = sum(jnp.sum(dp ** 2) for dp in dp_list)
+        pts2_sum = sum(jnp.sum(p ** 2) for p in pts_t)
+        if axis_name is not None:
+            dp2_sum = jax.lax.psum(dp2_sum, axis_name)
+            pts2_sum = jax.lax.psum(pts2_sum, axis_name)
         step_norm = jnp.sqrt(jnp.sum(u_pose ** 2) + jnp.sum(u_cam ** 2)
-                             + jnp.sum(dp_t ** 2))
-        x_norm = jnp.sqrt(jnp.sum(t ** 2) + jnp.sum(pts_t ** 2)
+                             + dp2_sum)
+        x_norm = jnp.sqrt(jnp.sum(t ** 2) + pts2_sum
                           + jnp.sum(k ** 2)) + 1.0
         done = (
             (accept & (jnp.abs(actual)
@@ -348,8 +372,20 @@ def _fused_lm_loop(statics, lays, ranges, pts0, problem, options,
     return (q, t, pts_t, k), summary
 
 
+_fused_lm_loop = functools.partial(jax.jit, static_argnames=(
+    "lays", "options", "axis_name", "interpret"))(_fused_lm_loop_impl)
+
+
+def _pack_bucket_points(points, idxs, lays):
+    """points [P,3] -> tuple of per-bucket padded [3, Pp_b] arrays."""
+    return tuple(
+        jnp.zeros((3, lay.Pp), jnp.float32)
+        .at[:, :len(idx)].set(points[idx].astype(jnp.float32).T)
+        for idx, lay in zip(idxs, lays))
+
+
 def prepare(problem: BAProblem, options: BAOptions, TP: int = 128,
-            max_buckets: int = 3):
+            max_buckets: int = 3, block_multiple: int = 1):
     """Host-side prep (track-length bucketing + static tables + gauge
     masks). Separated from the solve so repeated solves over the same
     problem structure (mapper local/global BA, benchmarking) pay the
@@ -363,21 +399,12 @@ def prepare(problem: BAProblem, options: BAOptions, TP: int = 128,
 
         problem = problem._replace(
             image_cam=jnp.asarray(_image_cam_of(problem)))
-    buckets, perm_ranges, p_total = _bucketize(problem, options, TP,
-                                               max_buckets)
+    buckets = _bucketize(problem, options, TP, max_buckets, block_multiple)
     statics = tuple(b[0] for b in buckets)
     lays = tuple(b[1] for b in buckets)
-    ranges = tuple(b[2] for b in buckets)
+    idxs = tuple(b[2] for b in buckets)
 
-    # Column of each original point in the concatenated padded layout
-    # (device-side permutation; avoids host round trips per solve).
-    P = problem.points.shape[0]
-    perm_cols = np.zeros(P, np.int32)
-    for idx, lo in perm_ranges:
-        perm_cols[idx] = lo + np.arange(len(idx), dtype=np.int32)
-    perm_cols = jnp.asarray(perm_cols)
-    pts0 = jnp.zeros((3, p_total), jnp.float32).at[:, perm_cols].set(
-        problem.points.astype(jnp.float32).T)
+    pts0 = _pack_bucket_points(problem.points, idxs, lays)
 
     # Gauge/free masks in kernel coordinates (host-side, static).
     lay0 = lays[0]
@@ -399,28 +426,38 @@ def prepare(problem: BAProblem, options: BAOptions, TP: int = 128,
     free[ci.reshape(-1)] = free_cam_np.reshape(-1)
     free_arrays = (jnp.asarray(free), jnp.asarray(free_pose),
                    jnp.asarray(free_cam_np))
-    return (statics, lays, ranges, pts0, (perm_ranges, perm_cols),
-            problem, options, free_arrays)
+    return (statics, lays, pts0, idxs, problem, options, free_arrays)
+
+
+def unpack_bucket_points(pts_t, idxs, num_points):
+    """Inverse of `_pack_bucket_points`: per-bucket [3, Pp_b] arrays ->
+    points [P, 3] in original order. Concat + one lane gather (a row
+    SCATTER of 3-wide rows measured ~10 ms at bench scale; the gather
+    is ~free)."""
+    cat = jnp.concatenate(pts_t, axis=1)
+    perm_cols = np.zeros(num_points, np.int32)
+    lo = 0
+    for pts_b, idx in zip(pts_t, idxs):
+        perm_cols[idx] = lo + np.arange(len(idx), dtype=np.int32)
+        lo += pts_b.shape[1]
+    return cat[:, jnp.asarray(perm_cols)].T
 
 
 def solve_prepared(ctx, interpret: bool = False, qvecs=None, tvecs=None,
                    points=None, cam_params=None):
     """Run the LM loop on a prepared context, optionally with updated
     parameter values (same structure)."""
-    (statics, lays, ranges, pts0, (perm_ranges, perm_cols), problem,
-     options, free_arrays) = ctx
+    (statics, lays, pts0, idxs, problem, options, free_arrays) = ctx
     if qvecs is not None:
         problem = problem._replace(
             qvecs=qvecs.astype(jnp.float32),
             tvecs=tvecs.astype(jnp.float32),
             cam_params=cam_params.astype(jnp.float32))
-        pts0 = jnp.zeros(pts0.shape, jnp.float32).at[:, perm_cols].set(
-            points.astype(jnp.float32).T)
+        pts0 = _pack_bucket_points(points, idxs, lays)
     (q, t, pts_t, k), summary = _fused_lm_loop(
-        statics, lays, ranges, pts0, problem, options, free_arrays,
+        statics, lays, pts0, problem, options, free_arrays,
         interpret=interpret)
-    # Un-permute points back to the problem's original order (device).
-    pts_out = pts_t[:, perm_cols].T
+    pts_out = unpack_bucket_points(pts_t, idxs, problem.points.shape[0])
     out = problem._replace(qvecs=q, tvecs=t, points=pts_out, cam_params=k)
     return out, summary
 

@@ -5,3 +5,4 @@ from sba_tpu.parallel.distributed_ba import (
     distributed_bundle_adjust,
     distributed_bundle_adjust_pm,
 )
+from sba_tpu.parallel.ba_fused_spmd import distributed_bundle_adjust_fused

@@ -129,19 +129,17 @@ def test_fused_step_matches_xla(model_id):
         _solve_step_explicit_pm(pm, opt, lam)
 
     ctx = bf.prepare(pm, opt)
-    (statics, lays, ranges, pts0, (perm_ranges, perm_cols), prob_f,
-     options, free_arrays) = ctx
-    u_pose_k, u_cam_k, dp_t_k, pred_k, ginf_k = bf._fused_step(
-        statics, lays, ranges, options, prob_f.qvecs, prob_f.tvecs, pts0,
+    (statics, lays, pts0, idxs, prob_f, options, free_arrays) = ctx
+    u_pose_k, u_cam_k, dp_list_k, pred_k, ginf_k = bf._fused_step(
+        statics, lays, options, prob_f.qvecs, prob_f.tvecs, pts0,
         prob_f.cam_params, lam, free_arrays, interpret=True)
     scale = float(jnp.abs(u_pose_x).max())
     np.testing.assert_allclose(np.asarray(u_pose_k), np.asarray(u_pose_x),
                                atol=2e-3 * scale)
     P = pm.points.shape[0]
     dp_full = np.zeros((P, 3), np.float32)
-    dp_np = np.asarray(dp_t_k)
-    for idx, lo in perm_ranges:
-        dp_full[idx] = dp_np[:, lo:lo + len(idx)].T
+    for dp_b, idx in zip(dp_list_k, idxs):
+        dp_full[idx] = np.asarray(dp_b)[:, :len(idx)].T
     np.testing.assert_allclose(dp_full, np.asarray(dpts_x),
                                atol=2e-3 * float(jnp.abs(dpts_x).max()))
     np.testing.assert_allclose(float(pred_k), float(pred_x), rtol=1e-3)
