@@ -613,21 +613,18 @@ def _interleave3(rows, TP):
 # Kernel 1: fused linearize + reduce + Schur correction
 # ---------------------------------------------------------------------------
 
-def _fused_schur_kernel(model_id, nparams, loss, loss_scale, lay,
-                        schur_bf16,
-                        lam_ref, par_ref, free_ref, pts_ref, freep_ref,
-                        obs_sta_ref, obs_img_ref, obs_cam_ref,
-                        s_ref, img_ref, ey_ref, pt_ref, jw_ref,
-                        elb_ref):
+def _linearize_and_reduce(model_id, nparams, loss, loss_scale, lay,
+                          lam_ref, par_ref, free_ref, pts_ref, freep_ref,
+                          obs_sta_ref, obs_img_ref,
+                          pt_ref, jw_ref, implicit_rows: bool):
+    """Shared body of the kernel-1 variants: linearize the block, write
+    the per-point and per-obs payloads, and return everything the
+    variant-specific epilogues need. With `implicit_rows`, the image
+    payload additionally carries the Ey coupling rows and the Jacobi
+    diagonal of EL EL^T (used by the matvec-PCG large-N path instead of
+    the materialized Schur correction)."""
     TP, K, Npad, C = lay.TP, lay.K, lay.Npad, lay.C
     B = TP * K
-    blk = pl.program_id(0)
-
-    @pl.when(blk == 0)
-    def _init():
-        s_ref[:, :] = jnp.zeros_like(s_ref)
-        img_ref[:, :] = jnp.zeros_like(img_ref)
-        ey_ref[:, :] = jnp.zeros_like(ey_ref)
 
     img_row = obs_img_ref[0:1, :]
     iota_n = jax.lax.broadcasted_iota(jnp.int32, (Npad, B), 0)
@@ -664,30 +661,6 @@ def _fused_schur_kernel(model_id, nparams, loss, loss_scale, lay,
         pt_rows.append(zero_tp)
     pt_ref[:, :] = jnp.concatenate(pt_rows, axis=0)
 
-    # ---- per-image payload: one MXU contraction ----
-    pay = []
-    for i in range(6):
-        pay.append(Jc[i] * r[0] + Jc[6 + i] * r[1])        # g_pose
-    for i in range(6):
-        for j in range(6):
-            pay.append(Jc[i] * Jc[j] + Jc[6 + i] * Jc[6 + j])   # Hcc_pose
-    for i in range(6):
-        for m in range(nparams):
-            pay.append(Jc[i] * Jk[m] + Jc[6 + i] * Jk[nparams + m])  # Hpc
-    for m in range(nparams):
-        pay.append(Jk[m] * r[0] + Jk[nparams + m] * r[1])  # g_cam
-    for m in range(nparams):
-        for m2 in range(nparams):
-            pay.append(Jk[m] * Jk[m2]
-                       + Jk[nparams + m] * Jk[nparams + m2])  # Hcc_cam
-    zero_b = jnp.zeros((1, B), jnp.float32)
-    while len(pay) < lay.DI:
-        pay.append(zero_b)
-    payload = jnp.concatenate(pay, axis=0)                  # [DI, B]
-    img_ref[:, :] += jax.lax.dot_general(
-        oh, payload, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)                 # [Npad, DI]
-
     # ---- whitened couplings WL = (Ju^T Jx) @ Lp ----
     LpB = [jnp.concatenate([Lp[i]] * K, axis=1) for i in range(6)]
     lmat = ((LpB[0], None, None), (LpB[1], LpB[3], None),
@@ -710,11 +683,84 @@ def _fused_schur_kernel(model_id, nparams, loss, loss_scale, lay,
                 for j in range(3)]
         WLc.extend(whiten(Wrow))
 
-    # ---- store per-obs blocks for backsub/predicted ----
+    # ---- per-image payload: one MXU contraction ----
+    pay = []
+    for i in range(6):
+        pay.append(Jc[i] * r[0] + Jc[6 + i] * r[1])        # g_pose
+    for i in range(6):
+        for j in range(6):
+            pay.append(Jc[i] * Jc[j] + Jc[6 + i] * Jc[6 + j])   # Hcc_pose
+    for i in range(6):
+        for m in range(nparams):
+            pay.append(Jc[i] * Jk[m] + Jc[6 + i] * Jk[nparams + m])  # Hpc
+    for m in range(nparams):
+        pay.append(Jk[m] * r[0] + Jk[nparams + m] * r[1])  # g_cam
+    for m in range(nparams):
+        for m2 in range(nparams):
+            pay.append(Jk[m] * Jk[m2]
+                       + Jk[nparams + m] * Jk[nparams + m2])  # Hcc_cam
+    # y = Lp^T g_p per point ([1, TP] rows), used by both epilogues.
+    y = [lmat[0][0][:, :TP] * g_pts[0] + lmat[1][0][:, :TP] * g_pts[1]
+         + lmat[2][0][:, :TP] * g_pts[2],
+         lmat[1][1][:, :TP] * g_pts[1] + lmat[2][1][:, :TP] * g_pts[2],
+         lmat[2][2][:, :TP] * g_pts[2]]
+    if implicit_rows:
+        # Ey rows: (EL y)[image rows] = sum_j WL[.,j] * y_tiled[j]; the
+        # oh contraction below lands them on the right image. Diag rows:
+        # diag(EL EL^T)[image rows] = sum_j WL[.,j]^2 (Jacobi precond).
+        yB = [jnp.concatenate([y[j]] * K, axis=1) for j in range(3)]
+        for i in range(6):                                  # ey_pose
+            pay.append(WLp[i * 3] * yB[0] + WLp[i * 3 + 1] * yB[1]
+                       + WLp[i * 3 + 2] * yB[2])
+        for m in range(nparams):                            # ey_cam
+            pay.append(WLc[m * 3] * yB[0] + WLc[m * 3 + 1] * yB[1]
+                       + WLc[m * 3 + 2] * yB[2])
+        for i in range(6):                                  # diag_pose
+            pay.append(WLp[i * 3] ** 2 + WLp[i * 3 + 1] ** 2
+                       + WLp[i * 3 + 2] ** 2)
+        for m in range(nparams):                            # diag_cam
+            pay.append(WLc[m * 3] ** 2 + WLc[m * 3 + 1] ** 2
+                       + WLc[m * 3 + 2] ** 2)
+    zero_b = jnp.zeros((1, B), jnp.float32)
+    while len(pay) < lay.DI:
+        pay.append(zero_b)
+    payload = jnp.concatenate(pay, axis=0)                  # [DI, B]
+    img_update = jax.lax.dot_general(
+        oh, payload, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                 # [Npad, DI]
+
+    # ---- store per-obs blocks for backsub/matvec/predicted ----
     jw_rows = Jc + Jx + Jk + WLp + WLc
     while len(jw_rows) < lay.JW:
         jw_rows.append(zero_b)
     jw_ref[:, :] = jnp.concatenate(jw_rows, axis=0)
+
+    return dict(oh=oh, WLp=WLp, WLc=WLc, y=y, g_pts=g_pts,
+                img_update=img_update)
+
+
+def _fused_schur_kernel(model_id, nparams, loss, loss_scale, lay,
+                        schur_bf16,
+                        lam_ref, par_ref, free_ref, pts_ref, freep_ref,
+                        obs_sta_ref, obs_img_ref, obs_cam_ref,
+                        s_ref, img_ref, ey_ref, pt_ref, jw_ref,
+                        elb_ref):
+    TP, K, Npad, C = lay.TP, lay.K, lay.Npad, lay.C
+    B = TP * K
+    blk = pl.program_id(0)
+
+    @pl.when(blk == 0)
+    def _init():
+        s_ref[:, :] = jnp.zeros_like(s_ref)
+        img_ref[:, :] = jnp.zeros_like(img_ref)
+        ey_ref[:, :] = jnp.zeros_like(ey_ref)
+
+    red = _linearize_and_reduce(
+        model_id, nparams, loss, loss_scale, lay,
+        lam_ref, par_ref, free_ref, pts_ref, freep_ref,
+        obs_sta_ref, obs_img_ref, pt_ref, jw_ref, implicit_rows=False)
+    oh, WLp, WLc, y = red["oh"], red["WLp"], red["WLc"], red["y"]
+    img_ref[:, :] += red["img_update"]
 
     # ---- build ELb [Dk, 3*TP] and accumulate the Schur correction ----
     # Row convention (tile semantics of pltpu.repeat): pose row =
@@ -770,12 +816,7 @@ def _fused_schur_kernel(model_id, nparams, loss, loss_scale, lay,
         elb_mm, elb_mm, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
 
-    # ---- RHS coupling Ey += ELb @ (Lp^T g_p) ----
-    # (Lp^T g)[j] = sum_i Lp[i][j] g[i]
-    y = [lmat[0][0][:, :TP] * g_pts[0] + lmat[1][0][:, :TP] * g_pts[1]
-         + lmat[2][0][:, :TP] * g_pts[2],
-         lmat[1][1][:, :TP] * g_pts[1] + lmat[2][1][:, :TP] * g_pts[2],
-         lmat[2][2][:, :TP] * g_pts[2]]
+    # ---- RHS coupling Ey += ELb @ (Lp^T g_p), y from the shared body ----
     y_int = _interleave3(y, TP)                             # [1, 3TP]
     ey_ref[0:1, :] += jax.lax.dot_general(
         y_int, elb, (((1,), (1,)), ((), ())),
@@ -833,6 +874,172 @@ def fused_schur(static: KernelStatic, par, pts, lam, lay: KernelLayout,
     )(lam_arr, par, static.free_sta, pts, static.free_pts,
       static.obs_sta, static.obs_img, static.obs_cam)
     return s_corr, img_red, ey, pt_pay, jw
+
+
+# ---------------------------------------------------------------------------
+# Kernel 1b (large-N path): linearize + reduce WITHOUT materializing the
+# Schur correction. The [Dk, Dk] S of `fused_schur` must stay VMEM-
+# resident across grid steps, capping the dense path at 256 images; here
+# the image payload instead carries the Ey coupling and the Jacobi
+# diagonal of EL EL^T, and the reduced system is solved by PCG whose
+# matvec is `schur_matvec` below (re-reading the stored per-obs blocks).
+# ---------------------------------------------------------------------------
+
+def _fused_reduce_kernel(model_id, nparams, loss, loss_scale, lay,
+                         lam_ref, par_ref, free_ref, pts_ref, freep_ref,
+                         obs_sta_ref, obs_img_ref,
+                         img_ref, pt_ref, jw_ref):
+    blk = pl.program_id(0)
+
+    @pl.when(blk == 0)
+    def _init():
+        img_ref[:, :] = jnp.zeros_like(img_ref)
+
+    red = _linearize_and_reduce(
+        model_id, nparams, loss, loss_scale, lay,
+        lam_ref, par_ref, free_ref, pts_ref, freep_ref,
+        obs_sta_ref, obs_img_ref, pt_ref, jw_ref, implicit_rows=True)
+    img_ref[:, :] += red["img_update"]
+
+
+def fused_reduce(static: KernelStatic, par, pts, lam, lay: KernelLayout,
+                 opt, interpret: bool = False):
+    """Run kernel 1b. Returns (img_red [Npad, DI], pt_pay [24, Pp],
+    jw [JW, O']). img_red's extra rows (beyond the dense-kernel layout):
+    ey_pose(6), ey_cam(np), diag_pose(6), diag_cam(np) — these fit in
+    the 128-padded DI for every camera model (max base use is 270/384
+    for FULL_OPENCV)."""
+    TP, K, nb = lay.TP, lay.K, lay.nb
+    B = TP * K
+    base = 6 + 36 + 6 * lay.nparams + lay.nparams + lay.nparams ** 2
+    assert base + 12 + 2 * lay.nparams <= lay.DI, (base, lay.DI)
+    kern = functools.partial(
+        _fused_reduce_kernel, opt.model_id, lay.nparams, opt.loss,
+        opt.loss_scale, lay)
+    PT_ROWS = 24
+    lam_arr = jnp.asarray(lam, jnp.float32).reshape(1, 1)
+    const = lambda i: (0, 0)
+    blocked = lambda i: (0, i)
+    img_red, pt_pay, jw = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, 1), const, memory_space=pltpu.SMEM),
+            pl.BlockSpec((par.shape[0], lay.Npad), const,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((static.free_sta.shape[0], lay.Npad), const,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, TP), blocked, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TP), blocked, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, B), blocked, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B), blocked, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((lay.Npad, lay.DI), const,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((PT_ROWS, TP), blocked, memory_space=pltpu.VMEM),
+            pl.BlockSpec((lay.JW, B), blocked, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((lay.Npad, lay.DI), jnp.float32),
+            jax.ShapeDtypeStruct((PT_ROWS, lay.Pp), jnp.float32),
+            jax.ShapeDtypeStruct((lay.JW, lay.Pp * K), jnp.float32),
+        ),
+        interpret=interpret,
+    )(lam_arr, par, static.free_sta, pts, static.free_pts,
+      static.obs_sta, static.obs_img)
+    return img_red, pt_pay, jw
+
+
+def _schur_matvec_kernel(nparams, lay,
+                         dup_ref, duc_ref, jw_ref,
+                         obs_img_ref, obs_cam_ref,
+                         out_ref):
+    """Correction matvec: out[image rows] += EL (EL^T p) for this
+    block's points. p arrives as (du_pose [6, Npad], du_cam [12, C]);
+    out is [Npad, 6+np] (cam part segment-summed by image_cam in the
+    epilogue — every image has exactly one camera)."""
+    TP, K, Npad, C = lay.TP, lay.K, lay.Npad, lay.C
+    B = TP * K
+    blk = pl.program_id(0)
+
+    @pl.when(blk == 0)
+    def _init():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+
+    img_row = obs_img_ref[0:1, :]
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (Npad, B), 0)
+    oh = (iota_n == img_row).astype(jnp.float32)
+    du_p = jax.lax.dot_general(dup_ref[:, :], oh, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)  # [6,B]
+    cam_row = obs_cam_ref[0:1, :]
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (C, B), 0)
+    ohc = (iota_c == cam_row).astype(jnp.float32)
+    du_c = jax.lax.dot_general(duc_ref[:, :], ohc, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)  # [12,B]
+
+    jw = jw_ref
+    o = 18 + 2 * nparams
+    WLp = [jw[o + i:o + i + 1, :] for i in range(18)]
+    o += 18
+    WLc = [jw[o + i:o + i + 1, :] for i in range(3 * nparams)]
+    dup = [du_p[i:i + 1, :] for i in range(6)]
+    duc = [du_c[m:m + 1, :] for m in range(12)]
+
+    # etu[j] = (EL^T p)[point col j] (identical to backsub).
+    etu = []
+    for j in range(3):
+        a = None
+        for i in range(6):
+            t = WLp[i * 3 + j] * dup[i]
+            a = t if a is None else a + t
+        for m in range(nparams):
+            a = a + WLc[m * 3 + j] * duc[m]
+        etu.append(_slot_sum(a, K, TP))                     # [1, TP]
+    etuB = [jnp.concatenate([etu[j]] * K, axis=1) for j in range(3)]
+
+    pay = []
+    for i in range(6):
+        pay.append(WLp[i * 3] * etuB[0] + WLp[i * 3 + 1] * etuB[1]
+                   + WLp[i * 3 + 2] * etuB[2])
+    for m in range(nparams):
+        pay.append(WLc[m * 3] * etuB[0] + WLc[m * 3 + 1] * etuB[1]
+                   + WLc[m * 3 + 2] * etuB[2])
+    zero_b = jnp.zeros((1, B), jnp.float32)
+    while len(pay) < out_ref.shape[1]:
+        pay.append(zero_b)
+    payload = jnp.concatenate(pay, axis=0)                  # [<=128, B]
+    out_ref[:, :] += jax.lax.dot_general(
+        oh, payload, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def schur_matvec(static: KernelStatic, du_pose_t, du_cam_t, jw,
+                 lay: KernelLayout, opt, interpret: bool = False):
+    """Correction matvec over one bucket. Returns [Npad, DV] with
+    DV = round_up(6 + np, 128); rows: corr_pose(6), corr_cam(np)."""
+    TP, K, nb = lay.TP, lay.K, lay.nb
+    B = TP * K
+    DV = _round_up(6 + lay.nparams, 128)
+    kern = functools.partial(_schur_matvec_kernel, lay.nparams, lay)
+    const = lambda i: (0, 0)
+    blocked = lambda i: (0, i)
+    out = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((6, lay.Npad), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((12, lay.C), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((lay.JW, B), blocked, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B), blocked, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B), blocked, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((lay.Npad, DV), const,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((lay.Npad, DV), jnp.float32),
+        interpret=interpret,
+    )(du_pose_t, du_cam_t, jw, static.obs_img, static.obs_cam)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -307,6 +307,11 @@ class BAOptions:
     # sharded over this mesh axis; every reduction gains a psum over it
     # (parallel/distributed_ba.py). None = single device.
     axis_name: str | None = None
+    # Fused reduced-system solve: "dense" materializes S [Dk,Dk] in VMEM
+    # (fastest, <=256 images), "implicit" runs PCG with a fused matvec
+    # kernel over the stored per-obs blocks (no S; scales to ~1024
+    # images single-chip), "auto" switches on image count.
+    fused_mode: str = "auto"
 
 
 class BASummary(NamedTuple):

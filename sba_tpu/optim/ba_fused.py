@@ -37,6 +37,21 @@ from sba_tpu.optim.ba import BAOptions, BAProblem, BASummary, to_point_major
 MAXP = 12
 
 
+DENSE_MAX_IMAGES = 256   # S [Dk,Dk] VMEM-resident: N=256 -> 11 MB, fits
+#   Mosaic's 16 MB scoped-vmem; N=512 -> 41 MB OOMs. Beyond it the
+#   implicit matvec-PCG path takes over (no S at all).
+IMPLICIT_MAX_IMAGES = 1024  # one-hot [Npad, B] VMEM bound in kernels
+
+
+def use_implicit(lay, options: BAOptions) -> bool:
+    mode = getattr(options, "fused_mode", "auto")
+    if mode == "dense":
+        return False
+    if mode == "implicit":
+        return True
+    return lay.N > DENSE_MAX_IMAGES
+
+
 def can_use_fused(problem: BAProblem, options: BAOptions) -> bool:
     if options.axis_name is not None:
         return False
@@ -44,10 +59,16 @@ def can_use_fused(problem: BAProblem, options: BAOptions) -> bool:
         return False
     if problem.points.dtype != jnp.float32:
         return False
-    # S ([Dk, Dk] f32) must stay VMEM-resident across grid steps:
-    # Dk = 6*round_up(N,128) + 128 -> N <= 256 keeps S (Dk 1664, 11 MB)
-    # under Mosaic's 16 MB scoped-vmem limit (N=512 -> 41 MB OOMs).
-    if problem.qvecs.shape[0] > 256:
+    if problem.qvecs.shape[0] > IMPLICIT_MAX_IMAGES:
+        return False
+    # One-hot [Npad, K*TP] must fit VMEM next to the payload arrays;
+    # bucketing caps most K but the top bucket carries max track length.
+    npad = (problem.qvecs.shape[0] + 127) // 128 * 128
+    op = np.asarray(problem.obs_point)
+    om = np.asarray(problem.obs_mask)
+    kmax = int(np.bincount(
+        op[om > 0], minlength=problem.points.shape[0]).max())
+    if npad * kmax * 128 * 4 > 8 * 2 ** 20:
         return False
     if problem.cam_params.shape[0] > 10:
         return False
@@ -97,6 +118,45 @@ def _solve_reduced(S, b, free, opt: BAOptions):
     _, x, _, _, _ = jax.lax.while_loop(
         cond, body, (0, jnp.zeros_like(b), b, z0, jnp.dot(b, z0)))
     return x * free
+
+def _pcg_2block(matvec, b_pose, b_cam, d_pose, d_cam, opt: BAOptions):
+    """Jacobi-PCG over the (pose [N,6], cam [C,np]) block pair with an
+    implicit operator. Same stopping rule as `_solve_reduced`."""
+    dinv_p = 1.0 / jnp.where(d_pose > 1e-20, d_pose, 1.0)
+    dinv_c = 1.0 / jnp.where(d_cam > 1e-20, d_cam, 1.0)
+
+    def dot(xp, xc, yp, yc):
+        return jnp.sum(xp * yp) + jnp.sum(xc * yc)
+
+    def body(state):
+        i, xp, xc, rp, rc, pp, pc, rz = state
+        Ap_p, Ap_c = matvec(pp, pc)
+        alpha = rz / jnp.maximum(dot(pp, pc, Ap_p, Ap_c), 1e-30)
+        xp = xp + alpha * pp
+        xc = xc + alpha * pc
+        rp = rp - alpha * Ap_p
+        rc = rc - alpha * Ap_c
+        zp = dinv_p * rp
+        zc = dinv_c * rc
+        rz_new = dot(rp, rc, zp, zc)
+        beta = rz_new / jnp.maximum(rz, 1e-30)
+        pp = zp + beta * pp
+        pc = zc + beta * pc
+        return i + 1, xp, xc, rp, rc, pp, pc, rz_new
+
+    def cond(state):
+        i, xp, xc, rp, rc, pp, pc, rz = state
+        return (i < opt.cg_iterations) & \
+            (dot(rp, rc, rp, rc) > (opt.cg_tolerance ** 2) * bnorm2)
+
+    bnorm2 = jnp.maximum(dot(b_pose, b_cam, b_pose, b_cam), 1e-30)
+    zp0 = dinv_p * b_pose
+    zc0 = dinv_c * b_cam
+    init = (0, jnp.zeros_like(b_pose), jnp.zeros_like(b_cam),
+            b_pose, b_cam, zp0, zc0, dot(b_pose, b_cam, zp0, zc0))
+    _, xp, xc, *_ = jax.lax.while_loop(cond, body, init)
+    return xp, xc
+
 
 def _bucketize(problem: BAProblem, options: BAOptions, TP: int = 128,
                max_buckets: int = 3, block_multiple: int = 1):
@@ -189,24 +249,34 @@ def _fused_step(statics, lays, opt, qvecs, tvecs, pts_list, cams,
     N, C, Npad, Dk = lay0.N, lay0.C, lay0.Npad, lay0.Dk
     nparams = lay0.nparams
     image_cam = statics[0].image_cam
+    implicit = use_implicit(lay0, opt)
 
     par = bk.pack_params(qvecs, tvecs, cams, image_cam, lay0)
-    s_corr = jnp.zeros((Dk, Dk), jnp.float32)
     img_red = jnp.zeros((Npad, lay0.DI), jnp.float32)
-    ey = jnp.zeros((8, Dk), jnp.float32)
     per_bucket = []
-    for static, lay, pts_b in zip(statics, lays, pts_list):
-        s_b, i_b, e_b, pt_pay, jw = bk.fused_schur(
-            static, par, pts_b, lam, lay, opt,
-            interpret=interpret)
-        s_corr = s_corr + s_b
-        img_red = img_red + i_b
-        ey = ey + e_b
-        per_bucket.append((pt_pay, jw))
+    if implicit:
+        s_corr = ey = None
+        for static, lay, pts_b in zip(statics, lays, pts_list):
+            i_b, pt_pay, jw = bk.fused_reduce(
+                static, par, pts_b, lam, lay, opt, interpret=interpret)
+            img_red = img_red + i_b
+            per_bucket.append((pt_pay, jw))
+    else:
+        s_corr = jnp.zeros((Dk, Dk), jnp.float32)
+        ey = jnp.zeros((8, Dk), jnp.float32)
+        for static, lay, pts_b in zip(statics, lays, pts_list):
+            s_b, i_b, e_b, pt_pay, jw = bk.fused_schur(
+                static, par, pts_b, lam, lay, opt,
+                interpret=interpret)
+            s_corr = s_corr + s_b
+            img_red = img_red + i_b
+            ey = ey + e_b
+            per_bucket.append((pt_pay, jw))
     if axis_name is not None:
-        s_corr = jax.lax.psum(s_corr, axis_name)
         img_red = jax.lax.psum(img_red, axis_name)
-        ey = jax.lax.psum(ey, axis_name)
+        if not implicit:
+            s_corr = jax.lax.psum(s_corr, axis_name)
+            ey = jax.lax.psum(ey, axis_name)
 
     # ---- unpack image payload ----
     ofs = np.cumsum([0, 6, 36, 6 * nparams, nparams, nparams * nparams])
@@ -225,34 +295,88 @@ def _fused_step(statics, lays, opt, qvecs, tvecs, pts_list, cams,
     d_pose_l = lam * clamp(d_pose)
     d_cam_l = lam * clamp(d_cam)
 
-    # ---- assemble the reduced system in kernel coordinates ----
-    # Kernel row convention: pose row = i*Npad + n, cam row =
-    # 6*Npad + m*C + c (see ops/ba_kernels.py ELb construction).
-    S = -s_corr
-    bi = jnp.arange(N)[:, None] + jnp.arange(6)[None, :] * Npad
-    S = S.at[bi[:, :, None], bi[:, None, :]].add(Hcc_pose)
-    ci_np = (6 * Npad + jnp.arange(C)[:, None]
-             + jnp.arange(nparams)[None, :] * C)            # [C, np]
-    S = S.at[ci_np[:, :, None], ci_np[:, None, :]].add(Hcc_cam)
-    cam_cols = ci_np[image_cam[:N]]                         # [N, np]
-    S = S.at[bi[:, :, None], cam_cols[:, None, :]].add(Hpc_img)
-    S = S.at[cam_cols[:, :, None], bi[:, None, :]].add(
-        jnp.swapaxes(Hpc_img, 1, 2))
-    d_l = jnp.zeros(Dk, jnp.float32)
-    d_l = d_l.at[bi.reshape(-1)].set(d_pose_l.reshape(-1))
-    d_l = d_l.at[ci_np.reshape(-1)].set(d_cam_l.reshape(-1))
-    S = S + jnp.diag(d_l)
-
     free, free_pose, free_cam_np = free_arrays
-    g_u = jnp.zeros(Dk, jnp.float32)
-    g_u = g_u.at[bi.reshape(-1)].set(g_pose.reshape(-1))
-    g_u = g_u.at[ci_np.reshape(-1)].set(g_cam.reshape(-1))
-    b = (-g_u + ey[0]) * free
+    if implicit:
+        # ---- implicit reduced solve: PCG with a fused matvec kernel ----
+        # S v = (H_glob + D_lam) v - EL (EL^T v); EL never materialized.
+        base = 6 + 36 + 6 * nparams + nparams + nparams * nparams
+        ey_pose = red[:, base:base + 6]                     # [N, 6]
+        ey_cam = jax.ops.segment_sum(
+            red[:, base + 6:base + 6 + nparams], image_cam[:N],
+            num_segments=C)                                 # [C, np]
+        dcorr_pose = red[:, base + 6 + nparams:base + 12 + nparams]
+        dcorr_cam = jax.ops.segment_sum(
+            red[:, base + 12 + nparams:base + 12 + 2 * nparams],
+            image_cam[:N], num_segments=C)
+        img_cam_n = image_cam[:N]
 
-    du = _solve_reduced(S, b, free, opt)
-    u_pose = du[:6 * Npad].reshape(6, Npad).T[:N] * free_pose
-    u_cam_np = du[6 * Npad:6 * Npad + 12 * C].reshape(12, C).T[:, :nparams] \
-        * free_cam_np
+        def matvec(vp, vc):
+            vp = vp * free_pose
+            vc = vc * free_cam_np
+            hp = (jnp.einsum("nij,nj->ni", Hcc_pose, vp)
+                  + jnp.einsum("nip,np->ni", Hpc_img, vc[img_cam_n])
+                  + d_pose_l * vp)
+            hc = (jax.ops.segment_sum(
+                jnp.einsum("nip,ni->np", Hpc_img, vp), img_cam_n,
+                num_segments=C)
+                + jnp.einsum("cpq,cq->cp", Hcc_cam, vc)
+                + d_cam_l * vc)
+            dup_t = jnp.zeros((6, Npad), jnp.float32).at[:, :N].set(vp.T)
+            duc_t = jnp.zeros((12, C), jnp.float32).at[:nparams].set(vc.T)
+            corr = None
+            for (static, lay), (pt_pay, jw) in zip(
+                    zip(statics, lays), per_bucket):
+                c_b = bk.schur_matvec(static, dup_t, duc_t, jw, lay, opt,
+                                      interpret=interpret)
+                corr = c_b if corr is None else corr + c_b
+            if axis_name is not None:
+                corr = jax.lax.psum(corr, axis_name)
+            hp = hp - corr[:N, :6]
+            hc = hc - jax.ops.segment_sum(
+                corr[:N, 6:6 + nparams], img_cam_n, num_segments=C)
+            # gauge: identity on frozen coordinates
+            hp = hp * free_pose + (1.0 - free_pose) * vp
+            hc = hc * free_cam_np + (1.0 - free_cam_np) * vc
+            return hp, hc
+
+        b_pose = (-g_pose + ey_pose) * free_pose
+        b_cam = (-g_cam + ey_cam) * free_cam_np
+        diag_p = (jnp.einsum("nii->ni", Hcc_pose) + d_pose_l
+                  - dcorr_pose) * free_pose + (1.0 - free_pose)
+        diag_c = (jnp.einsum("cii->ci", Hcc_cam) + d_cam_l
+                  - dcorr_cam) * free_cam_np + (1.0 - free_cam_np)
+        u_pose, u_cam_np = _pcg_2block(matvec, b_pose, b_cam,
+                                       diag_p, diag_c, opt)
+        u_pose = u_pose * free_pose
+        u_cam_np = u_cam_np * free_cam_np
+    else:
+        # ---- assemble the reduced system in kernel coordinates ----
+        # Kernel row convention: pose row = i*Npad + n, cam row =
+        # 6*Npad + m*C + c (see ops/ba_kernels.py ELb construction).
+        S = -s_corr
+        bi = jnp.arange(N)[:, None] + jnp.arange(6)[None, :] * Npad
+        S = S.at[bi[:, :, None], bi[:, None, :]].add(Hcc_pose)
+        ci_np = (6 * Npad + jnp.arange(C)[:, None]
+                 + jnp.arange(nparams)[None, :] * C)        # [C, np]
+        S = S.at[ci_np[:, :, None], ci_np[:, None, :]].add(Hcc_cam)
+        cam_cols = ci_np[image_cam[:N]]                     # [N, np]
+        S = S.at[bi[:, :, None], cam_cols[:, None, :]].add(Hpc_img)
+        S = S.at[cam_cols[:, :, None], bi[:, None, :]].add(
+            jnp.swapaxes(Hpc_img, 1, 2))
+        d_l = jnp.zeros(Dk, jnp.float32)
+        d_l = d_l.at[bi.reshape(-1)].set(d_pose_l.reshape(-1))
+        d_l = d_l.at[ci_np.reshape(-1)].set(d_cam_l.reshape(-1))
+        S = S + jnp.diag(d_l)
+
+        g_u = jnp.zeros(Dk, jnp.float32)
+        g_u = g_u.at[bi.reshape(-1)].set(g_pose.reshape(-1))
+        g_u = g_u.at[ci_np.reshape(-1)].set(g_cam.reshape(-1))
+        b = (-g_u + ey[0]) * free
+
+        du = _solve_reduced(S, b, free, opt)
+        u_pose = du[:6 * Npad].reshape(6, Npad).T[:N] * free_pose
+        u_cam_np = du[6 * Npad:6 * Npad + 12 * C] \
+            .reshape(12, C).T[:, :nparams] * free_cam_np
 
     # ---- back-substitute + predicted sums (per bucket) ----
     du_pose_t = jnp.zeros((6, Npad), jnp.float32).at[:, :N].set(u_pose.T)

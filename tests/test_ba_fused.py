@@ -193,3 +193,48 @@ def test_fused_respects_gauge_masks():
                                    np.asarray(problem.qvecs[0]), atol=0)
         np.testing.assert_allclose(np.asarray(out.tvecs[0]),
                                    np.asarray(problem.tvecs[0]), atol=0)
+
+
+@pytest.mark.parametrize("model_id", [0, 3, 4])
+def test_implicit_step_matches_dense(model_id):
+    """The large-N implicit path (fused matvec PCG, no materialized S)
+    must produce the same LM step as the dense-S path at small N."""
+    _, _, pm, _, _, _, _, _ = _setup(model_id)
+    lam = jnp.float32(1e-3)
+    outs = {}
+    for mode in ("dense", "implicit"):
+        opt = BAOptions(model_id=model_id, dtype="float32",
+                        schur_bf16=False, fused_mode=mode,
+                        cg_iterations=200, cg_tolerance=1e-9,
+                        solver="explicit_schur", obs_layout="point_major")
+        ctx = bf.prepare(pm, opt)
+        (statics, lays, pts0, idxs, prob_f, options, free_arrays) = ctx
+        outs[mode] = bf._fused_step(
+            statics, lays, options, prob_f.qvecs, prob_f.tvecs, pts0,
+            prob_f.cam_params, lam, free_arrays, interpret=True)
+    u_d, c_d, dp_d, pred_d, ginf_d = outs["dense"]
+    u_i, c_i, dp_i, pred_i, ginf_i = outs["implicit"]
+    scale = float(jnp.abs(u_d).max())
+    np.testing.assert_allclose(np.asarray(u_i), np.asarray(u_d),
+                               atol=1e-3 * scale)
+    np.testing.assert_allclose(float(pred_i), float(pred_d), rtol=1e-3)
+    np.testing.assert_allclose(float(ginf_i), float(ginf_d), rtol=1e-4)
+    for a, b in zip(dp_i, dp_d):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b),
+            atol=1e-3 * max(float(jnp.abs(b).max()), 1e-12))
+
+
+def test_implicit_lm_converges_beyond_256_images():
+    """N > 256 exceeds the dense-S VMEM bound; fused_mode=auto must
+    route to the implicit path and still converge."""
+    problem, truth = make_ba_problem(
+        num_images=300, num_points=400, observations_per_point=4,
+        pose_noise=0.01, point_noise=0.05, pixel_noise=0.0, seed=5,
+        dtype=jnp.float32)
+    opt = BAOptions(model_id=0, max_iterations=15, dtype="float32")
+    ctx = bf.prepare(problem, opt)
+    lays = ctx[1]
+    assert bf.use_implicit(lays[0], opt)
+    out, summary = bf.solve_prepared(ctx, interpret=True)
+    assert float(summary.final_cost) < 1e-3 * float(summary.initial_cost)
