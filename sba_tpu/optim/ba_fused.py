@@ -523,6 +523,16 @@ def prepare(problem: BAProblem, options: BAOptions, TP: int = 128,
 
         problem = problem._replace(
             image_cam=jnp.asarray(_image_cam_of(problem)))
+    else:
+        # A stale image_cam (e.g. obs_cam edited after
+        # attach_gather_layouts) silently mis-intrinsics every kernel
+        # gather — fail loudly instead.
+        icam = np.asarray(problem.image_cam)
+        derived = icam.copy()
+        derived[np.asarray(problem.obs_image)] = np.asarray(problem.obs_cam)
+        if not np.array_equal(derived, icam):
+            raise ValueError(
+                "problem.image_cam is inconsistent with obs_image/obs_cam")
     buckets = _bucketize(problem, options, TP, max_buckets, block_multiple)
     statics = tuple(b[0] for b in buckets)
     lays = tuple(b[1] for b in buckets)

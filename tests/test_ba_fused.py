@@ -238,3 +238,126 @@ def test_implicit_lm_converges_beyond_256_images():
     assert bf.use_implicit(lays[0], opt)
     out, summary = bf.solve_prepared(ctx, interpret=True)
     assert float(summary.final_cost) < 1e-3 * float(summary.initial_cost)
+
+
+def _two_camera_problem(seed=9):
+    """C=2: odd images use a second camera with different intrinsics —
+    exercises the cam-block indexing (ci_np rows, obs_cam one-hots,
+    per-camera segment reductions) that single-camera problems never
+    touch."""
+    problem, truth = make_ba_problem(
+        num_images=6, num_points=120, observations_per_point=4,
+        pose_noise=0.01, point_noise=0.05, pixel_noise=0.0, seed=seed,
+        dtype=jnp.float32)
+    cam2 = np.tile(np.asarray(problem.cam_params), (2, 1))
+    cam2[1, 0] = 520.0                     # camera 1 starts off-truth
+    image_cam = np.arange(problem.qvecs.shape[0], dtype=np.int32) % 2
+    obs_cam = image_cam[np.asarray(problem.obs_image)]
+    free_cam = np.ones((2, problem.free_cam.shape[1]), np.float32)
+    return problem._replace(
+        cam_params=jnp.asarray(cam2, jnp.float32),
+        obs_cam=jnp.asarray(obs_cam),
+        image_cam=jnp.asarray(image_cam),
+        free_cam=jnp.asarray(free_cam, jnp.float32)), truth
+
+
+@pytest.mark.parametrize("mode", ["dense", "implicit"])
+def test_fused_step_two_cameras_matches_xla(mode):
+    problem, _ = _two_camera_problem()
+    opt = BAOptions(model_id=0, dtype="float32", schur_bf16=False,
+                    fused_mode=mode, cg_iterations=200, cg_tolerance=1e-9,
+                    solver="explicit_schur", obs_layout="point_major")
+    pm = to_point_major(problem)
+    lam = jnp.float32(1e-3)
+    u_pose_x, u_cam_x, dpts_x, pred_x, ginf_x = \
+        _solve_step_explicit_pm(pm, opt, lam)
+
+    ctx = bf.prepare(pm, opt)
+    (statics, lays, pts0, idxs, prob_f, options, free_arrays) = ctx
+    u_pose_k, u_cam_k, dp_list_k, pred_k, ginf_k = bf._fused_step(
+        statics, lays, options, prob_f.qvecs, prob_f.tvecs, pts0,
+        prob_f.cam_params, lam, free_arrays, interpret=True)
+    scale = float(jnp.abs(u_pose_x).max())
+    np.testing.assert_allclose(np.asarray(u_pose_k), np.asarray(u_pose_x),
+                               atol=2e-3 * scale)
+    cscale = max(float(jnp.abs(u_cam_x).max()), 1e-12)
+    np.testing.assert_allclose(np.asarray(u_cam_k)[:, :3],
+                               np.asarray(u_cam_x)[:, :3],
+                               atol=2e-3 * cscale)
+    np.testing.assert_allclose(float(pred_k), float(pred_x), rtol=1e-3)
+
+
+def test_fused_lm_two_cameras_converges():
+    problem, _ = _two_camera_problem(seed=10)
+    opt = BAOptions(model_id=0, max_iterations=30, dtype="float32")
+    out, summary = bf.bundle_adjust_fused(problem, opt, interpret=True)
+    assert float(summary.final_cost) < 1e-3 * float(summary.initial_cost)
+    # camera 1 started at f=520 but was generated with f=500: the free
+    # focal must be pulled back toward truth, independently of camera 0.
+    assert abs(float(out.cam_params[1, 0]) - 500.0) < 2.0
+    assert abs(float(out.cam_params[0, 0]) - 500.0) < 2.0
+
+
+@pytest.mark.parametrize("model_id", list(range(11)))
+def test_kernel_head_jacobians_match_finite_differences(model_id):
+    """SURVEY §4(b): independent numeric check of the hand-derived
+    analytic heads — central differences of the projection itself, not
+    autodiff (the XLA reference path uses jacfwd, so the step-parity
+    tests alone would not catch a derivation error mirrored there)."""
+    from sba_tpu.geometry import camera_models as cm
+
+    spec = cm.model_by_id(model_id)
+    nparams = spec.num_params
+    rng = np.random.default_rng(model_id)
+    B = 64
+    u = jnp.asarray(rng.uniform(-0.3, 0.3, (1, B)), jnp.float64)
+    v = jnp.asarray(rng.uniform(-0.3, 0.3, (1, B)), jnp.float64)
+    kvals = np.zeros((nparams, 1, B))
+    kvals[0] = 500.0
+    if model_id in (1, 4, 5, 6, 7, 10):   # fx, fy models
+        kvals[1] = 480.0
+        kvals[2] = 320.0
+        kvals[3] = 240.0
+    else:
+        kvals[1] = 320.0
+        kvals[2] = 240.0
+    for i, val in _DISTORT.get(model_id, {}).items():
+        kvals[i] = val
+    k = [jnp.asarray(kvals[i], jnp.float64) for i in range(nparams)]
+
+    px, py, A2, dk = bk._head(model_id, k, u, v)
+    eps = 1e-6
+
+    def proj(uu, vv, kk):
+        pxx, pyy, _, _ = bk._head(model_id, kk, uu, vv)
+        return pxx, pyy
+
+    # dA/d(u,v) central differences
+    for var, (a_x, a_y) in (("u", (A2[0][0], A2[1][0])),
+                            ("v", (A2[0][1], A2[1][1]))):
+        du = eps if var == "u" else 0.0
+        dv = eps if var == "v" else 0.0
+        px_p, py_p = proj(u + du, v + dv, k)
+        px_m, py_m = proj(u - du, v - dv, k)
+        np.testing.assert_allclose(np.asarray(a_x),
+                                   np.asarray((px_p - px_m) / (2 * eps)),
+                                   rtol=2e-3, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(a_y),
+                                   np.asarray((py_p - py_m) / (2 * eps)),
+                                   rtol=2e-3, atol=1e-4)
+
+    # dk central differences (relative step for the big focal params)
+    for m in range(nparams):
+        h = eps * max(1.0, abs(float(kvals[m, 0, 0])))
+        kp = [k[i] + (h if i == m else 0.0) for i in range(nparams)]
+        km = [k[i] - (h if i == m else 0.0) for i in range(nparams)]
+        px_p, py_p = proj(u, v, kp)
+        px_m, py_m = proj(u, v, km)
+        np.testing.assert_allclose(np.asarray(dk[m][0]),
+                                   np.asarray((px_p - px_m) / (2 * h)),
+                                   rtol=2e-3, atol=1e-4,
+                                   err_msg=f"model {model_id} dk[{m}] x")
+        np.testing.assert_allclose(np.asarray(dk[m][1]),
+                                   np.asarray((py_p - py_m) / (2 * h)),
+                                   rtol=2e-3, atol=1e-4,
+                                   err_msg=f"model {model_id} dk[{m}] y")
