@@ -19,6 +19,7 @@ sba_tpu.mvs.cli_hooks when available.
 from __future__ import annotations
 
 import os
+import re
 import sys
 from typing import Dict, List, Optional
 
@@ -1822,7 +1823,21 @@ def main(argv: Optional[List[str]] = None) -> int:
         ini_flags.update(flags)
         flags = ini_flags
     if flags.get("help") or "-h" in positional:
-        print(f"{cmd}: see module docstring for flags")
+        import inspect
+
+        doc = inspect.getdoc(COMMANDS[cmd])
+        print(f"{cmd}\n  {doc}" if doc else cmd)
+        src = inspect.getsource(COMMANDS[cmd])
+        req = re.search(r"_require\(\s*flags\s*,([^)]*)\)", src)
+        if req:
+            names = re.findall(r'"(\w+)"', req.group(1))
+            if names:
+                print("  required: " + " ".join(f"--{n}" for n in names))
+        sections = sorted(set(re.findall(r'apply_flags\([^,]+,\s*"(\w+)"',
+                                         src)))
+        if sections:
+            print("  option sections: "
+                  + ", ".join(f"--{s}.<field>" for s in sections))
         return 0
     COMMANDS[cmd](flags)
     return 0

@@ -52,6 +52,8 @@ def parse_flags(argv: Sequence[str]) -> Tuple[Dict[str, str], List[str]]:
             if "=" in a:
                 k, v = a[2:].split("=", 1)
                 flags[k] = v
+            elif a == "--help":
+                flags["help"] = "1"     # value-less, like boost's -h
             else:
                 if i + 1 >= len(argv):
                     raise ValueError(f"flag {a} missing value")
