@@ -167,6 +167,29 @@ def _landmark_residuals(qvecs, tvecs, points, problem):
     return (proj - problem.obs_xy) * problem.obs_mask[:, None]
 
 
+def _retract_cyl(problem: GSBAProblem, opt: GSBAOptions, d_cyl):
+    """Retract [K, kdim] cylinder deltas onto the stored cylinder state.
+    Returns (cyl_state=(q,t,r,h), new_state=(q,t,log_r,log_h))."""
+    if opt.cylinder_parametrization == "default":
+        cq = quat_retract(problem.cyl_qvec, d_cyl[:, :3])
+        ct = problem.cyl_tvec + d_cyl[:, 3:6]
+        clr = problem.cyl_log_radius + d_cyl[:, 6]
+        clh = problem.cyl_log_height + d_cyl[:, 7]
+        return (cq, ct, jnp.exp(clr), jnp.exp(clh)), (cq, ct, clr, clh)
+    # State interpreted through the 2-point form: base point = cyl_tvec,
+    # top point = tvec + R (0,0,h).
+    from sba_tpu.geometry.quaternions import quat_rotate
+
+    h0 = jnp.exp(problem.cyl_log_height)
+    top0 = problem.cyl_tvec + quat_rotate(
+        problem.cyl_qvec, jnp.stack([jnp.zeros_like(h0), jnp.zeros_like(h0), h0], -1))
+    t1 = problem.cyl_tvec + d_cyl[:, 0:3]
+    t2 = top0 + d_cyl[:, 3:6]
+    log_r = problem.cyl_log_radius + d_cyl[:, 6]
+    cq, ct, r, h = _two_points_to_cylinder(t1, t2, log_r)
+    return (cq, ct, r, h), (cq, ct, log_r, jnp.log(jnp.maximum(h, 1e-8)))
+
+
 def _apply_deltas(problem: GSBAProblem, opt: GSBAOptions, delta):
     """Unflatten + retract the LM step. Layout:
     [N*6 pose | K*8 cylinder (default) or K*7 (by_2_points) | P*3 points]."""
@@ -183,29 +206,7 @@ def _apply_deltas(problem: GSBAProblem, opt: GSBAOptions, delta):
 
     q = quat_retract(problem.qvecs, d_pose[:, :3])
     t = problem.tvecs + d_pose[:, 3:]
-
-    if opt.cylinder_parametrization == "default":
-        cq = quat_retract(problem.cyl_qvec, d_cyl[:, :3])
-        ct = problem.cyl_tvec + d_cyl[:, 3:6]
-        clr = problem.cyl_log_radius + d_cyl[:, 6]
-        clh = problem.cyl_log_height + d_cyl[:, 7]
-        cyl_state = (cq, ct, jnp.exp(clr), jnp.exp(clh))
-        new_cyl = (cq, ct, clr, clh)
-    else:
-        # State interpreted through the 2-point form: base point = cyl_tvec,
-        # top point = tvec + R (0,0,h).
-        from sba_tpu.geometry.quaternions import quat_rotate
-
-        h0 = jnp.exp(problem.cyl_log_height)
-        top0 = problem.cyl_tvec + quat_rotate(
-            problem.cyl_qvec, jnp.stack([jnp.zeros_like(h0), jnp.zeros_like(h0), h0], -1))
-        t1 = problem.cyl_tvec + d_cyl[:, 0:3]
-        t2 = top0 + d_cyl[:, 3:6]
-        log_r = problem.cyl_log_radius + d_cyl[:, 6]
-        cq, ct, r, h = _two_points_to_cylinder(t1, t2, log_r)
-        cyl_state = (cq, ct, r, h)
-        new_cyl = (cq, ct, log_r, jnp.log(jnp.maximum(h, 1e-8)))
-
+    cyl_state, new_cyl = _retract_cyl(problem, opt, d_cyl)
     pts = problem.points + d_pts
     return q, t, cyl_state, new_cyl, pts
 
@@ -248,6 +249,38 @@ def _robust_cost(res, wts, opt):
     return 0.5 * jnp.sum(wts * loss_value(opt.loss, s, opt.loss_scale))
 
 
+def _geo_weighted_local(problem: GSBAProblem, opt: GSBAOptions, dlocal):
+    """IRLS-weighted geometry residuals [N*K] where EVERY residual's own
+    (pose, cylinder) block is perturbed by the SHARED local tangent
+    ``dlocal`` [6 + kdim].
+
+    Because residual (n, k) depends only on pose n and cylinder k, the
+    jacfwd of this function w.r.t. ``dlocal`` yields each row's exact local
+    Jacobian blocks with 6+kdim tangents total — instead of pushing all
+    6N + kdim*K (+3P) global tangents through the rasterizer. This is what
+    makes GSBA linearization O(1) in N (see BASELINE.md GSBA table)."""
+    N = problem.qvecs.shape[0]
+    K = problem.cyl_qvec.shape[0]
+    kdim = 8 if opt.cylinder_parametrization == "default" else 7
+    q = quat_retract(problem.qvecs, jnp.broadcast_to(dlocal[:3], (N, 3)))
+    t = problem.tvecs + dlocal[3:6]
+    (cq, ct, r, h), _ = _retract_cyl(
+        problem, opt, jnp.broadcast_to(dlocal[6:], (K, kdim)))
+    geo_r, _ = _cyl_residuals(q, t, cq, ct, r, h, problem, opt, hard=False)
+    res = geo_r.reshape(-1)
+    w = (1.0 / N) * loss_weight(opt.loss, res * res, opt.loss_scale)
+    return res * jnp.sqrt(w)
+
+
+def _land_weighted(problem: GSBAProblem, opt: GSBAOptions, delta):
+    """IRLS-weighted landmark residuals [2*O] at params (+) delta."""
+    q, t, _, _, pts = _apply_deltas(problem, opt, delta)
+    res = _landmark_residuals(q, t, pts, problem).reshape(-1)
+    w_scale = opt.landmark_error_weight / max(problem.obs_xy.shape[0], 1)
+    w = w_scale * loss_weight(opt.loss, res * res, opt.loss_scale)
+    return res * jnp.sqrt(w)
+
+
 @functools.partial(jax.jit, static_argnames=("opt",))
 def _gsba_impl(problem: GSBAProblem, opt: GSBAOptions):
     free = _free_vector(problem, opt)
@@ -269,18 +302,35 @@ def _gsba_impl(problem: GSBAProblem, opt: GSBAOptions):
 
     # LM on the flat delta around the CURRENT state: we re-center each
     # accepted step by folding it into the problem arrays functionally.
+    N = problem.qvecs.shape[0]
+    K = problem.cyl_qvec.shape[0]
+    P = problem.points.shape[0]
+    kdim = 8 if opt.cylinder_parametrization == "default" else 7
+    use_landmarks = opt.landmark_error_weight > 0 and problem.obs_xy.shape[0] > 0
+
     def body(state):
         it, prob, lam, nu, cost, done, trace = state
 
-        def res_fn(d):
-            res, wts = _all_residuals(prob, opt, d)
-            # IRLS weighting folded in.
-            s = res * res
-            w = wts * loss_weight(opt.loss, s, opt.loss_scale)
-            return res * jnp.sqrt(w)
-
-        r = res_fn(z)
-        J = jax.jacfwd(res_fn)(z) * free[None, :]
+        # Geometry rows: 6+kdim shared tangents give the exact per-row local
+        # Jacobian blocks (block-sparsity of the (pose, cylinder) problem);
+        # scatter them into the flat column layout with one-hot expansions.
+        zl = jnp.zeros(6 + kdim, dtype)
+        rg, Jl = _geo_weighted_local(prob, opt, zl), jax.jacfwd(
+            functools.partial(_geo_weighted_local, prob, opt))(zl)
+        Jl = Jl.reshape(N, K, 6 + kdim)
+        eyeN = jnp.eye(N, dtype=dtype)
+        eyeK = jnp.eye(K, dtype=dtype)
+        J_pose = jnp.einsum("nkp,nm->nkmp", Jl[..., :6], eyeN).reshape(N * K, N * 6)
+        J_cyl = jnp.einsum("nkc,kl->nklc", Jl[..., 6:], eyeK).reshape(N * K, K * kdim)
+        J = jnp.concatenate(
+            [J_pose, J_cyl, jnp.zeros((N * K, P * 3), dtype)], axis=1)
+        r = rg
+        if use_landmarks:
+            rl = _land_weighted(prob, opt, z)
+            Jland = jax.jacfwd(functools.partial(_land_weighted, prob, opt))(z)
+            r = jnp.concatenate([rg, rl])
+            J = jnp.concatenate([J, Jland], axis=0)
+        J = J * free[None, :]
         g = J.T @ r
         H = J.T @ J
         d = jnp.clip(jnp.diag(H), 1e-8, 1e32)
