@@ -4,6 +4,7 @@ The reference ships zero tests for this code; designed from
 ref: src/util/cylinder.h and src/optim/geometric_semantic_bundle_adjustment.cc.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -175,3 +176,41 @@ def test_gsba_joint_with_landmarks():
     assert float(summary.mean_iou) > 0.85
     # Landmark term pins the poses near truth.
     assert np.abs(np.asarray(out.tvecs) - t_gt).max() < 0.05
+
+
+def test_local_block_linearization_matches_full_jacfwd():
+    """The 14-shared-tangent geometry linearization must equal a full
+    jacfwd of the weighted residual over the global delta (block-sparsity
+    makes this exact, not approximate)."""
+    import functools
+    from sba_tpu.optim import gsba as G
+
+    for param, kdim in (("default", 8), ("by_2_points", 7)):
+        q, t, cam, sem, cyl, q0, t0, cyl0 = make_gsba_scene(
+            num_images=3, image_size=(32, 24), focal=26.0,
+            pose_noise=0.01, cylinder_noise=0.05, seed=3)
+        opt = GSBAOptions(cylinder_parametrization=param, loss="cauchy",
+                          loss_scale=0.5)
+        problem = build_gsba_problem(q0, t0, cam, sem, [cyl0], opt)
+        N, K, P = 3, 1, problem.points.shape[0]
+        dim = N * 6 + K * kdim + P * 3
+        z = jnp.zeros(dim)
+
+        def res_fn(d):
+            res, wts = G._all_residuals(problem, opt, d)
+            w = wts * G.loss_weight(opt.loss, res * res, opt.loss_scale)
+            return res * jnp.sqrt(w)
+
+        J_full = np.asarray(jax.jacfwd(res_fn)(z))[: N * K]
+        zl = jnp.zeros(6 + kdim)
+        Jl = np.asarray(jax.jacfwd(
+            functools.partial(G._geo_weighted_local, problem, opt))(zl))
+        Jl = Jl.reshape(N, K, 6 + kdim)
+        J_blocks = np.zeros((N * K, dim))
+        for n in range(N):
+            for k in range(K):
+                row = n * K + k
+                J_blocks[row, n * 6:(n + 1) * 6] = Jl[n, k, :6]
+                J_blocks[row, N * 6 + k * kdim: N * 6 + (k + 1) * kdim] = \
+                    Jl[n, k, 6:]
+        np.testing.assert_allclose(J_full, J_blocks, rtol=0, atol=1e-12)
