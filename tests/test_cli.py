@@ -176,3 +176,77 @@ def test_cli_model_tools(tmp_path, capsys):
     assert main(["model_converter", "--input_path", str(model_dir),
                  "--output_path", str(ply), "--output_type", "PLY"]) == 0
     assert ply.exists()
+
+def _write_sfm_database(db_path, n_images=6, n_points=250, seed=7):
+    """On-disk SQLite database of a synthetic arc scene with verified
+    matches (the file-level analogue of test_incremental_mapper's
+    in-memory fixture) for driving DB-consuming CLI commands."""
+    import jax.numpy as jnp
+
+    from sba_tpu.geometry.quaternions import quat_to_rotmat, rotmat_to_quat
+    from sba_tpu.io.database import Database
+
+    rng = np.random.default_rng(seed)
+    f, w, h = 500.0, 640, 480
+    pts = rng.uniform(-2, 2, (n_points, 3))
+    pts[:, 2] *= 0.5
+
+    db = Database(db_path)
+    cid = db.write_camera(model_id=0, width=w, height=h,
+                          params=[f, w / 2, h / 2])
+    image_ids, vis, gt = [], [], []
+    for k in range(n_images):
+        ang = 2 * np.pi * k / n_images
+        center = np.array([4 * np.cos(ang), 4 * np.sin(ang), 2.0])
+        z = -center / np.linalg.norm(center)
+        x = np.cross(z, [0.0, 0.0, 1.0]); x /= np.linalg.norm(x)
+        R = np.stack([x, np.cross(z, x), z])
+        t = -R @ center
+        pc = pts @ R.T + t
+        xy = pc[:, :2] / pc[:, 2:] * f + [w / 2, h / 2]
+        xy += rng.normal(0, 0.3, xy.shape)
+        visible = (pc[:, 2] > 0.5) & (xy[:, 0] > 0) & (xy[:, 0] < w) \
+            & (xy[:, 1] > 0) & (xy[:, 1] < h)
+        iid = db.write_image(f"img{k}.png", cid)
+        image_ids.append(iid)
+        db.write_keypoints(iid, np.concatenate(
+            [xy, np.ones_like(xy)], -1).astype(np.float32))
+        vis.append(visible)
+        gt.append((np.asarray(rotmat_to_quat(jnp.asarray(R))), t))
+    for a in range(n_images):
+        for b in range(a + 1, n_images):
+            common = np.nonzero(vis[a] & vis[b])[0]
+            if len(common) < 20:
+                continue
+            m = np.stack([common, common], -1).astype(np.uint32)
+            db.write_two_view_geometry(image_ids[a], image_ids[b], m,
+                                       config=2)
+    db.close()
+    return gt
+
+
+def test_cli_mapper_end_to_end(tmp_path, capsys):
+    """database file -> `mapper` command -> written model -> `model_analyzer`:
+    the reference's primary invocation (exe/sfm.cc:249) at CLI scope."""
+    db_path = str(tmp_path / "scene.db")
+    out_dir = str(tmp_path / "sparse")
+    _write_sfm_database(db_path)
+
+    assert main(["mapper", "--database_path", db_path,
+                 "--output_path", out_dir,
+                 "--Mapper.init_min_num_inliers", "50",
+                 "--Mapper.abs_pose_min_num_inliers", "15"]) == 0
+
+    from sba_tpu.models.reconstruction import Reconstruction
+
+    rec = Reconstruction.read(os.path.join(out_dir, "0"))
+    assert rec.num_registered_images() == 6
+    assert len(rec.points3D) > 150
+
+    capsys.readouterr()
+    assert main(["model_analyzer", "--path", os.path.join(out_dir, "0")]) == 0
+    report = capsys.readouterr().out
+    assert "6" in report
+    import re as _re
+    err = _re.search(r"reprojection error[^\d]*([\d.]+)", report, _re.I)
+    assert err is not None and float(err.group(1)) < 1.0, report
