@@ -69,6 +69,12 @@ class KernelLayout(NamedTuple):
     Dk: int        # padded reduced dim: 6*Npad + round_up(12*C, 128)
     DI: int        # image payload cols (padded)
     JW: int        # stored per-obs rows (padded)
+    ranged: bool = False  # image-sub-block loops instead of [Npad, B]
+    #   one-hot (the large-N path; see _gather_rows/_scatter_accum)
+    IB: int = 256  # image sub-block rows for the ranged loops
+    BJ: bool = True  # implicit payload carries the full 6x6 pose-block
+    #   Schur correction (21 tri rows) for block-Jacobi PCG; False when
+    #   the DI padding has no room (np=5 models) -> scalar Jacobi
 
 
 class KernelStatic(NamedTuple):
@@ -81,6 +87,14 @@ class KernelStatic(NamedTuple):
     free_pts: jnp.ndarray  # [1, Pp] f32
     image_cam: jnp.ndarray  # [Npad] i32 (host-known; for cam segmenting)
     perm_obs: jnp.ndarray  # [O'] point-major obs row per kernel lane (-1 pad)
+    blk_rng: jnp.ndarray   # [nb, 2] i32: [lo, hi) image-sub-block range
+    #   per point block — host-side diagnostic only (the kernels derive
+    #   the same range in-VMEM via _block_range; tight after the
+    #   locality sort in optim/ba_fused._bucketize)
+
+
+RANGED_MIN_NPAD = 2048  # beyond this the [Npad, B] one-hot no longer
+#   fits VMEM; the ranged kernels loop over IB-row image sub-blocks.
 
 
 def plan_layout(problem, opt, TP: int = 128,
@@ -100,7 +114,13 @@ def plan_layout(problem, opt, TP: int = 128,
     Dk = 6 * Npad + _round_up(12 * C, 128)
     DI = _round_up(6 + 36 + 6 * nparams + nparams + nparams * nparams, 128)
     JW = _round_up(12 + 6 + 2 * nparams + 18 + 3 * nparams, 8)
-    return KernelLayout(TP, K, nb, Pp, N, Npad, C, nparams, Dk, DI, JW)
+    mode = getattr(opt, "fused_ranged", "auto")
+    ranged = (mode == "on") or (mode == "auto" and Npad >= RANGED_MIN_NPAD)
+    IB = min(256, Npad)
+    base = 6 + 36 + 6 * nparams + nparams + nparams * nparams
+    BJ = base + 27 + 2 * nparams <= DI
+    return KernelLayout(TP, K, nb, Pp, N, Npad, C, nparams, Dk, DI, JW,
+                        ranged, IB, BJ)
 
 
 def build_static(problem, opt, lay: KernelLayout) -> KernelStatic:
@@ -146,6 +166,22 @@ def build_static(problem, opt, lay: KernelLayout) -> KernelStatic:
     obs_img = take_i(problem.obs_image)[None, :]
     obs_cam = take_i(problem.obs_cam)[None, :]
 
+    # Per-block image-sub-block ranges [lo, hi) for the ranged kernels.
+    # Padding lanes get re-imaged to the block's min real image so they
+    # never widen a range (their payload contribution is masked to 0).
+    nb, IB, BB = lay.nb, lay.IB, TP * K
+    blk_rng = np.zeros((nb, 2), np.int32)
+    oi_flat = obs_img[0]
+    real = (perm >= 0) & (mask > 0)
+    for b in range(nb):
+        sl = slice(b * BB, (b + 1) * BB)
+        imgs = oi_flat[sl][real[sl]]
+        if len(imgs):
+            lo, hi = int(imgs.min()), int(imgs.max())
+            blk_rng[b] = (lo // IB, hi // IB + 1)
+            fill = np.where(real[sl], oi_flat[sl], lo)
+            obs_img[0, sl] = fill
+
     nparams = lay.nparams
     free_sta = np.zeros((4 + nparams, lay.Npad), np.float32)
     N = lay.N
@@ -166,7 +202,7 @@ def build_static(problem, opt, lay: KernelLayout) -> KernelStatic:
         obs_sta=jnp.asarray(obs_sta), obs_img=jnp.asarray(obs_img),
         obs_cam=jnp.asarray(obs_cam), free_sta=jnp.asarray(free_sta),
         free_pts=jnp.asarray(free_pts), image_cam=jnp.asarray(image_cam),
-        perm_obs=jnp.asarray(perm))
+        perm_obs=jnp.asarray(perm), blk_rng=jnp.asarray(blk_rng))
 
 
 def _intrinsic_mask(opt) -> np.ndarray:
@@ -209,6 +245,58 @@ def pack_points(points, lay: KernelLayout):
 # ---------------------------------------------------------------------------
 # In-kernel math helpers (operate on [1, B] / [rows, B] f32 arrays)
 # ---------------------------------------------------------------------------
+
+def _img_onehot(img_row, base, IB, B):
+    """One-hot [IB, B] of img_row over image rows [base, base+IB)."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, (IB, B), 0) + base
+    return (iota == img_row).astype(jnp.float32)
+
+
+def _block_range(img_row, IB):
+    """[lo, hi) image-sub-block range of this block, from its obs_img
+    lane row. build_static re-images padding lanes to the block's min
+    real image, so min/max are tight; empty blocks cost one sub-block."""
+    lo = jnp.min(img_row) // IB
+    hi = jnp.max(img_row) // IB + 1
+    return lo, hi
+
+
+def _gather_rows(mat_ref, img_row, lo, hi, IB):
+    """Ranged per-image gather: sum_ib mat[:, ib*IB:(ib+1)*IB] @ oh_sub.
+
+    Equivalent to mat [F, Npad] @ onehot [Npad, B] but looping only the
+    image sub-blocks [lo, hi) this point block touches — the [Npad, B]
+    one-hot (the VMEM term that caps the non-ranged kernels at ~2k
+    images) is never materialized."""
+    nrows = mat_ref.shape[0]
+    B = img_row.shape[-1]
+
+    def body(ib, acc):
+        base = pl.multiple_of(ib * IB, IB)
+        oh = _img_onehot(img_row, base, IB, B)
+        sub = mat_ref[:, pl.ds(base, IB)]
+        return acc + jax.lax.dot_general(
+            sub, oh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    return jax.lax.fori_loop(lo, hi, body,
+                             jnp.zeros((nrows, B), jnp.float32))
+
+
+def _scatter_accum(out_ref, payload, img_row, lo, hi, IB):
+    """Ranged per-image scatter-add: out[ib*IB:(ib+1)*IB, :] +=
+    oh_sub @ payload^T for each touched image sub-block."""
+
+    def body(ib, _):
+        base = pl.multiple_of(ib * IB, IB)
+        oh = _img_onehot(img_row, base, IB, payload.shape[-1])
+        out_ref[pl.ds(base, IB), :] += jax.lax.dot_general(
+            oh, payload, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(lo, hi, body, 0)
+
 
 def _rot_rows(qw, qx, qy, qz):
     """Rotation matrix entries from a (normalized) quaternion row."""
@@ -480,19 +568,18 @@ def _head(model_id, k, u, v):
 
 
 def _linearize_block(model_id, nparams, loss, loss_scale,
-                     par, free, oh, x_rows, free_p_row, xy0, xy1, mask,
+                     g, fr, x_rows, free_p_row, xy0, xy1, mask,
                      K, TP):
     """Shared linearization for one block. All inputs [*, B] / [*, TP].
+
+    `g` [7+np, B] / `fr` [4+np, B] are the per-observation image params
+    and free masks, pre-gathered by the caller (one-hot MXU contraction
+    or the ranged `_gather_rows` loop).
 
     Returns dict of row arrays: r(2), Jc(12), Jx(6), Jk(2*np), plus raw
     weight row w.
     """
     B = mask.shape[-1]
-    # Gather per-image params via MXU: par [F, Npad] @ oh [Npad, B].
-    g = jax.lax.dot_general(par, oh, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)  # [F, B]
-    fr = jax.lax.dot_general(free, oh, (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
     q = [g[i:i + 1, :] for i in range(4)]
     t = [g[4 + i:5 + i, :] for i in range(3)]
     k = [g[7 + i:8 + i, :] for i in range(nparams)]
@@ -614,21 +701,35 @@ def _interleave3(rows, TP):
 # ---------------------------------------------------------------------------
 
 def _linearize_and_reduce(model_id, nparams, loss, loss_scale, lay,
-                          lam_ref, par_ref, free_ref, pts_ref, freep_ref,
-                          obs_sta_ref, obs_img_ref,
-                          pt_ref, jw_ref, implicit_rows: bool):
+                          lam_ref, par_ref, free_ref, pts_ref,
+                          freep_ref, obs_sta_ref, obs_img_ref,
+                          img_ref, pt_ref, jw_ref, implicit_rows: bool):
     """Shared body of the kernel-1 variants: linearize the block, write
-    the per-point and per-obs payloads, and return everything the
-    variant-specific epilogues need. With `implicit_rows`, the image
-    payload additionally carries the Ey coupling rows and the Jacobi
-    diagonal of EL EL^T (used by the matvec-PCG large-N path instead of
-    the materialized Schur correction)."""
+    the per-point and per-obs payloads, accumulate the per-image payload
+    into img_ref, and return everything the variant-specific epilogues
+    need. With `implicit_rows`, the image payload additionally carries
+    the Ey coupling rows and the Jacobi diagonal of EL EL^T (used by the
+    matvec-PCG large-N path instead of the materialized Schur
+    correction). With lay.ranged, the [Npad, B] one-hot is replaced by
+    IB-row sub-block loops over this block's [lo, hi) image range
+    (derived in-kernel by _block_range) and `oh` is not returned."""
     TP, K, Npad, C = lay.TP, lay.K, lay.Npad, lay.C
     B = TP * K
 
     img_row = obs_img_ref[0:1, :]
-    iota_n = jax.lax.broadcasted_iota(jnp.int32, (Npad, B), 0)
-    oh = (iota_n == img_row).astype(jnp.float32)           # [Npad, B]
+    if lay.ranged:
+        lo, hi = _block_range(img_row, lay.IB)
+        oh = None
+        g = _gather_rows(par_ref, img_row, lo, hi, lay.IB)
+        fr = _gather_rows(free_ref, img_row, lo, hi, lay.IB)
+    else:
+        iota_n = jax.lax.broadcasted_iota(jnp.int32, (Npad, B), 0)
+        oh = (iota_n == img_row).astype(jnp.float32)       # [Npad, B]
+        g = jax.lax.dot_general(par_ref[:, :], oh, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        fr = jax.lax.dot_general(free_ref[:, :], oh,
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
 
     xy0 = obs_sta_ref[0:1, :]
     xy1 = obs_sta_ref[1:2, :]
@@ -637,8 +738,8 @@ def _linearize_and_reduce(model_id, nparams, loss, loss_scale, lay,
     free_p_row = freep_ref[0:1, :]
 
     lin = _linearize_block(model_id, nparams, loss, loss_scale,
-                           par_ref[:, :], free_ref[:, :], oh,
-                           x_rows, free_p_row, xy0, xy1, mask, K, TP)
+                           g, fr, x_rows, free_p_row, xy0, xy1, mask,
+                           K, TP)
     r, Jc, Jx, Jk = lin["r"], lin["Jc"], lin["Jx"], lin["Jk"]
     lam = lam_ref[0, 0]
 
@@ -706,8 +807,11 @@ def _linearize_and_reduce(model_id, nparams, loss, loss_scale, lay,
          lmat[2][2][:, :TP] * g_pts[2]]
     if implicit_rows:
         # Ey rows: (EL y)[image rows] = sum_j WL[.,j] * y_tiled[j]; the
-        # oh contraction below lands them on the right image. Diag rows:
-        # diag(EL EL^T)[image rows] = sum_j WL[.,j]^2 (Jacobi precond).
+        # oh contraction below lands them on the right image. Corr rows:
+        # the pose-block of EL EL^T for block-Jacobi PCG — the full 6x6
+        # upper triangle when the DI padding has room (lay.BJ), else the
+        # diagonal (scalar Jacobi). Cam side stays scalar (cams are few
+        # and shared; their coupling is weak after damping).
         yB = [jnp.concatenate([y[j]] * K, axis=1) for j in range(3)]
         for i in range(6):                                  # ey_pose
             pay.append(WLp[i * 3] * yB[0] + WLp[i * 3 + 1] * yB[1]
@@ -715,9 +819,16 @@ def _linearize_and_reduce(model_id, nparams, loss, loss_scale, lay,
         for m in range(nparams):                            # ey_cam
             pay.append(WLc[m * 3] * yB[0] + WLc[m * 3 + 1] * yB[1]
                        + WLc[m * 3 + 2] * yB[2])
-        for i in range(6):                                  # diag_pose
-            pay.append(WLp[i * 3] ** 2 + WLp[i * 3 + 1] ** 2
-                       + WLp[i * 3 + 2] ** 2)
+        if lay.BJ:
+            for i in range(6):                              # corr_pose tri
+                for j in range(i, 6):
+                    pay.append(WLp[i * 3] * WLp[j * 3]
+                               + WLp[i * 3 + 1] * WLp[j * 3 + 1]
+                               + WLp[i * 3 + 2] * WLp[j * 3 + 2])
+        else:
+            for i in range(6):                              # diag_pose
+                pay.append(WLp[i * 3] ** 2 + WLp[i * 3 + 1] ** 2
+                           + WLp[i * 3 + 2] ** 2)
         for m in range(nparams):                            # diag_cam
             pay.append(WLc[m * 3] ** 2 + WLc[m * 3 + 1] ** 2
                        + WLc[m * 3 + 2] ** 2)
@@ -725,9 +836,12 @@ def _linearize_and_reduce(model_id, nparams, loss, loss_scale, lay,
     while len(pay) < lay.DI:
         pay.append(zero_b)
     payload = jnp.concatenate(pay, axis=0)                  # [DI, B]
-    img_update = jax.lax.dot_general(
-        oh, payload, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)                 # [Npad, DI]
+    if lay.ranged:
+        _scatter_accum(img_ref, payload, img_row, lo, hi, lay.IB)
+    else:
+        img_ref[:, :] += jax.lax.dot_general(
+            oh, payload, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)             # [Npad, DI]
 
     # ---- store per-obs blocks for backsub/matvec/predicted ----
     jw_rows = Jc + Jx + Jk + WLp + WLc
@@ -735,14 +849,13 @@ def _linearize_and_reduce(model_id, nparams, loss, loss_scale, lay,
         jw_rows.append(zero_b)
     jw_ref[:, :] = jnp.concatenate(jw_rows, axis=0)
 
-    return dict(oh=oh, WLp=WLp, WLc=WLc, y=y, g_pts=g_pts,
-                img_update=img_update)
+    return dict(oh=oh, WLp=WLp, WLc=WLc, y=y, g_pts=g_pts)
 
 
 def _fused_schur_kernel(model_id, nparams, loss, loss_scale, lay,
                         schur_bf16,
-                        lam_ref, par_ref, free_ref, pts_ref, freep_ref,
-                        obs_sta_ref, obs_img_ref, obs_cam_ref,
+                        lam_ref, par_ref, free_ref, pts_ref,
+                        freep_ref, obs_sta_ref, obs_img_ref, obs_cam_ref,
                         s_ref, img_ref, ey_ref, pt_ref, jw_ref,
                         elb_ref):
     TP, K, Npad, C = lay.TP, lay.K, lay.Npad, lay.C
@@ -758,9 +871,9 @@ def _fused_schur_kernel(model_id, nparams, loss, loss_scale, lay,
     red = _linearize_and_reduce(
         model_id, nparams, loss, loss_scale, lay,
         lam_ref, par_ref, free_ref, pts_ref, freep_ref,
-        obs_sta_ref, obs_img_ref, pt_ref, jw_ref, implicit_rows=False)
+        obs_sta_ref, obs_img_ref, img_ref, pt_ref, jw_ref,
+        implicit_rows=False)
     oh, WLp, WLc, y = red["oh"], red["WLp"], red["WLc"], red["y"]
-    img_ref[:, :] += red["img_update"]
 
     # ---- build ELb [Dk, 3*TP] and accumulate the Schur correction ----
     # Row convention (tile semantics of pltpu.repeat): pose row =
@@ -827,6 +940,7 @@ def fused_schur(static: KernelStatic, par, pts, lam, lay: KernelLayout,
                 opt, interpret: bool = False):
     """Run kernel 1. Returns (S_corr [Dk,Dk], img_red [Npad,DI],
     ey [1,Dk], pt_pay [24, Pp], jw [JW, O'])."""
+    assert not lay.ranged, "dense Schur kernel requires non-ranged layout"
     TP, K, nb = lay.TP, lay.K, lay.nb
     B = TP * K
     nparams = lay.nparams
@@ -886,8 +1000,8 @@ def fused_schur(static: KernelStatic, par, pts, lam, lay: KernelLayout,
 # ---------------------------------------------------------------------------
 
 def _fused_reduce_kernel(model_id, nparams, loss, loss_scale, lay,
-                         lam_ref, par_ref, free_ref, pts_ref, freep_ref,
-                         obs_sta_ref, obs_img_ref,
+                         lam_ref, par_ref, free_ref, pts_ref,
+                         freep_ref, obs_sta_ref, obs_img_ref,
                          img_ref, pt_ref, jw_ref):
     blk = pl.program_id(0)
 
@@ -895,11 +1009,11 @@ def _fused_reduce_kernel(model_id, nparams, loss, loss_scale, lay,
     def _init():
         img_ref[:, :] = jnp.zeros_like(img_ref)
 
-    red = _linearize_and_reduce(
+    _linearize_and_reduce(
         model_id, nparams, loss, loss_scale, lay,
         lam_ref, par_ref, free_ref, pts_ref, freep_ref,
-        obs_sta_ref, obs_img_ref, pt_ref, jw_ref, implicit_rows=True)
-    img_ref[:, :] += red["img_update"]
+        obs_sta_ref, obs_img_ref, img_ref, pt_ref, jw_ref,
+        implicit_rows=True)
 
 
 def fused_reduce(static: KernelStatic, par, pts, lam, lay: KernelLayout,
@@ -912,7 +1026,8 @@ def fused_reduce(static: KernelStatic, par, pts, lam, lay: KernelLayout,
     TP, K, nb = lay.TP, lay.K, lay.nb
     B = TP * K
     base = 6 + 36 + 6 * lay.nparams + lay.nparams + lay.nparams ** 2
-    assert base + 12 + 2 * lay.nparams <= lay.DI, (base, lay.DI)
+    extra = 27 if lay.BJ else 12
+    assert base + extra + 2 * lay.nparams <= lay.DI, (base, lay.DI)
     kern = functools.partial(
         _fused_reduce_kernel, opt.model_id, lay.nparams, opt.loss,
         opt.loss_scale, lay)
@@ -968,10 +1083,16 @@ def _schur_matvec_kernel(nparams, lay,
         out_ref[:, :] = jnp.zeros_like(out_ref)
 
     img_row = obs_img_ref[0:1, :]
-    iota_n = jax.lax.broadcasted_iota(jnp.int32, (Npad, B), 0)
-    oh = (iota_n == img_row).astype(jnp.float32)
-    du_p = jax.lax.dot_general(dup_ref[:, :], oh, (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)  # [6,B]
+    if lay.ranged:
+        lo, hi = _block_range(img_row, lay.IB)
+        oh = None
+        du_p = _gather_rows(dup_ref, img_row, lo, hi, lay.IB)  # [6, B]
+    else:
+        iota_n = jax.lax.broadcasted_iota(jnp.int32, (Npad, B), 0)
+        oh = (iota_n == img_row).astype(jnp.float32)
+        du_p = jax.lax.dot_general(
+            dup_ref[:, :], oh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                # [6, B]
     cam_row = obs_cam_ref[0:1, :]
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (C, B), 0)
     ohc = (iota_c == cam_row).astype(jnp.float32)
@@ -1009,9 +1130,12 @@ def _schur_matvec_kernel(nparams, lay,
     while len(pay) < out_ref.shape[1]:
         pay.append(zero_b)
     payload = jnp.concatenate(pay, axis=0)                  # [<=128, B]
-    out_ref[:, :] += jax.lax.dot_general(
-        oh, payload, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    if lay.ranged:
+        _scatter_accum(out_ref, payload, img_row, lo, hi, lay.IB)
+    else:
+        out_ref[:, :] += jax.lax.dot_general(
+            oh, payload, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
 
 def schur_matvec(static: KernelStatic, du_pose_t, du_cam_t, jw,
@@ -1059,10 +1183,15 @@ def _backsub_kernel(nparams, lay,
         acc_ref[:, :] = jnp.zeros_like(acc_ref)
 
     img_row = obs_img_ref[0:1, :]
-    iota_n = jax.lax.broadcasted_iota(jnp.int32, (Npad, B), 0)
-    oh = (iota_n == img_row).astype(jnp.float32)
-    du_p = jax.lax.dot_general(dup_ref[:, :], oh, (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)  # [6,B]
+    if lay.ranged:
+        lo, hi = _block_range(img_row, lay.IB)
+        du_p = _gather_rows(dup_ref, img_row, lo, hi, lay.IB)  # [6, B]
+    else:
+        iota_n = jax.lax.broadcasted_iota(jnp.int32, (Npad, B), 0)
+        oh = (iota_n == img_row).astype(jnp.float32)
+        du_p = jax.lax.dot_general(
+            dup_ref[:, :], oh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                # [6, B]
     cam_row = obs_cam_ref[0:1, :]
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (C, B), 0)
     ohc = (iota_c == cam_row).astype(jnp.float32)
@@ -1175,7 +1304,8 @@ def backsub(static: KernelStatic, du_pose_t, du_cam_t, pt_pay, jw, lam,
 # ---------------------------------------------------------------------------
 
 def _cost_kernel(model_id, nparams, loss, loss_scale, lay,
-                 par_ref, pts_ref, obs_sta_ref, obs_img_ref, acc_ref):
+                 par_ref, pts_ref, obs_sta_ref, obs_img_ref,
+                 acc_ref):
     TP, K, Npad = lay.TP, lay.K, lay.Npad
     B = TP * K
     blk = pl.program_id(0)
@@ -1185,10 +1315,14 @@ def _cost_kernel(model_id, nparams, loss, loss_scale, lay,
         acc_ref[:, :] = jnp.zeros_like(acc_ref)
 
     img_row = obs_img_ref[0:1, :]
-    iota_n = jax.lax.broadcasted_iota(jnp.int32, (Npad, B), 0)
-    oh = (iota_n == img_row).astype(jnp.float32)
-    g = jax.lax.dot_general(par_ref[:, :], oh, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
+    if lay.ranged:
+        lo, hi = _block_range(img_row, lay.IB)
+        g = _gather_rows(par_ref, img_row, lo, hi, lay.IB)
+    else:
+        iota_n = jax.lax.broadcasted_iota(jnp.int32, (Npad, B), 0)
+        oh = (iota_n == img_row).astype(jnp.float32)
+        g = jax.lax.dot_general(par_ref[:, :], oh, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
     q = [g[i:i + 1, :] for i in range(4)]
     t = [g[4 + i:5 + i, :] for i in range(3)]
     k = [g[7 + i:8 + i, :] for i in range(nparams)]

@@ -312,6 +312,12 @@ class BAOptions:
     # kernel over the stored per-obs blocks (no S; scales to ~1024
     # images single-chip), "auto" switches on image count.
     fused_mode: str = "auto"
+    # Ranged kernels: replace the [Npad, B] one-hot image contraction
+    # with per-point-block loops over the [lo, hi) image-sub-block
+    # range each block touches (ops/ba_kernels.py). "auto" switches on
+    # at Npad >= RANGED_MIN_NPAD; "on"/"off" force (tests force "on"
+    # at small N for parity coverage).
+    fused_ranged: str = "auto"
 
 
 class BASummary(NamedTuple):

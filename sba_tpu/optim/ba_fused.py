@@ -40,10 +40,11 @@ MAXP = 12
 DENSE_MAX_IMAGES = 256   # S [Dk,Dk] VMEM-resident: N=256 -> 11 MB, fits
 #   Mosaic's 16 MB scoped-vmem; N=512 -> 41 MB OOMs. Beyond it the
 #   implicit matvec-PCG path takes over (no S at all).
-IMPLICIT_MAX_IMAGES = 1024  # one-hot [Npad, B] VMEM bound in kernels
 
 
 def use_implicit(lay, options: BAOptions) -> bool:
+    if lay.ranged:
+        return True   # the dense kernel has no ranged variant
     mode = getattr(options, "fused_mode", "auto")
     if mode == "dense":
         return False
@@ -59,17 +60,31 @@ def can_use_fused(problem: BAProblem, options: BAOptions) -> bool:
         return False
     if problem.points.dtype != jnp.float32:
         return False
-    if problem.qvecs.shape[0] > IMPLICIT_MAX_IMAGES:
-        return False
-    # One-hot [Npad, K*TP] must fit VMEM next to the payload arrays;
-    # bucketing caps most K but the top bucket carries max track length.
     npad = (problem.qvecs.shape[0] + 127) // 128 * 128
     op = np.asarray(problem.obs_point)
     om = np.asarray(problem.obs_mask)
     kmax = int(np.bincount(
         op[om > 0], minlength=problem.points.shape[0]).max())
-    if npad * kmax * 128 * 4 > 8 * 2 ** 20:
-        return False
+    from sba_tpu.geometry import camera_models
+    nparams = camera_models.model_by_id(options.model_id).num_params
+    if npad < bk.RANGED_MIN_NPAD:
+        # One-hot [Npad, K*TP] must fit VMEM next to the payload
+        # arrays; bucketing caps most K but the top bucket carries max
+        # track length.
+        if npad * kmax * 128 * 4 > 8 * 2 ** 20:
+            return False
+    else:
+        # Ranged path: the VMEM-resident terms are the image payload
+        # [Npad, DI] plus the param/free tables [~2*(7+np), Npad]; the
+        # per-block terms (oh_sub [IB, B], payload [DI, B], jw [JW, B])
+        # scale with the top bucket's K.
+        di = 6 + 36 + 6 * nparams + nparams + nparams * nparams
+        di = (di + 127) // 128 * 128
+        resident = npad * di * 4 + 2 * (7 + nparams) * npad * 4
+        B = kmax * 128
+        per_block = (256 * B + di * B + 80 * B + 16 * B) * 4
+        if resident + 2 * per_block > 12 * 2 ** 20:
+            return False
     if problem.cam_params.shape[0] > 10:
         return False
     O = problem.obs_image.shape[0]
@@ -119,10 +134,11 @@ def _solve_reduced(S, b, free, opt: BAOptions):
         cond, body, (0, jnp.zeros_like(b), b, z0, jnp.dot(b, z0)))
     return x * free
 
-def _pcg_2block(matvec, b_pose, b_cam, d_pose, d_cam, opt: BAOptions):
-    """Jacobi-PCG over the (pose [N,6], cam [C,np]) block pair with an
-    implicit operator. Same stopping rule as `_solve_reduced`."""
-    dinv_p = 1.0 / jnp.where(d_pose > 1e-20, d_pose, 1.0)
+def _pcg_2block(matvec, b_pose, b_cam, prec_p, d_cam, opt: BAOptions):
+    """PCG over the (pose [N,6], cam [C,np]) block pair with an implicit
+    operator. `prec_p` applies the pose preconditioner (block-Jacobi
+    [N,6,6] inverse or scalar Jacobi); the cam side is scalar Jacobi.
+    Same stopping rule as `_solve_reduced`."""
     dinv_c = 1.0 / jnp.where(d_cam > 1e-20, d_cam, 1.0)
 
     def dot(xp, xc, yp, yc):
@@ -136,7 +152,7 @@ def _pcg_2block(matvec, b_pose, b_cam, d_pose, d_cam, opt: BAOptions):
         xc = xc + alpha * pc
         rp = rp - alpha * Ap_p
         rc = rc - alpha * Ap_c
-        zp = dinv_p * rp
+        zp = prec_p(rp)
         zc = dinv_c * rc
         rz_new = dot(rp, rc, zp, zc)
         beta = rz_new / jnp.maximum(rz, 1e-30)
@@ -150,7 +166,7 @@ def _pcg_2block(matvec, b_pose, b_cam, d_pose, d_cam, opt: BAOptions):
             (dot(rp, rc, rp, rc) > (opt.cg_tolerance ** 2) * bnorm2)
 
     bnorm2 = jnp.maximum(dot(b_pose, b_cam, b_pose, b_cam), 1e-30)
-    zp0 = dinv_p * b_pose
+    zp0 = prec_p(b_pose)
     zc0 = dinv_c * b_cam
     init = (0, jnp.zeros_like(b_pose), jnp.zeros_like(b_cam),
             b_pose, b_cam, zp0, zc0, dot(b_pose, b_cam, zp0, zc0))
@@ -195,11 +211,23 @@ def _bucketize(problem: BAProblem, options: BAOptions, TP: int = 128,
     order = np.argsort(op, kind="stable")
     offs = np.concatenate([[0], np.cumsum(np.bincount(op, minlength=P))])
 
+    # Locality sort: order points by mean observing image so each
+    # TP-point block touches a narrow image range — the ranged kernels'
+    # per-block [lo, hi) image-sub-block loops (ops/ba_kernels.py
+    # _gather_rows/_scatter_accum) then skip almost all of [0, Npad).
+    # Sequential-capture scenes (the common SfM case) get near-constant
+    # ranges; for the one-hot kernels the order is irrelevant.
+    sum_img = np.zeros(P)
+    real = om > 0
+    np.add.at(sum_img, op[real], oi[real].astype(np.float64))
+    mean_img = sum_img / counts
+
     buckets = []
     for K in ks:
         idx = np.nonzero(k_of_point == K)[0]
         if len(idx) == 0:
             continue
+        idx = idx[np.argsort(mean_img[idx], kind="stable")]
         Pb = len(idx)
         Ob = Pb * K
         sub_oi = np.zeros(Ob, np.int32)
@@ -304,10 +332,25 @@ def _fused_step(statics, lays, opt, qvecs, tvecs, pts_list, cams,
         ey_cam = jax.ops.segment_sum(
             red[:, base + 6:base + 6 + nparams], image_cam[:N],
             num_segments=C)                                 # [C, np]
-        dcorr_pose = red[:, base + 6 + nparams:base + 12 + nparams]
+        o = base + 6 + nparams
+        BJ = lay0.BJ
+        if BJ:
+            # Full 6x6 pose block of EL EL^T (upper tri, 21 rows) for
+            # block-Jacobi PCG — cuts CG iterations vs scalar Jacobi,
+            # which at large N directly cuts the per-LM-iteration
+            # matvec passes over the stored per-obs blocks.
+            tri = red[:, o:o + 21]
+            iu, ju = np.triu_indices(6)
+            corr6 = jnp.zeros((N, 6, 6), jnp.float32)
+            corr6 = corr6.at[:, iu, ju].set(tri)
+            corr6 = corr6.at[:, ju, iu].set(tri)
+            dcorr_pose = jnp.einsum("nii->ni", corr6)
+            o += 21
+        else:
+            dcorr_pose = red[:, o:o + 6]
+            o += 6
         dcorr_cam = jax.ops.segment_sum(
-            red[:, base + 12 + nparams:base + 12 + 2 * nparams],
-            image_cam[:N], num_segments=C)
+            red[:, o:o + nparams], image_cam[:N], num_segments=C)
         img_cam_n = image_cam[:N]
 
         def matvec(vp, vc):
@@ -341,12 +384,30 @@ def _fused_step(statics, lays, opt, qvecs, tvecs, pts_list, cams,
 
         b_pose = (-g_pose + ey_pose) * free_pose
         b_cam = (-g_cam + ey_cam) * free_cam_np
-        diag_p = (jnp.einsum("nii->ni", Hcc_pose) + d_pose_l
-                  - dcorr_pose) * free_pose + (1.0 - free_pose)
         diag_c = (jnp.einsum("cii->ci", Hcc_cam) + d_cam_l
                   - dcorr_cam) * free_cam_np + (1.0 - free_cam_np)
+        if BJ:
+            # Exact 6x6 diagonal blocks of the damped reduced system;
+            # gauge-frozen coordinates become identity rows/cols so the
+            # preconditioner matches the operator's identity there.
+            eye6 = jnp.eye(6, dtype=jnp.float32)[None]
+            M = Hcc_pose - corr6 + eye6 * d_pose_l[:, None, :]
+            F = free_pose
+            M = (M * F[:, :, None] * F[:, None, :]
+                 + eye6 * (1.0 - F)[:, :, None])
+            Minv = jnp.linalg.inv(M)
+
+            def prec_p(r):
+                return jnp.einsum("nij,nj->ni", Minv, r)
+        else:
+            diag_p = (jnp.einsum("nii->ni", Hcc_pose) + d_pose_l
+                      - dcorr_pose) * free_pose + (1.0 - free_pose)
+            dinv_p = 1.0 / jnp.where(diag_p > 1e-20, diag_p, 1.0)
+
+            def prec_p(r):
+                return dinv_p * r
         u_pose, u_cam_np = _pcg_2block(matvec, b_pose, b_cam,
-                                       diag_p, diag_c, opt)
+                                       prec_p, diag_c, opt)
         u_pose = u_pose * free_pose
         u_cam_np = u_cam_np * free_cam_np
     else:

@@ -50,7 +50,8 @@ def _static_specs(axis_name: str) -> KernelStatic:
     sh2 = P(None, axis_name)
     return KernelStatic(
         obs_sta=sh2, obs_img=sh2, obs_cam=sh2,
-        free_sta=P(), free_pts=sh2, image_cam=P(), perm_obs=P(axis_name))
+        free_sta=P(), free_pts=sh2, image_cam=P(), perm_obs=P(axis_name),
+        blk_rng=P(axis_name, None))
 
 
 def prepare_spmd(problem: BAProblem, options: BAOptions, mesh: Mesh,

@@ -116,6 +116,123 @@ def make_ba_problem(
     return attach_gather_layouts(problem), truth
 
 
+def _np_quat_rotate(q, v):
+    """Vectorized numpy quaternion rotation: q [N,4] w-first, v [N,3]."""
+    w, x, y, z = q[:, 0:1], q[:, 1:2], q[:, 2:3], q[:, 3:4]
+    u = q[:, 1:]
+    uv = np.cross(u, v)
+    return v + 2.0 * (w * uv + np.cross(u, uv))
+
+
+def make_sequential_ba_problem(
+    num_images: int = 1024,
+    num_points: int = 100_000,
+    track_len: int = 6,
+    pose_noise: float = 0.003,
+    point_noise: float = 0.02,
+    pixel_noise: float = 0.5,
+    seed: int = 0,
+    image_size=(640, 480),
+    focal: float = 500.0,
+    dtype=np.float32,
+):
+    """Large sequential-capture scene, fully numpy-vectorized.
+
+    Cameras travel along a corridor; each point is observed by a
+    contiguous window of `track_len` nearby images — the track locality
+    of real video / ordered-capture SfM (and the access pattern the
+    ranged fused BA kernels exploit). Unlike `make_ba_problem` (arc rig,
+    every point visible everywhere, per-image Python loop) this scales
+    to thousands of images / millions of observations in seconds.
+
+    Returns (problem, truth) like `make_ba_problem`; every track is
+    exactly `track_len` so the fused path needs a single bucket.
+    """
+    rng = np.random.default_rng(seed)
+    w, h = image_size
+    spacing = 0.5
+
+    # Camera centers along x, jittered; small random rotations.
+    centers = np.stack([
+        np.arange(num_images) * spacing,
+        0.2 * rng.normal(size=num_images),
+        0.1 * rng.normal(size=num_images)], axis=1)
+    aa = rng.normal(scale=0.02, size=(num_images, 3))
+    angle = np.linalg.norm(aa, axis=1, keepdims=True)
+    axis = aa / np.maximum(angle, 1e-12)
+    qvecs = np.concatenate(
+        [np.cos(angle / 2), np.sin(angle / 2) * axis], axis=1)
+    tvecs = -_np_quat_rotate(qvecs, centers)
+
+    # Each point anchored to a window start s in [0, num_images -
+    # track_len]; placed inside the shared viewing frustum of its
+    # window: depth z' in front of the mid camera, lateral spread
+    # bounded so all window cameras keep it in view.
+    s0 = rng.integers(0, num_images - track_len + 1, size=num_points)
+    mid = centers[np.minimum(s0 + track_len // 2, num_images - 1)]
+    depth = rng.uniform(6.0, 12.0, size=num_points)
+    lat = rng.uniform(-2.0, 2.0, size=num_points)
+    vert = rng.uniform(-1.5, 1.5, size=num_points)
+    pts = mid + np.stack([lat, vert, depth], axis=1)
+
+    obs_point = np.repeat(np.arange(num_points, dtype=np.int64), track_len)
+    obs_image = (s0[:, None] + np.arange(track_len)[None, :]) \
+        .reshape(-1).astype(np.int64)
+    p_cam = _np_quat_rotate(qvecs[obs_image], pts[obs_point]) \
+        + tvecs[obs_image]
+    z = np.maximum(p_cam[:, 2], 1e-6)
+    uv = p_cam[:, :2] / z[:, None]
+    xy = focal * uv + np.array([w / 2.0, h / 2.0])
+    if pixel_noise:
+        xy = xy + rng.normal(scale=pixel_noise, size=xy.shape)
+    # Keep static shapes: out-of-view observations are masked, not
+    # dropped (every track stays exactly track_len slots).
+    mask = ((p_cam[:, 2] > 0.1) & (xy[:, 0] >= -50) & (xy[:, 0] < w + 50)
+            & (xy[:, 1] >= -50) & (xy[:, 1] < h + 50)).astype(np.float64)
+
+    cam_params = np.zeros((1, MAXP))
+    cam_params[0, :3] = [focal, w / 2.0, h / 2.0]
+
+    truth = dict(qvecs=qvecs.copy(), tvecs=tvecs.copy(), points=pts.copy(),
+                 cam_params=cam_params.copy())
+
+    # Perturb rotation and camera CENTER (not tvec): tvec noise with a
+    # fixed rotation would be fine, but rotation noise at fixed tvec
+    # swings the center by |dtheta| * |center| — which grows with the
+    # corridor length and blows up residuals at thousands of images.
+    q0 = qvecs + rng.normal(scale=pose_noise, size=qvecs.shape)
+    q0 = q0 / np.linalg.norm(q0, axis=1, keepdims=True)
+    c0 = centers + rng.normal(scale=pose_noise, size=centers.shape)
+    t0 = -_np_quat_rotate(q0, c0)
+    x0 = pts + rng.normal(scale=point_noise, size=pts.shape)
+    q0[0], t0[0] = qvecs[0], tvecs[0]
+    t0[1, 0] = tvecs[1, 0]
+
+    free_rot = np.ones(num_images)
+    free_trans = np.ones((num_images, 3))
+    free_rot[0] = 0.0
+    free_trans[0] = 0.0
+    free_trans[1, 0] = 0.0
+
+    problem = BAProblem(
+        qvecs=jnp.asarray(q0, dtype), tvecs=jnp.asarray(t0, dtype),
+        points=jnp.asarray(x0, dtype),
+        cam_params=jnp.asarray(cam_params, dtype),
+        obs_image=jnp.asarray(obs_image, jnp.int32),
+        obs_point=jnp.asarray(obs_point, jnp.int32),
+        obs_cam=jnp.zeros(len(obs_image), jnp.int32),
+        obs_xy=jnp.asarray(xy, dtype),
+        obs_mask=jnp.asarray(mask, dtype),
+        free_rot=jnp.asarray(free_rot, dtype),
+        free_trans=jnp.asarray(free_trans, dtype),
+        free_points=jnp.ones(num_points, dtype),
+        free_cam=jnp.zeros((1, MAXP), dtype),
+    )
+    from sba_tpu.optim.ba import attach_gather_layouts
+
+    return attach_gather_layouts(problem), truth
+
+
 def make_sba_scene(
     num_images: int = 4,
     image_size=(64, 48),

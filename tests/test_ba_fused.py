@@ -240,6 +240,60 @@ def test_implicit_lm_converges_beyond_256_images():
     assert float(summary.final_cost) < 1e-3 * float(summary.initial_cost)
 
 
+@pytest.mark.parametrize("model_id", [0, 4])
+def test_ranged_step_matches_onehot(model_id):
+    """The ranged kernels (per-block image-sub-block loops, the large-N
+    path) must produce the same LM step as the [Npad, B] one-hot
+    kernels, forced on at small N."""
+    _, _, pm, _, _, _, _, _ = _setup(model_id)
+    lam = jnp.float32(1e-3)
+    outs = {}
+    for ranged in ("on", "off"):
+        opt = BAOptions(model_id=model_id, dtype="float32",
+                        schur_bf16=False, fused_mode="implicit",
+                        fused_ranged=ranged,
+                        cg_iterations=200, cg_tolerance=1e-9,
+                        solver="explicit_schur", obs_layout="point_major")
+        ctx = bf.prepare(pm, opt)
+        (statics, lays, pts0, idxs, prob_f, options, free_arrays) = ctx
+        assert lays[0].ranged == (ranged == "on")
+        outs[ranged] = bf._fused_step(
+            statics, lays, options, prob_f.qvecs, prob_f.tvecs, pts0,
+            prob_f.cam_params, lam, free_arrays, interpret=True)
+    u_r, c_r, dp_r, pred_r, ginf_r = outs["on"]
+    u_o, c_o, dp_o, pred_o, ginf_o = outs["off"]
+    scale = float(jnp.abs(u_o).max())
+    np.testing.assert_allclose(np.asarray(u_r), np.asarray(u_o),
+                               atol=1e-5 * scale)
+    np.testing.assert_allclose(float(pred_r), float(pred_o), rtol=1e-5)
+    np.testing.assert_allclose(float(ginf_r), float(ginf_o), rtol=1e-5)
+    for a, b in zip(dp_r, dp_o):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b),
+            atol=1e-5 * max(float(jnp.abs(b).max()), 1e-12))
+
+
+def test_ranged_lm_converges_sequential_scene():
+    """End-to-end ranged LM on a sequential-capture scene (contiguous
+    per-point image windows — the locality the ranged path exploits)."""
+    from sba_tpu.utils.synthetic import make_sequential_ba_problem
+
+    problem, truth = make_sequential_ba_problem(
+        num_images=40, num_points=500, track_len=5, pose_noise=0.005,
+        point_noise=0.03, pixel_noise=0.0, seed=3)
+    opt = BAOptions(model_id=0, max_iterations=15, dtype="float32",
+                    fused_ranged="on")
+    ctx = bf.prepare(problem, opt)
+    lays = ctx[1]
+    assert lays[0].ranged and bf.use_implicit(lays[0], opt)
+    # Locality sort: per-block image ranges must be narrow, not [0, N).
+    rng = np.asarray(ctx[0][0].blk_rng)
+    widths = rng[:, 1] - rng[:, 0]
+    assert widths.max() <= 1 + (40 // lays[0].IB + 1)
+    out, summary = bf.solve_prepared(ctx, interpret=True)
+    assert float(summary.final_cost) < 1e-2 * float(summary.initial_cost)
+
+
 def _two_camera_problem(seed=9):
     """C=2: odd images use a second camera with different intrinsics —
     exercises the cam-block indexing (ci_np rows, obs_cam one-hots,
