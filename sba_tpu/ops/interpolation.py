@@ -127,8 +127,13 @@ def pack_depth_nbhd_u8(depth_map, lo=None, hi=None):
 
 
 def _bilinear_setup(H, W, xy):
-    x = xy[..., 0]
-    y = xy[..., 1]
+    return _bilinear_setup_xy(H, W, xy[..., 0], xy[..., 1])
+
+
+def _bilinear_setup_xy(H, W, x, y):
+    """Component-wise variant: [*,2] point arrays pad their 2-wide
+    trailing dim to the 128-lane tile on TPU; hot paths pass x/y as
+    separate full-lane arrays instead (see optim/sba.py warp)."""
     x0 = jnp.floor(x).astype(jnp.int32)
     y0 = jnp.floor(y).astype(jnp.int32)
     fx = x - x0
@@ -141,33 +146,34 @@ def _bilinear_setup(H, W, xy):
     return x0c, y0c, fxe, fye, inb
 
 
-def bilinear_depth_u8_flat(flat_u32, H, W, base, xy, lo, hi, fill=0.0):
+def bilinear_depth_u8_flat(flat_u32, H, W, base, x, y, lo, hi, fill=0.0):
     """Bilinear depth from a flattened stack of `pack_depth_nbhd_u8`
     maps: ONE flat-index gather per sample (flat-index gathers measured
     ~30% faster than batched per-map gathers on v5e). `base` is the
-    sample's map offset (pd * H * W); lo/hi its dequant range."""
-    x0c, y0c, fxe, fye, inb = _bilinear_setup(H, W, xy)
+    sample's map offset (pd * H * W); lo/hi its dequant range. Takes
+    x/y as separate component arrays (full-lane layout)."""
+    x0c, y0c, fxe, fye, inb = _bilinear_setup_xy(H, W, x, y)
     u = jnp.take(flat_u32, base + y0c * W + x0c)
     dq = (hi - lo) / 255.0
-    v00 = (u & 0xFF).astype(xy.dtype)
-    v01 = ((u >> 8) & 0xFF).astype(xy.dtype)
-    v10 = ((u >> 16) & 0xFF).astype(xy.dtype)
-    v11 = ((u >> 24) & 0xFF).astype(xy.dtype)
+    v00 = (u & 0xFF).astype(x.dtype)
+    v01 = ((u >> 8) & 0xFF).astype(x.dtype)
+    v10 = ((u >> 16) & 0xFF).astype(x.dtype)
+    v11 = ((u >> 24) & 0xFF).astype(x.dtype)
     v = ((1 - fye) * ((1 - fxe) * v00 + fxe * v01)
          + fye * ((1 - fxe) * v10 + fxe * v11)) * dq + lo
     return jnp.where(inb, v, fill)
 
 
-def bilinear_label_agreement_flat(flat_u32, H, W, base, xy, label, fill=0.0):
+def bilinear_label_agreement_flat(flat_u32, H, W, base, x, y, label, fill=0.0):
     """`bilinear_label_agreement_packed` against a flattened map stack
     (one flat-index gather; see bilinear_depth_u8_flat)."""
-    x0c, y0c, fxe, fye, inb = _bilinear_setup(H, W, xy)
+    x0c, y0c, fxe, fye, inb = _bilinear_setup_xy(H, W, x, y)
     u = jnp.take(flat_u32, base + y0c * W + x0c)
     lab = label.astype(jnp.uint32)
-    a00 = ((u & 0xFF) == lab).astype(xy.dtype)
-    a01 = (((u >> 8) & 0xFF) == lab).astype(xy.dtype)
-    a10 = (((u >> 16) & 0xFF) == lab).astype(xy.dtype)
-    a11 = (((u >> 24) & 0xFF) == lab).astype(xy.dtype)
+    a00 = ((u & 0xFF) == lab).astype(x.dtype)
+    a01 = (((u >> 8) & 0xFF) == lab).astype(x.dtype)
+    a10 = (((u >> 16) & 0xFF) == lab).astype(x.dtype)
+    a11 = (((u >> 24) & 0xFF) == lab).astype(x.dtype)
     p = ((1 - fye) * ((1 - fxe) * a00 + fxe * a01)
          + fye * ((1 - fxe) * a10 + fxe * a11))
     return jnp.where(inb, p, fill)

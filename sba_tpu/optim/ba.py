@@ -115,12 +115,15 @@ def attach_gather_layouts(problem: "BAProblem") -> "BAProblem":
     image_cam = np.zeros(N, np.int32)
     image_cam[oi] = oc
     dtype = problem.obs_mask.dtype
+    # Host (numpy) outputs: layouts are prep-side data; jit transfers
+    # them H2D on first use. Keeping them off the chip lets host-leaf
+    # problems (utils/host.py) stay free of device round-trips.
     return problem._replace(
-        pt_gather=jnp.asarray(pt_gather),
-        pt_mask=jnp.asarray(pt_mask, dtype),
-        img_gather=jnp.asarray(img_gather),
-        img_mask=jnp.asarray(img_mask, dtype),
-        image_cam=jnp.asarray(image_cam))
+        pt_gather=pt_gather,
+        pt_mask=pt_mask.astype(dtype),
+        img_gather=img_gather,
+        img_mask=img_mask.astype(dtype),
+        image_cam=image_cam)
 
 
 def to_point_major(problem: "BAProblem") -> "BAProblem":

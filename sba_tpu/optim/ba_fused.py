@@ -245,15 +245,17 @@ def _bucketize(problem: BAProblem, options: BAOptions, TP: int = 128,
             sub_oc[base:base + n] = oc[rows]
             sub_xy[base:base + n] = oxy[rows]
             sub_m[base:base + n] = om[rows]
+        # Host (numpy) sub-arrays: build_static reads them right back on
+        # the host — a jnp round-trip here would be a device->host read
+        # during prep (utils/host.py).
         sub = problem._replace(
-            points=problem.points[idx],
-            free_points=problem.free_points[idx],
-            obs_image=jnp.asarray(sub_oi),
-            obs_point=jnp.asarray(
-                np.repeat(np.arange(Pb, dtype=np.int32), K)),
-            obs_cam=jnp.asarray(sub_oc),
-            obs_xy=jnp.asarray(sub_xy, problem.obs_xy.dtype),
-            obs_mask=jnp.asarray(sub_m, problem.obs_mask.dtype),
+            points=np.asarray(problem.points)[idx],
+            free_points=np.asarray(problem.free_points)[idx],
+            obs_image=sub_oi,
+            obs_point=np.repeat(np.arange(Pb, dtype=np.int32), K),
+            obs_cam=sub_oc,
+            obs_xy=sub_xy.astype(np.asarray(problem.obs_xy).dtype),
+            obs_mask=sub_m.astype(np.asarray(problem.obs_mask).dtype),
             pt_gather=None, pt_mask=None, img_gather=None, img_mask=None,
             image_cam=problem.image_cam)
         lay = bk.plan_layout(sub, options, TP, block_multiple)

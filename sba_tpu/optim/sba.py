@@ -167,6 +167,40 @@ def _warp_pair(q_src, t_src, q_dst, t_dst, cam_src, cam_dst, pix_xy, src_depth):
     return xy2, z2
 
 
+def _warp_pair_lanes(q_src, t_src, q_dst, t_dst, cam_src, cam_dst,
+                     px, py, src_depth):
+    """Same math as `_warp_pair`, but every per-pixel array is a [S]
+    COMPONENT array (x, y, z separately) instead of [S,3]/[S,2] points.
+
+    On TPU a [S,3] array pads its trailing dim to the 128-lane tile —
+    42x wasted VPU work; measured 23 ms for the warp alone at bench
+    scale vs ~1 ms in this layout. The per-pair rotation matrices are
+    3x3 scalars (18 scalar reads, negligible)."""
+    from sba_tpu.geometry.quaternions import quat_to_rotmat
+
+    f = cam_src[0]
+    d = src_depth
+    x1 = (px - cam_src[1]) / f * d
+    y1 = (py - cam_src[2]) / f * d
+    # world = R_src^T (p - t_src)
+    Rs = quat_to_rotmat(q_src)
+    ax = x1 - t_src[0]
+    ay = y1 - t_src[1]
+    az = d - t_src[2]
+    wx = Rs[0, 0] * ax + Rs[1, 0] * ay + Rs[2, 0] * az
+    wy = Rs[0, 1] * ax + Rs[1, 1] * ay + Rs[2, 1] * az
+    wz = Rs[0, 2] * ax + Rs[1, 2] * ay + Rs[2, 2] * az
+    # cam2 = R_dst world + t_dst
+    Rd = quat_to_rotmat(q_dst)
+    cx2 = Rd[0, 0] * wx + Rd[0, 1] * wy + Rd[0, 2] * wz + t_dst[0]
+    cy2 = Rd[1, 0] * wx + Rd[1, 1] * wy + Rd[1, 2] * wz + t_dst[1]
+    z2 = Rd[2, 0] * wx + Rd[2, 1] * wy + Rd[2, 2] * wz + t_dst[2]
+    safe_z = jnp.where(jnp.abs(z2) > 1e-12, z2, 1e-12)
+    x2 = cam_dst[0] * cx2 / safe_z + cam_dst[1]
+    y2 = cam_dst[0] * cy2 / safe_z + cam_dst[2]
+    return x2, y2, z2
+
+
 def _pair_residual_soft(q_src, t_src, q_dst, t_dst, cam_src, cam_dst,
                         depth_dst, sem_dst, pix_xy, src_depth, src_label,
                         opt: SBAOptions, depth_packed=None,
@@ -175,31 +209,36 @@ def _pair_residual_soft(q_src, t_src, q_dst, t_dst, cam_src, cam_dst,
     """Differentiable residual field for one pair: [S]. With packed
     maps, depth_packed/label_packed are the FLAT [N*H*W] stacks and
     `base` the destination map's offset (pd * H * W)."""
-    xy2, z2 = _warp_pair(q_src, t_src, q_dst, t_dst, cam_src, cam_dst,
-                         pix_xy, src_depth)
     H, W = depth_dst.shape
+    # Full-lane component layout ([S] x/y/z arrays, not [S,2]) — see
+    # _warp_pair_lanes.
+    x2, y2, z2 = _warp_pair_lanes(q_src, t_src, q_dst, t_dst, cam_src,
+                                  cam_dst, pix_xy[:, 0], pix_xy[:, 1],
+                                  src_depth)
     # Soft bounds gate (product of sigmoids), sharp over tau_bounds pixels.
     tb = opt.tau_bounds
-    gb = (jax.nn.sigmoid(xy2[:, 0] / tb)
-          * jax.nn.sigmoid((W - 1 - xy2[:, 0]) / tb)
-          * jax.nn.sigmoid(xy2[:, 1] / tb)
-          * jax.nn.sigmoid((H - 1 - xy2[:, 1]) / tb))
+    gb = (jax.nn.sigmoid(x2 / tb)
+          * jax.nn.sigmoid((W - 1 - x2) / tb)
+          * jax.nn.sigmoid(y2 / tb)
+          * jax.nn.sigmoid((H - 1 - y2) / tb))
     # Also require the point in front of the dst camera.
     gb = gb * jax.nn.sigmoid(z2 / 0.01)
     if depth_packed is not None:
-        depth2 = bilinear_depth_u8_flat(depth_packed, H, W, base, xy2,
+        depth2 = bilinear_depth_u8_flat(depth_packed, H, W, base, x2, y2,
                                         depth_lo, depth_hi, fill=-1e6)
     else:
-        depth2 = bilinear_sample2d(depth_dst, xy2, fill=-1e6)
+        depth2 = bilinear_sample2d(depth_dst, jnp.stack([x2, y2], -1),
+                                   fill=-1e6)
     derr = jnp.abs(depth2 - z2)
     gd = jax.nn.sigmoid((opt.depth_error_threshold - derr)
                         / (opt.tau_depth * opt.depth_error_threshold))
     if label_packed is not None:
         agree = bilinear_label_agreement_flat(label_packed, H, W, base,
-                                              xy2, src_label, fill=0.0)
+                                              x2, y2, src_label, fill=0.0)
     else:
-        agree = bilinear_label_agreement(sem_dst, xy2, src_label, fill=0.0)
-    valid_src = (src_depth > 0).astype(xy2.dtype)  # ref .cc:809 skip
+        agree = bilinear_label_agreement(sem_dst, jnp.stack([x2, y2], -1),
+                                         src_label, fill=0.0)
+    valid_src = (src_depth > 0).astype(x2.dtype)  # ref .cc:809 skip
     # Soft objective design: r = valid_src * (1 - gate * agreement).
     # The reference's hard residual zeroes gated-away pixels; a smooth
     # relaxation of THAT form lets the optimizer game the cost by pushing
@@ -215,22 +254,24 @@ def _pair_residual_soft(q_src, t_src, q_dst, t_dst, cam_src, cam_dst,
 def _pair_residual_hard(q_src, t_src, q_dst, t_dst, cam_src, cam_dst,
                         depth_dst, sem_dst, pix_xy, src_depth, src_label, opt: SBAOptions):
     """Exact reference semantics: returns (residual [S], status [S] int32)."""
-    xy2, z2 = _warp_pair(q_src, t_src, q_dst, t_dst, cam_src, cam_dst,
-                         pix_xy, src_depth)
     H, W = depth_dst.shape
-    xi = jnp.round(xy2[:, 0])
-    yi = jnp.round(xy2[:, 1])
+    x2, y2, z2 = _warp_pair_lanes(q_src, t_src, q_dst, t_dst, cam_src,
+                                  cam_dst, pix_xy[:, 0], pix_xy[:, 1],
+                                  src_depth)
+    xi = jnp.round(x2).astype(jnp.int32)
+    yi = jnp.round(y2).astype(jnp.int32)
     inb = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
-    depth2 = nearest_sample2d(depth_dst, xy2, fill=0.0)
+    flat = (jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1))
+    depth2 = jnp.where(inb, jnp.take(depth_dst.reshape(-1), flat), 0.0)
     depth_ok = jnp.abs(depth2 - z2) <= opt.depth_error_threshold
-    label2 = nearest_sample2d(sem_dst, xy2, fill=jnp.nan)
-    mismatch = label2 != src_label
+    label2 = jnp.take(sem_dst.reshape(-1), flat)
+    mismatch = inb & (label2 != src_label)
     valid_src = src_depth > 0
 
     status = jnp.where(~inb, OUT_OF_BOUNDS,
                        jnp.where(~depth_ok, INVALID_DEPTH, VALID))
     r = jnp.where(inb & depth_ok & valid_src,
-                  mismatch.astype(xy2.dtype), 0.0)
+                  mismatch.astype(x2.dtype), 0.0)
     status = jnp.where(valid_src, status, OUT_OF_BOUNDS)
     return r, status
 

@@ -1,0 +1,54 @@
+"""Host-side computation helpers: keep prep math off the accelerator.
+
+Measured pathology of the axon TPU runtime (2026-08, v5e via tunnel):
+the FIRST device->host transfer in a process permanently switches every
+subsequent dispatch *sync* into a ~25 ms polling mode — `np.asarray(x)`,
+`float(x)`, `.item()` on any TPU-backed array all trigger it, and the
+tax then applies to every later `block_until_ready`/implicit sync in
+the process (dispatches still pipeline; the fixed cost is per sync, not
+per op). A problem generator that round-trips one quaternion through
+the chip therefore makes every later solve look ~25 ms slower than the
+hardware runs it.
+
+Rules encoded here:
+
+- Host-side logic (problem assembly, layout planning, synthetic data)
+  computes in numpy, or — when it wants jnp code — under `on_host()`,
+  which scopes the default device to the CPU backend. CPU-backend
+  device->host reads do NOT trigger the slow mode.
+- Device arrays are created in one direction only (host -> chip), via
+  `jnp.asarray`/`jax.device_put` at the end of prep.
+- Reading results back after a solve is fine — by then the caller is
+  done timing/iterating; the poison only hurts when it lands *before*
+  the hot loop.
+"""
+
+from __future__ import annotations
+
+import contextlib
+
+import jax
+
+
+def host_cpu_device():
+    """The CPU backend device, or None if unavailable."""
+    try:
+        return jax.devices("cpu")[0]
+    except RuntimeError:
+        return None
+
+
+@contextlib.contextmanager
+def on_host():
+    """Scope jnp computation to the CPU backend (no-op if unavailable).
+
+    Inside this context, jnp/jit calls run on host CPU and reading their
+    results back is free — use for host-side math that wants jax code
+    (quaternion helpers, camera models) during problem construction.
+    """
+    dev = host_cpu_device()
+    if dev is None:
+        yield
+        return
+    with jax.default_device(dev):
+        yield

@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from sba_tpu.geometry.quaternions import quat_normalize, quat_rotate
 from sba_tpu.optim.ba import BAProblem, MAXP
 
 import jax.numpy as jnp
@@ -53,20 +52,28 @@ def make_ba_problem(
         centers = np.array([-2.0 + 4.0 * i / max(num_images - 1, 1),
                             0.2 * rng.normal(), 0.1 * rng.normal()])
         # tvec = -R c
-        tvecs[i] = -np.asarray(quat_rotate(jnp.asarray(qvecs[i]), jnp.asarray(centers)))
+        tvecs[i] = -_np_quat_rotate(qvecs[i][None], centers[None])[0]
 
     from sba_tpu.geometry import camera_models
+    from sba_tpu.utils.host import on_host
+
     spec = camera_models.model_by_id(model_id)
-    params = np.array(spec.init_params(focal, w, h))
+    with on_host():
+        params = np.array(spec.init_params(focal, w, h))
     cam_params = np.zeros((1, MAXP))
     cam_params[0, : len(params)] = params
 
-    # Observations.
+    # Observations. Camera-model projection is jnp code — run it on the
+    # host CPU backend (utils/host.py: a TPU round-trip here would slow
+    # every later sync in the process).
     obs_image, obs_point, obs_xy = [], [], []
     for i in range(num_images):
-        p_cam = np.asarray(quat_rotate(jnp.asarray(qvecs[i]), jnp.asarray(pts))) + tvecs[i]
+        p_cam = _np_quat_rotate(
+            np.broadcast_to(qvecs[i], (len(pts), 4)), pts) + tvecs[i]
         uv = p_cam[:, :2] / p_cam[:, 2:3]
-        xy = np.asarray(spec.world_to_image(jnp.asarray(params), jnp.asarray(uv)))
+        with on_host():
+            xy = np.asarray(spec.world_to_image(jnp.asarray(params),
+                                                jnp.asarray(uv)))
         vis = (p_cam[:, 2] > 0.1) & (xy[:, 0] >= 0) & (xy[:, 0] < w) & (xy[:, 1] >= 0) & (xy[:, 1] < h)
         idx = np.nonzero(vis)[0]
         if observations_per_point is not None:
@@ -84,7 +91,7 @@ def make_ba_problem(
 
     # Perturb initial values.
     q0 = qvecs + rng.normal(scale=pose_noise, size=qvecs.shape)
-    q0 = np.array(quat_normalize(jnp.asarray(q0)))
+    q0 = q0 / np.maximum(np.linalg.norm(q0, axis=-1, keepdims=True), 1e-12)
     t0 = tvecs + rng.normal(scale=pose_noise, size=tvecs.shape)
     x0 = pts + rng.normal(scale=point_noise, size=pts.shape)
     # Gauge-fixed images keep their ground-truth values.
@@ -99,17 +106,21 @@ def make_ba_problem(
     if num_images > 1:
         free_trans[1, 0] = 0.0
 
+    # HOST-leaf problem (numpy): layout prep (`attach_gather_layouts`,
+    # `ba_fused.prepare`) reads these arrays on the host; keeping them
+    # off the chip until solve time avoids device->host reads during
+    # prep (utils/host.py). jit transfers them H2D on first use.
     problem = BAProblem(
-        qvecs=jnp.asarray(q0, dtype), tvecs=jnp.asarray(t0, dtype),
-        points=jnp.asarray(x0, dtype), cam_params=jnp.asarray(cam_params, dtype),
-        obs_image=jnp.asarray(obs_image), obs_point=jnp.asarray(obs_point),
-        obs_cam=jnp.zeros_like(jnp.asarray(obs_image)),
-        obs_xy=jnp.asarray(obs_xy, dtype),
-        obs_mask=jnp.ones(len(obs_image), dtype),
-        free_rot=jnp.asarray(free_rot, dtype),
-        free_trans=jnp.asarray(free_trans, dtype),
-        free_points=jnp.ones(num_points, dtype),
-        free_cam=jnp.zeros((1, MAXP), dtype),  # intrinsics constant by default
+        qvecs=np.asarray(q0, dtype), tvecs=np.asarray(t0, dtype),
+        points=np.asarray(x0, dtype), cam_params=np.asarray(cam_params, dtype),
+        obs_image=obs_image, obs_point=obs_point,
+        obs_cam=np.zeros_like(obs_image),
+        obs_xy=np.asarray(obs_xy, dtype),
+        obs_mask=np.ones(len(obs_image), dtype),
+        free_rot=np.asarray(free_rot, dtype),
+        free_trans=np.asarray(free_trans, dtype),
+        free_points=np.ones(num_points, dtype),
+        free_cam=np.zeros((1, MAXP), dtype),  # intrinsics constant by default
     )
     from sba_tpu.optim.ba import attach_gather_layouts
 
@@ -214,19 +225,20 @@ def make_sequential_ba_problem(
     free_trans[0] = 0.0
     free_trans[1, 0] = 0.0
 
+    # HOST-leaf problem (numpy): see make_ba_problem / utils/host.py.
     problem = BAProblem(
-        qvecs=jnp.asarray(q0, dtype), tvecs=jnp.asarray(t0, dtype),
-        points=jnp.asarray(x0, dtype),
-        cam_params=jnp.asarray(cam_params, dtype),
-        obs_image=jnp.asarray(obs_image, jnp.int32),
-        obs_point=jnp.asarray(obs_point, jnp.int32),
-        obs_cam=jnp.zeros(len(obs_image), jnp.int32),
-        obs_xy=jnp.asarray(xy, dtype),
-        obs_mask=jnp.asarray(mask, dtype),
-        free_rot=jnp.asarray(free_rot, dtype),
-        free_trans=jnp.asarray(free_trans, dtype),
-        free_points=jnp.ones(num_points, dtype),
-        free_cam=jnp.zeros((1, MAXP), dtype),
+        qvecs=np.asarray(q0, dtype), tvecs=np.asarray(t0, dtype),
+        points=np.asarray(x0, dtype),
+        cam_params=np.asarray(cam_params, dtype),
+        obs_image=np.asarray(obs_image, np.int32),
+        obs_point=np.asarray(obs_point, np.int32),
+        obs_cam=np.zeros(len(obs_image), np.int32),
+        obs_xy=np.asarray(xy, dtype),
+        obs_mask=np.asarray(mask, dtype),
+        free_rot=np.asarray(free_rot, dtype),
+        free_trans=np.asarray(free_trans, dtype),
+        free_points=np.ones(num_points, dtype),
+        free_cam=np.zeros((1, MAXP), dtype),
     )
     from sba_tpu.optim.ba import attach_gather_layouts
 
@@ -255,7 +267,6 @@ def make_sba_scene(
     (qvecs_gt [N,4], tvecs_gt [N,3], cam_params [N,3], depth [N,H,W],
     semantic [N,H,W], qvecs_init, tvecs_init).
     """
-    from sba_tpu.geometry.quaternions import quat_rotate, quat_normalize, pose_inverse
 
     rng = np.random.default_rng(seed)
     w, h = image_size
@@ -270,7 +281,7 @@ def make_sba_scene(
         axis = aa / max(angle, 1e-12)
         qvecs[i] = np.concatenate([[np.cos(angle / 2)], np.sin(angle / 2) * axis])
         centers[i] = np.array([rng.uniform(-1, 1), rng.uniform(-1, 1), rng.uniform(-0.3, 0.3)])
-        tvecs[i] = -np.array(quat_rotate(jnp.asarray(qvecs[i]), jnp.asarray(centers[i])))
+        tvecs[i] = -_np_quat_rotate(qvecs[i][None], centers[i][None])[0]
 
     xs, ys = np.meshgrid(np.arange(w, dtype=np.float64), np.arange(h, dtype=np.float64))
     dir_cam = np.stack([(xs - cam[1]) / cam[0], (ys - cam[2]) / cam[0],
@@ -282,8 +293,11 @@ def make_sba_scene(
     depth = np.zeros((num_images, h, w))
     semantic = np.zeros((num_images, h, w))
     for i in range(num_images):
-        qi, ci = pose_inverse(jnp.asarray(qvecs[i]), jnp.asarray(tvecs[i]))
-        d_world = np.array(quat_rotate(qi, jnp.asarray(dir_cam.reshape(-1, 3)))).reshape(h, w, 3)
+        # R^T d: conjugate-quaternion rotation, host-side (numpy).
+        qc = qvecs[i] * np.array([1.0, -1.0, -1.0, -1.0])
+        dirs = dir_cam.reshape(-1, 3)
+        d_world = _np_quat_rotate(
+            np.broadcast_to(qc, (len(dirs), 4)), dirs).reshape(h, w, 3)
         # Ray-march the gentle relief: fixed-point iteration on the ray
         # parameter (converges fast for |relief| << plane_z and near-nadir
         # views; exact for relief = 0).
@@ -305,7 +319,8 @@ def make_sba_scene(
     t0 = tvecs.copy()
     if pose_noise > 0:
         q0 = q0 + rng.normal(scale=pose_noise, size=q0.shape)
-        q0 = np.array(quat_normalize(jnp.asarray(q0)))
+        q0 = q0 / np.maximum(np.linalg.norm(q0, axis=-1, keepdims=True),
+                             1e-12)
         t0 = t0 + rng.normal(scale=pose_noise, size=t0.shape)
         q0[0], t0[0] = qvecs[0], tvecs[0]
         if num_images > 1:
@@ -330,7 +345,9 @@ def _lookat_pose(center, target, up=(0.0, 0.0, 1.0)):
     x /= np.linalg.norm(x)
     y = np.cross(z, x)
     R = np.stack([x, y, z])  # rows = camera axes in world
-    q = np.array(rotmat_to_quat(jnp.asarray(R)))
+    from sba_tpu.utils.host import on_host
+    with on_host():
+        q = np.array(rotmat_to_quat(jnp.asarray(R)))
     t = -R @ c
     return q, t
 
@@ -356,7 +373,6 @@ def make_gsba_scene(
     """
     from sba_tpu.models.cylinder import (
         Cylinder, project_quadrilateral, quadrilateral_mask)
-    from sba_tpu.geometry.quaternions import quat_normalize
 
     rng = np.random.default_rng(seed)
     w, h = image_size
@@ -372,23 +388,28 @@ def make_gsba_scene(
                            rng.uniform(-0.5, 0.5)])
         qvecs[i], tvecs[i] = _lookat_pose(center, [0.0, 0.0, 0.0])
 
-    # Render hard GT silhouettes with the same projective model.
-    quad, valid = project_quadrilateral(
-        jnp.asarray(np.tile(cyl.qvec, (num_images, 1))),
-        jnp.asarray(np.tile(cyl.tvec, (num_images, 1))),
-        jnp.asarray(np.full(num_images, cyl.radius)),
-        jnp.asarray(np.full(num_images, cyl.height)),
-        jnp.asarray(qvecs), jnp.asarray(tvecs),
-        jnp.asarray(np.tile(cam, (num_images, 1))))
-    assert bool(np.all(np.asarray(valid))), "cameras must see the cylinder"
-    masks = np.array(quadrilateral_mask(quad, h, w, hard=True))
+    # Render hard GT silhouettes with the same projective model —
+    # host-side (utils/host.py: TPU round-trips in scene prep slow every
+    # later sync in the process).
+    from sba_tpu.utils.host import on_host
+    with on_host():
+        quad, valid = project_quadrilateral(
+            jnp.asarray(np.tile(cyl.qvec, (num_images, 1))),
+            jnp.asarray(np.tile(cyl.tvec, (num_images, 1))),
+            jnp.asarray(np.full(num_images, cyl.radius)),
+            jnp.asarray(np.full(num_images, cyl.height)),
+            jnp.asarray(qvecs), jnp.asarray(tvecs),
+            jnp.asarray(np.tile(cam, (num_images, 1))))
+        assert bool(np.all(np.asarray(valid))), "cameras must see the cylinder"
+        masks = np.array(quadrilateral_mask(quad, h, w, hard=True))
     semantic = np.where(masks > 0.5, trunk_class, 0.0)
 
     q0 = qvecs.copy()
     t0 = tvecs.copy()
     if pose_noise > 0:
         q0 = q0 + rng.normal(scale=pose_noise, size=q0.shape)
-        q0 = np.array(quat_normalize(jnp.asarray(q0)))
+        q0 = q0 / np.maximum(np.linalg.norm(q0, axis=-1, keepdims=True),
+                             1e-12)
         t0 = t0 + rng.normal(scale=pose_noise, size=t0.shape)
         q0[0], t0[0] = qvecs[0], tvecs[0]
         if num_images > 1:
