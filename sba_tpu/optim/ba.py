@@ -155,16 +155,16 @@ def to_point_major(problem: "BAProblem") -> "BAProblem":
         out[rows] = v[order]
         return out
 
+    # Host (numpy) outputs — see attach_gather_layouts.
     new = problem._replace(
-        obs_image=jnp.asarray(place(problem.obs_image)),
-        obs_point=jnp.asarray(
-            np.repeat(np.arange(P, dtype=np.int32), K)),
-        obs_cam=jnp.asarray(place(problem.obs_cam)),
-        obs_xy=jnp.asarray(place(problem.obs_xy)),
-        obs_mask=jnp.asarray(place(problem.obs_mask)),
+        obs_image=place(problem.obs_image),
+        obs_point=np.repeat(np.arange(P, dtype=np.int32), K),
+        obs_cam=place(problem.obs_cam),
+        obs_xy=place(problem.obs_xy),
+        obs_mask=place(problem.obs_mask),
         pt_gather=None, pt_mask=None, img_gather=None, img_mask=None,
         image_cam=problem.image_cam if problem.image_cam is not None
-        else jnp.asarray(_image_cam_of(problem)))
+        else _image_cam_of(problem))
     return new
 
 
@@ -187,16 +187,19 @@ def pad_problem_pow2(problem: "BAProblem", min_images: int = 8,
         return problem
     dtype = problem.tvecs.dtype
 
+    # Host-side padding (numpy): this runs per mapper registration step;
+    # device round-trips here would poison every later sync in the
+    # process (utils/host.py) and re-upload per call.
     def padv(a, n, fill=0.0):
-        a = jnp.asarray(a)
+        a = np.asarray(a)
         if a.shape[0] == n:
             return a
         pad_shape = (n - a.shape[0],) + a.shape[1:]
-        return jnp.concatenate([a, jnp.full(pad_shape, fill, a.dtype)])
+        return np.concatenate([a, np.full(pad_shape, fill, a.dtype)])
 
-    qpad = jnp.tile(jnp.asarray([1.0, 0, 0, 0], dtype), (Np - N, 1))
+    qpad = np.tile(np.asarray([1.0, 0, 0, 0], dtype), (Np - N, 1))
     problem = problem._replace(
-        qvecs=jnp.concatenate([problem.qvecs, qpad]),
+        qvecs=np.concatenate([np.asarray(problem.qvecs), qpad]),
         tvecs=padv(problem.tvecs, Np),
         points=padv(problem.points, Pp),
         obs_image=padv(problem.obs_image, Op),
@@ -1254,19 +1257,21 @@ def build_problem(arrays, constant_pose_rows=(), constant_tvec_rows=None,
 
     points = arrays.points if arrays.num_points else np.zeros((1, 3))
 
+    # HOST-leaf problem (numpy): prep stays off the chip; jit transfers
+    # H2D on first use (utils/host.py).
     problem = BAProblem(
-        qvecs=jnp.asarray(arrays.qvecs, dtype),
-        tvecs=jnp.asarray(arrays.tvecs, dtype),
-        points=jnp.asarray(points, dtype),
-        cam_params=jnp.asarray(arrays.camera_params, dtype),
-        obs_image=jnp.asarray(arrays.obs_image, jnp.int32),
-        obs_point=jnp.asarray(arrays.obs_point, jnp.int32),
-        obs_cam=jnp.asarray(arrays.obs_camera_idx(), jnp.int32),
-        obs_xy=jnp.asarray(arrays.obs_xy, dtype),
-        obs_mask=jnp.ones(arrays.num_observations, dtype),
-        free_rot=jnp.asarray(free_rot, dtype),
-        free_trans=jnp.asarray(free_trans, dtype),
-        free_points=jnp.asarray(free_points, dtype),
-        free_cam=jnp.asarray(free_cam, dtype),
+        qvecs=np.asarray(arrays.qvecs, dtype),
+        tvecs=np.asarray(arrays.tvecs, dtype),
+        points=np.asarray(points, dtype),
+        cam_params=np.asarray(arrays.camera_params, dtype),
+        obs_image=np.asarray(arrays.obs_image, np.int32),
+        obs_point=np.asarray(arrays.obs_point, np.int32),
+        obs_cam=np.asarray(arrays.obs_camera_idx(), np.int32),
+        obs_xy=np.asarray(arrays.obs_xy, dtype),
+        obs_mask=np.ones(arrays.num_observations, dtype),
+        free_rot=np.asarray(free_rot, dtype),
+        free_trans=np.asarray(free_trans, dtype),
+        free_points=np.asarray(free_points, dtype),
+        free_cam=np.asarray(free_cam, dtype),
     )
     return attach_gather_layouts(problem)

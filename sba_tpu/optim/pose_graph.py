@@ -47,7 +47,8 @@ from sba_tpu.optim.losses import loss_value, loss_weight
 
 
 class PoseGraphProblem(NamedTuple):
-    """Static-shape pose graph. All arrays are jnp; edges may be padded
+    """Static-shape pose graph. Leaves may be numpy (host-first; jit
+    transfers H2D on use — utils/host.py) or jnp; edges may be padded
     (mask=0) so shapes stay powers of two under regrowth."""
 
     qvecs: jnp.ndarray        # [N, 4] world->cam rotations (wxyz)
@@ -93,34 +94,38 @@ def make_problem(qvecs, tvecs, edge_i, edge_j, rel_q, rel_t,
                  dtype=jnp.float32) -> PoseGraphProblem:
     """Assemble a PoseGraphProblem with sensible defaults: identity
     information, first pose fixed, SE3 scales at zero."""
-    qvecs = jnp.asarray(qvecs, dtype)
-    tvecs = jnp.asarray(tvecs, dtype)
+    # HOST-leaf problem (numpy): jit transfers H2D on first use; host
+    # reads of the problem (apply_pose_graph_result) stay free
+    # (utils/host.py).
+    qvecs = np.asarray(qvecs, dtype)
+    tvecs = np.asarray(tvecs, dtype)
     n = qvecs.shape[0]
-    edge_i = jnp.asarray(edge_i, jnp.int32)
-    edge_j = jnp.asarray(edge_j, jnp.int32)
+    edge_i = np.asarray(edge_i, np.int32)
+    edge_j = np.asarray(edge_j, np.int32)
     e = edge_i.shape[0]
     d = 7 if sim3 else 6
     if sqrt_info is None:
-        sqrt_info = jnp.broadcast_to(jnp.eye(d, dtype=dtype), (e, d, d))
+        sqrt_info = np.broadcast_to(np.eye(d, dtype=dtype), (e, d, d))
     else:
-        sqrt_info = jnp.asarray(sqrt_info, dtype)
+        sqrt_info = np.asarray(sqrt_info, dtype)
         if sqrt_info.ndim == 2:
-            sqrt_info = jnp.broadcast_to(sqrt_info[None], (e, d, d))
+            sqrt_info = np.broadcast_to(sqrt_info[None], (e, d, d))
     if edge_mask is None:
-        edge_mask = jnp.ones((e,), dtype)
+        edge_mask = np.ones((e,), dtype)
     if pose_fixed is None:
-        pose_fixed = jnp.zeros((n,), dtype).at[0].set(1.0)
+        pose_fixed = np.zeros((n,), dtype)
+        pose_fixed[0] = 1.0
     if log_scales is None:
-        log_scales = jnp.zeros((n,), dtype)
+        log_scales = np.zeros((n,), dtype)
     if rel_log_s is None:
-        rel_log_s = jnp.zeros((e,), dtype)
+        rel_log_s = np.zeros((e,), dtype)
     return PoseGraphProblem(
-        qvecs=qvecs, tvecs=tvecs, log_scales=jnp.asarray(log_scales, dtype),
+        qvecs=qvecs, tvecs=tvecs, log_scales=np.asarray(log_scales, dtype),
         edge_i=edge_i, edge_j=edge_j,
-        rel_q=jnp.asarray(rel_q, dtype), rel_t=jnp.asarray(rel_t, dtype),
-        rel_log_s=jnp.asarray(rel_log_s, dtype), sqrt_info=sqrt_info,
-        edge_mask=jnp.asarray(edge_mask, dtype),
-        pose_fixed=jnp.asarray(pose_fixed, dtype))
+        rel_q=np.asarray(rel_q, dtype), rel_t=np.asarray(rel_t, dtype),
+        rel_log_s=np.asarray(rel_log_s, dtype), sqrt_info=sqrt_info,
+        edge_mask=np.asarray(edge_mask, dtype),
+        pose_fixed=np.asarray(pose_fixed, dtype))
 
 
 def relative_pose(qi, ti, qj, tj, si=None, sj=None):
@@ -433,9 +438,14 @@ def pose_graph_from_reconstruction(rec, min_common_points: int = 15,
     ej = np.asarray([e[1] for e in edges], np.int32)
     cw = np.asarray([e[2] for e in edges], np.float64)
 
-    qi, ti = jnp.asarray(qvecs[ei]), jnp.asarray(tvecs[ei])
-    qj, tj = jnp.asarray(qvecs[ej]), jnp.asarray(tvecs[ej])
-    rq, rt = relative_pose(qi, ti, qj, tj)
+    # relative_pose is jnp code — run it on the host CPU backend; a TPU
+    # round-trip here would slow every later sync (utils/host.py).
+    from sba_tpu.utils.host import on_host
+    with on_host():
+        qi, ti = jnp.asarray(qvecs[ei]), jnp.asarray(tvecs[ei])
+        qj, tj = jnp.asarray(qvecs[ej]), jnp.asarray(tvecs[ej])
+        rq, rt = relative_pose(qi, ti, qj, tj)
+        rq, rt = np.asarray(rq), np.asarray(rt)
     d = 7 if sim3 else 6
     sqrt_info = np.sqrt(cw)[:, None, None] * np.eye(d)[None]
 
