@@ -783,7 +783,7 @@ def _align_models(rec_src, rec_dst):
 def run_model_aligner(flags):
     """Align a model to a reference model by common images
     (ref: exe/colmap.cc:125 model_aligner)."""
-    from sba_tpu.geometry.quaternions import rotmat_to_quat
+    from sba_tpu.geometry.quaternions import np_rotmat_to_quat
     from sba_tpu.models.reconstruction import Reconstruction
     import jax.numpy as jnp
 
@@ -800,7 +800,7 @@ def run_model_aligner(flags):
         img = rec.images[iid]
         Rc = _rotmat(img.qvec)
         Rc_new = Rc @ R.T
-        img.qvec = np.asarray(rotmat_to_quat(jnp.asarray(Rc_new)))
+        img.qvec = np_rotmat_to_quat(Rc_new)
         img.tvec = s * img.tvec - Rc_new @ t
     for pid in rec.points3D:
         p = rec.points3D[pid]

@@ -57,14 +57,14 @@ def estimate_gravity_vector_from_image_orientation(
     """Consensus downward axis from upright image assumption
     (ref: coordinate_frame.cc:144-153): row 1 of each registered image's
     rotation matrix."""
-    from sba_tpu.geometry.quaternions import quat_to_rotmat
+    from sba_tpu.geometry.quaternions import np_quat_to_rotmat
     import jax.numpy as jnp
 
     axes = []
     for iid, img in reconstruction.images.items():
         if not reconstruction.is_registered(iid):
             continue
-        R = np.asarray(quat_to_rotmat(jnp.asarray(img.qvec)))
+        R = np_quat_to_rotmat(img.qvec)
         axes.append(R[1])
     if not axes:
         return np.zeros(3)
@@ -135,7 +135,7 @@ def estimate_manhattan_world_frame(options: ManhattanWorldFrameOptions,
     from PIL import Image as PILImage
 
     from sba_tpu.geometry.camera_models import model_by_id
-    from sba_tpu.geometry.quaternions import quat_conjugate, quat_rotate
+    from sba_tpu.geometry.quaternions import np_quat_conjugate, np_quat_rotate
     from sba_tpu.geometry.undistortion import (
         UndistortCameraOptions, undistort_image)
 
@@ -171,7 +171,7 @@ def estimate_manhattan_world_frame(options: ManhattanWorldFrameOptions,
         Kinv = np.array([[1.0 / fx, 0, -cx / fx],
                          [0, 1.0 / fy, -cy / fy],
                          [0, 0, 1.0]])
-        inv_q = np.asarray(quat_conjugate(jnp.asarray(img.qvec)))
+        inv_q = np_quat_conjugate(img.qvec)
 
         for tag, flag, store in (("horizontal", HORIZONTAL, rightward_axes),
                                  ("vertical", VERTICAL, downward_axes)):
@@ -184,8 +184,7 @@ def estimate_manhattan_world_frame(options: ManhattanWorldFrameOptions,
                 continue
             cam_axis = Kinv @ vp
             cam_axis = cam_axis / (np.linalg.norm(cam_axis) + 1e-300)
-            axis = np.asarray(quat_rotate(jnp.asarray(inv_q),
-                                          jnp.asarray(cam_axis)))
+            axis = np_quat_rotate(inv_q, cam_axis)
             axis = axis / (np.linalg.norm(axis) + 1e-300)
             if flag == HORIZONTAL:
                 # Consistent hemisphere with the first found axis.
@@ -238,15 +237,15 @@ def transform_reconstruction(rec, s: float, R: np.ndarray,
     (ref: base/reconstruction.cc Reconstruction::Transform)."""
     import jax.numpy as jnp
 
-    from sba_tpu.geometry.quaternions import quat_to_rotmat, rotmat_to_quat
+    from sba_tpu.geometry.quaternions import np_quat_to_rotmat, np_rotmat_to_quat
 
     R = np.asarray(R, np.float64)
     t = np.asarray(t, np.float64)
     for iid in rec.images:
         img = rec.images[iid]
-        Rc = np.asarray(quat_to_rotmat(jnp.asarray(img.qvec)))
+        Rc = np_quat_to_rotmat(img.qvec)
         Rc_new = Rc @ R.T
-        img.qvec = np.asarray(rotmat_to_quat(jnp.asarray(Rc_new)))
+        img.qvec = np_rotmat_to_quat(Rc_new)
         img.tvec = s * img.tvec - Rc_new @ t
     for pid in rec.points3D:
         p = rec.points3D[pid]
@@ -258,7 +257,7 @@ def align_to_principal_plane(rec) -> tuple:
     AlignToPrincipalPlane). Returns (s, R, t) of the applied transform."""
     import jax.numpy as jnp
 
-    from sba_tpu.geometry.quaternions import quat_rotate
+    from sba_tpu.geometry.quaternions import np_quat_rotate
 
     pts = np.stack([p.xyz for p in rec.points3D.values()])
     centroid = pts.mean(axis=0)
@@ -272,17 +271,12 @@ def align_to_principal_plane(rec) -> tuple:
     R, t = make(basis[:, 0], basis[:, 1])
     # Flip if the first camera center lands below the ground plane.
     img = next(iter(rec.images.values()))
-    center = -np.asarray(quat_rotate(
-        jnp.asarray(np.asarray(quat_conj_np(img.qvec))),
-        jnp.asarray(img.tvec)))
+    from sba_tpu.geometry.quaternions import np_quat_conjugate
+    center = -np_quat_rotate(np_quat_conjugate(img.qvec), img.tvec)
     if (R @ center + t)[2] < 0.0:
         R, t = make(basis[:, 0], -basis[:, 1])
     transform_reconstruction(rec, 1.0, R, t)
     return 1.0, R, t
-
-
-def quat_conj_np(q):
-    return np.array([q[0], -q[1], -q[2], -q[3]], np.float64)
 
 
 def align_to_enu_plane(rec, unscaled: bool = False,

@@ -195,7 +195,8 @@ def estimate_two_view_geometry(
             and config in (TwoViewConfig.CALIBRATED,
                            TwoViewConfig.PLANAR_OR_PANORAMIC)):
         R, t, _ = pose_from_essential(repE.model, n1, n2, repE.inlier_mask)
-        qvec = np.asarray(rotmat_to_quat(R))
+        from sba_tpu.geometry.quaternions import np_rotmat_to_quat
+        qvec = np_rotmat_to_quat(np.asarray(R))
         nrm = float(jnp.linalg.norm(t))
         tvec = np.asarray(t) / (nrm if nrm > 1e-12 else 1.0)
 

@@ -203,3 +203,109 @@ def quat_slerp(q0, q1, t):
     w0 = jnp.where(small, 1.0 - t, jnp.sin((1.0 - t) * theta) / jnp.maximum(sin_theta, 1e-20))
     w1 = jnp.where(small, t, jnp.sin(t * theta) / jnp.maximum(sin_theta, 1e-20))
     return quat_normalize(w0 * q0 + w1 * q1)
+
+
+# ---------------------------------------------------------------------------
+# Numpy (host) variants — for host-side loops (mapper, reconstruction
+# maintenance, exporters). Dispatching one-quaternion jnp calls to the
+# accelerator costs a host sync each (see utils/host.py); these run in
+# microseconds on the CPU with identical math.
+# ---------------------------------------------------------------------------
+
+def np_quat_rotate(q, v):
+    """Numpy quaternion rotation. q [..., 4] w-first (broadcastable
+    against v's batch dims), v [..., 3]. Normalizes q first — same
+    semantics as `quat_rotate`."""
+    import numpy as np
+
+    q = np.asarray(q, np.float64)
+    v = np.asarray(v, np.float64)
+    q = q / np.maximum(np.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+    q = np.broadcast_to(q, v.shape[:-1] + (4,))
+    w = q[..., :1]
+    u = q[..., 1:]
+    uv = np.cross(u, v)
+    return v + 2.0 * (w * uv + np.cross(u, uv))
+
+
+def np_quat_to_rotmat(q):
+    """Numpy quaternion -> rotation matrix. q [4] w-first (normalized or
+    not — normalizes internally like `quat_to_rotmat`)."""
+    import numpy as np
+
+    q = np.asarray(q, np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    w, x, y, z = q
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+        [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+        [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)]])
+
+
+def np_quat_conjugate(q):
+    import numpy as np
+
+    q = np.asarray(q, np.float64)
+    return q * np.array([1.0, -1.0, -1.0, -1.0])
+
+
+def np_quat_normalize(q, eps=1e-12):
+    import numpy as np
+
+    q = np.asarray(q, np.float64)
+    n = np.linalg.norm(q, axis=-1, keepdims=True)
+    return q / np.maximum(n, eps)
+
+
+def np_rotmat_to_quat(R):
+    """Numpy rotation matrix -> w-first quaternion (Shepperd; same
+    branch selection as `rotmat_to_quat`)."""
+    import numpy as np
+
+    R = np.asarray(R, np.float64)
+    m00, m01, m02 = R[0]
+    m10, m11, m12 = R[1]
+    m20, m21, m22 = R[2]
+    tr = m00 + m11 + m22
+    if tr > 0:
+        s = 2.0 * np.sqrt(tr + 1.0)
+        q = np.array([0.25 * s, (m21 - m12) / s, (m02 - m20) / s,
+                      (m10 - m01) / s])
+    elif m00 >= m11 and m00 >= m22:
+        s = 2.0 * np.sqrt(1.0 + m00 - m11 - m22)
+        q = np.array([(m21 - m12) / s, 0.25 * s, (m01 + m10) / s,
+                      (m02 + m20) / s])
+    elif m11 >= m22:
+        s = 2.0 * np.sqrt(1.0 + m11 - m00 - m22)
+        q = np.array([(m02 - m20) / s, (m01 + m10) / s, 0.25 * s,
+                      (m12 + m21) / s])
+    else:
+        s = 2.0 * np.sqrt(1.0 + m22 - m00 - m11)
+        q = np.array([(m10 - m01) / s, (m02 + m20) / s, (m12 + m21) / s,
+                      0.25 * s])
+    return np_quat_normalize(q)
+
+
+def np_quat_to_angle_axis(q):
+    import numpy as np
+
+    q = np_quat_normalize(q)
+    w = np.clip(q[0], -1.0, 1.0)
+    angle = 2.0 * np.arccos(np.abs(w))
+    sin_half = np.sqrt(max(1.0 - w * w, 0.0))
+    axis = q[1:] * (np.sign(w) if w != 0 else 1.0)
+    if sin_half < 1e-12:
+        return 2.0 * axis  # small-angle: aa ~ 2 * (x,y,z) * sign(w)
+    return axis / sin_half * angle
+
+
+def np_angle_axis_to_quat(aa):
+    import numpy as np
+
+    aa = np.asarray(aa, np.float64)
+    angle = np.linalg.norm(aa)
+    if angle < 1e-12:
+        return np_quat_normalize(np.concatenate([[1.0], 0.5 * aa]))
+    axis = aa / angle
+    return np.concatenate([[np.cos(angle / 2.0)],
+                           np.sin(angle / 2.0) * axis])

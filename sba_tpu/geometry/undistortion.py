@@ -187,11 +187,10 @@ def rectify_stereo_cameras(camera1: Camera, camera2: Camera, qvec, tvec):
     import numpy as np
 
     from sba_tpu.geometry.quaternions import (
-        angle_axis_to_quat, quat_to_angle_axis, quat_to_rotmat)
+        np_angle_axis_to_quat, np_quat_to_angle_axis, np_quat_to_rotmat)
 
-    aa = np.asarray(quat_to_angle_axis(jnp.asarray(qvec, jnp.float64)))
-    R2 = np.asarray(quat_to_rotmat(angle_axis_to_quat(
-        jnp.asarray(-0.5 * aa))))
+    aa = np_quat_to_angle_axis(np.asarray(qvec, np.float64))
+    R2 = np_quat_to_rotmat(np_angle_axis_to_quat(-0.5 * aa))
     R1 = R2.T
     t = R2 @ np.asarray(tvec, np.float64)
 
@@ -202,8 +201,8 @@ def rectify_stereo_cameras(camera1: Camera, camera2: Camera, qvec, tvec):
     else:
         angle = np.arccos(np.clip(abs(float(t @ x_unit))
                                   / np.linalg.norm(t), -1, 1))
-        R_x = np.asarray(quat_to_rotmat(angle_axis_to_quat(
-            jnp.asarray(angle * axis / np.linalg.norm(axis)))))
+        R_x = np_quat_to_rotmat(np_angle_axis_to_quat(
+            angle * axis / np.linalg.norm(axis)))
     R1 = R_x @ R1
     R2 = R_x @ R2
     t = R_x @ t

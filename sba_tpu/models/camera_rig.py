@@ -70,28 +70,34 @@ class CameraRig:
                     break
             if ref_img is None:
                 continue
-            q_ref_inv, t_ref_inv = pose_inverse(
-                jnp.asarray(ref_img.qvec), jnp.asarray(ref_img.tvec))
-            for iid in snap:
-                img = reconstruction.images.get(iid)
-                if img is None or not reconstruction.is_registered(iid):
+            # Host-side per-image pose algebra (CPU backend; a device
+            # round-trip per image would cost a sync each — utils/host.py).
+            from sba_tpu.utils.host import on_host
+            with on_host():
+                q_ref_inv, t_ref_inv = pose_inverse(
+                    jnp.asarray(ref_img.qvec), jnp.asarray(ref_img.tvec))
+                for iid in snap:
+                    img = reconstruction.images.get(iid)
+                    if img is None or not reconstruction.is_registered(iid):
+                        continue
+                    q, t = pose_product(jnp.asarray(img.qvec),
+                                        jnp.asarray(img.tvec),
+                                        q_ref_inv, t_ref_inv)
+                    rel_q[img.camera_id].append(np.asarray(q))
+                    rel_t[img.camera_id].append(np.asarray(t))
+        from sba_tpu.utils.host import on_host
+        with on_host():
+            for cid in self.cams_from_rig:
+                if not rel_q[cid]:
                     continue
-                q, t = pose_product(jnp.asarray(img.qvec),
-                                    jnp.asarray(img.tvec),
-                                    q_ref_inv, t_ref_inv)
-                rel_q[img.camera_id].append(np.asarray(q))
-                rel_t[img.camera_id].append(np.asarray(t))
-        for cid in self.cams_from_rig:
-            if not rel_q[cid]:
-                continue
-            # Quaternion average via slerp-chain (small sets) + t mean.
-            qs = rel_q[cid]
-            q_avg = jnp.asarray(qs[0])
-            for k, qk in enumerate(qs[1:], start=2):
-                q_avg = quat_slerp(q_avg, jnp.asarray(qk), 1.0 / k)
-            self.cams_from_rig[cid] = (
-                np.asarray(quat_normalize(q_avg)),
-                np.mean(np.stack(rel_t[cid]), axis=0))
+                # Quaternion average via slerp-chain (small sets) + t mean.
+                qs = rel_q[cid]
+                q_avg = jnp.asarray(qs[0])
+                for k, qk in enumerate(qs[1:], start=2):
+                    q_avg = quat_slerp(q_avg, jnp.asarray(qk), 1.0 / k)
+                self.cams_from_rig[cid] = (
+                    np.asarray(quat_normalize(q_avg)),
+                    np.mean(np.stack(rel_t[cid]), axis=0))
 
 
 def compose_rig_poses(snap_qvec, snap_tvec, cam_qvec, cam_tvec):
@@ -137,14 +143,16 @@ def rig_bundle_adjust(problem, rig_image_snapshot, rig_image_cam_q,
         if s in seen:
             continue
         seen.add(s)
-        qc_inv, tc_inv = pose_inverse(
-            jnp.asarray(rig_image_cam_q[row]),
-            jnp.asarray(rig_image_cam_t[row]))
-        q, t = pose_product(qc_inv, tc_inv,
-                            jnp.asarray(problem.qvecs[row]),
-                            jnp.asarray(problem.tvecs[row]))
-        snap_q0[s] = np.asarray(quat_normalize(q))
-        snap_t0[s] = np.asarray(t)
+        from sba_tpu.utils.host import on_host
+        with on_host():
+            qc_inv, tc_inv = pose_inverse(
+                jnp.asarray(rig_image_cam_q[row]),
+                jnp.asarray(rig_image_cam_t[row]))
+            q, t = pose_product(qc_inv, tc_inv,
+                                jnp.asarray(problem.qvecs[row]),
+                                jnp.asarray(problem.tvecs[row]))
+            snap_q0[s] = np.asarray(quat_normalize(q))
+            snap_t0[s] = np.asarray(t)
 
     snap_q = jnp.asarray(snap_q0, dtype)
     snap_t = jnp.asarray(snap_t0, dtype)

@@ -55,7 +55,8 @@ class Cylinder:
     def upper_tvec(self) -> np.ndarray:
         """Center of the upper circle = tvec + R(q) @ (0, 0, h)."""
         z = np.array([0.0, 0.0, self.height])
-        return self.tvec + np.asarray(quat_rotate(self.qvec, z))
+        from sba_tpu.geometry.quaternions import np_quat_rotate
+        return self.tvec + np_quat_rotate(self.qvec, z)
 
     def __repr__(self):
         return f"Cylinder(q={self.qvec}, t={self.tvec}, r={self.radius}, h={self.height})"
@@ -109,7 +110,8 @@ def cylinder_from_two_points(tvec1, tvec2, radius) -> Cylinder:
     n = np.linalg.norm(axis)
     axis = np.array([1.0, 0.0, 0.0]) if n < 1e-10 else axis / n
     angle = float(np.arccos(np.clip(np.dot(z, d), -1.0, 1.0)))
-    q = np.asarray(angle_axis_to_quat(jnp.asarray(angle * axis)))
+    from sba_tpu.geometry.quaternions import np_angle_axis_to_quat
+    q = np_angle_axis_to_quat(angle * axis)
     return Cylinder(qvec=q, tvec=t1, radius=radius, height=h)
 
 

@@ -202,7 +202,8 @@ class Reconstruction:
         """
         import jax.numpy as jnp
 
-        from sba_tpu.geometry.quaternions import quat_to_rotmat
+        from sba_tpu.geometry.quaternions import np_quat_to_rotmat
+        from sba_tpu.utils.host import on_host
 
         pids, iids, idxs, xyzs, xys = [], [], [], [], []
         for pid, p in self.points3D.items():
@@ -226,8 +227,8 @@ class Reconstruction:
         img_list = sorted({int(i) for i in iids})
         row_of = {iid: k for k, iid in enumerate(img_list)}
         rows = np.asarray([row_of[int(i)] for i in iids])
-        Rts = np.stack([np.asarray(quat_to_rotmat(
-            jnp.asarray(self.images[i].qvec))) for i in img_list])
+        Rts = np.stack([np_quat_to_rotmat(self.images[i].qvec)
+                        for i in img_list])
         ts = np.stack([self.images[i].tvec for i in img_list])
         p_cam = np.einsum("oij,oj->oi", Rts[rows], xyzs) + ts[rows]
         z = p_cam[:, 2]
@@ -243,8 +244,9 @@ class Reconstruction:
             sel = model_of == mid
             prm = np.stack([self.cameras[cam_of_img[int(i)]].params
                             for i in iids[sel]])
-            xy[sel] = np.asarray(camera_models.world_to_image(
-                int(mid), jnp.asarray(prm), jnp.asarray(uv[sel])))
+            with on_host():
+                xy[sel] = np.asarray(camera_models.world_to_image(
+                    int(mid), jnp.asarray(prm), jnp.asarray(uv[sel])))
         err_sq = np.sum((xy - xys) ** 2, axis=1)
         return pids, iids, idxs, err_sq, z
 
@@ -276,7 +278,7 @@ class Reconstruction:
         """Delete observations whose point is behind the camera — the gauge
         step SBA/GSBA controllers apply before solving
         (ref: src/controllers/semantic_bundle_adjustment.cc:96-101)."""
-        from sba_tpu.geometry.quaternions import quat_rotate
+        from sba_tpu.geometry.quaternions import np_quat_rotate
 
         num_filtered = 0
         for image_id in list(self.registered_image_ids):
@@ -285,7 +287,7 @@ class Reconstruction:
             if len(tri) == 0:
                 continue
             xyz = np.stack([self.points3D[int(im.point3D_ids[i])].xyz for i in tri])
-            p_cam = np.asarray(quat_rotate(im.qvec, xyz)) + im.tvec
+            p_cam = np_quat_rotate(im.qvec, xyz) + im.tvec
             bad = tri[p_cam[:, 2] <= 0]
             for idx in bad:
                 self.delete_observation(image_id, int(idx))
@@ -311,14 +313,14 @@ class Reconstruction:
         """Delete points whose maximum pairwise triangulation angle over
         the track is below the threshold
         (ref: reconstruction.cc FilterPoints3DWithSmallTriangulationAngle)."""
-        from sba_tpu.geometry.quaternions import quat_rotate
+        from sba_tpu.geometry.quaternions import np_quat_rotate
 
         centers = {}
         for iid in self.registered_image_ids:
             im = self.images[iid]
             q_inv = np.array([im.qvec[0], -im.qvec[1], -im.qvec[2],
                               -im.qvec[3]])
-            centers[iid] = -np.asarray(quat_rotate(q_inv, im.tvec))
+            centers[iid] = -np_quat_rotate(q_inv, im.tvec)
         min_cos = np.cos(np.deg2rad(min_tri_angle_deg))
         num_filtered = 0
         for pid in list(self.points3D.keys()):
@@ -469,18 +471,16 @@ class Reconstruction:
         return None
 
     def _reg_images_and_centers(self):
-        import jax.numpy as jnp
-
-        from sba_tpu.geometry.quaternions import quat_rotate, quat_to_rotmat
+        from sba_tpu.geometry.quaternions import np_quat_rotate, \
+            np_quat_to_rotmat
 
         out = []
         for iid in self.registered_image_ids:
             im = self.images[iid]
             q_inv = np.array([im.qvec[0], -im.qvec[1], -im.qvec[2],
                               -im.qvec[3]])
-            center = -np.asarray(quat_rotate(jnp.asarray(q_inv),
-                                             jnp.asarray(im.tvec)))
-            R = np.asarray(quat_to_rotmat(jnp.asarray(im.qvec)))
+            center = -np_quat_rotate(q_inv, im.tvec)
+            R = np_quat_to_rotmat(im.qvec)
             out.append((iid, im, center, R))
         return out
 

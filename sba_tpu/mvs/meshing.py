@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from sba_tpu.geometry.quaternions import quat_to_rotmat
+from sba_tpu.geometry.quaternions import quat_to_rotmat, np_quat_to_rotmat
 
 
 @dataclass(frozen=True)
@@ -54,7 +54,7 @@ def tsdf_fuse(depths, Ks, qvecs, tvecs, origin, dims,
     depths = jnp.asarray(depths)
     N, H, W = depths.shape
     Ks = jnp.asarray(Ks)
-    Rs = jnp.stack([quat_to_rotmat(jnp.asarray(q)) for q in qvecs])
+    Rs = jnp.asarray(np.stack([np_quat_to_rotmat(q) for q in qvecs]))
     ts = jnp.asarray(tvecs)
     X, Y, Z = dims
     vx = jnp.arange(X) * opt.voxel_size + origin[0]
@@ -210,7 +210,7 @@ def mesh_from_depth_maps(depths, Ks, qvecs, tvecs,
     N, H, W = depths_np.shape
     pts = []
     for i in range(N):
-        R = np.asarray(quat_to_rotmat(jnp.asarray(qvecs[i])))
+        R = np_quat_to_rotmat(qvecs[i])
         Kinv = np.linalg.inv(np.asarray(Ks[i]))
         ys, xs = np.nonzero(depths_np[i, ::4, ::4] > 0)
         if len(ys) == 0:

@@ -388,10 +388,10 @@ def patch_match_stereo(
 def relative_pose(q_ref, t_ref, q_src, t_src):
     """World poses (x_cam = R x_world + t) -> relative (R, t) with
     x_src = R x_ref + t. Host helper for building PatchMatch inputs."""
-    from sba_tpu.geometry.quaternions import quat_to_rotmat
+    from sba_tpu.geometry.quaternions import np_quat_to_rotmat
 
-    R_ref = np.asarray(quat_to_rotmat(jnp.asarray(q_ref)))
-    R_src = np.asarray(quat_to_rotmat(jnp.asarray(q_src)))
+    R_ref = np_quat_to_rotmat(q_ref)
+    R_src = np_quat_to_rotmat(q_src)
     R = R_src @ R_ref.T
     t = np.asarray(t_src) - R @ np.asarray(t_ref)
     return R, t

@@ -49,7 +49,7 @@ def merge_reconstructions(rec1: Reconstruction, rec2: Reconstruction,
     Returns False if alignment is impossible (< 3 common images)."""
     import jax.numpy as jnp
 
-    from sba_tpu.geometry.quaternions import rotmat_to_quat
+    from sba_tpu.geometry.quaternions import np_rotmat_to_quat
     from sba_tpu.geometry.similarity import umeyama
     from sba_tpu.sfm.incremental_triangulator import _projection_center, \
         _rotmat
@@ -77,7 +77,7 @@ def merge_reconstructions(rec1: Reconstruction, rec2: Reconstruction,
         img = rec2.images[iid]
         Rc = _rotmat(img.qvec)
         Rc_new = Rc @ R.T
-        img.qvec = np.asarray(rotmat_to_quat(jnp.asarray(Rc_new)))
+        img.qvec = np_rotmat_to_quat(Rc_new)
         img.tvec = s * img.tvec - Rc_new @ t
     for pid in rec2.points3D:
         p = rec2.points3D[pid]

@@ -181,7 +181,8 @@ class IncrementalMapper:
                 res.num_inliers < options.init_min_num_inliers:
             return None
         # Cheirality + angle: triangulate inliers with the relative pose.
-        R = np.asarray(quat_to_rotmat(jnp.asarray(res.qvec)))
+        from sba_tpu.geometry.quaternions import np_quat_to_rotmat
+        R = np_quat_to_rotmat(res.qvec)
         t = res.tvec
         inl = res.inlier_mask
         n1 = _image_to_normalized(cam1, xy1[inl])

@@ -58,27 +58,33 @@ def _projection_center(qvec, tvec):
 
 def _image_to_normalized(camera, xy):
     """Pixel -> normalized camera coords via the camera model's
-    image_to_world (host numpy; models are exact for pinhole family)."""
+    image_to_world, on the CPU backend: these are tiny per-track batches
+    called thousands of times per mapper run — dispatching them to the
+    accelerator costs a host sync each (utils/host.py)."""
     import jax.numpy as jnp
+    from sba_tpu.utils.host import on_host
 
-    uv = camera_models.image_to_world(
-        camera.model_id, jnp.asarray(camera.params, jnp.float64),
-        jnp.asarray(np.atleast_2d(xy), jnp.float64))
-    return np.asarray(uv)
+    with on_host():
+        uv = camera_models.image_to_world(
+            camera.model_id, jnp.asarray(camera.params, jnp.float64),
+            jnp.asarray(np.atleast_2d(xy), jnp.float64))
+        return np.asarray(uv)
 
 
 def _project(camera, qvec, tvec, xyz):
-    """World point(s) -> pixel + depth (host)."""
+    """World point(s) -> pixel + depth (host; see _image_to_normalized)."""
     import jax.numpy as jnp
+    from sba_tpu.utils.host import on_host
 
     R = _rotmat(qvec)
     pc = (np.atleast_2d(xyz) @ R.T) + tvec
     z = pc[:, 2]
     uv = pc[:, :2] / np.where(np.abs(z) > 1e-12, z, 1e-12)[:, None]
-    xy = camera_models.world_to_image(
-        camera.model_id, jnp.asarray(camera.params, jnp.float64),
-        jnp.asarray(uv, jnp.float64))
-    return np.asarray(xy), z
+    with on_host():
+        xy = camera_models.world_to_image(
+            camera.model_id, jnp.asarray(camera.params, jnp.float64),
+            jnp.asarray(uv, jnp.float64))
+        return np.asarray(xy), z
 
 
 def _triangulate_dlt(proj_mats, norm_xys):
