@@ -143,3 +143,53 @@ def test_jit_and_grad():
     assert np.all(np.isfinite(np.asarray(g)))
     jf = jax.jit(f)
     assert np.isfinite(float(jf(jnp.array([0.1, 0.2, 0.3]), jnp.array([1.0, 0.0, 1.0]))))
+
+
+def test_numpy_variants_match_jnp():
+    """Host (numpy) pose-algebra variants used by the mapper /
+    reconstruction host loops must agree with the jnp versions — incl.
+    quat_rotate's normalize-first semantics on unnormalized input."""
+    from sba_tpu.geometry.quaternions import (
+        np_angle_axis_to_quat,
+        np_quat_conjugate,
+        np_quat_normalize,
+        np_quat_rotate,
+        np_quat_to_angle_axis,
+        np_quat_to_rotmat,
+        np_rotmat_to_quat,
+        quat_conjugate,
+        quat_to_angle_axis,
+        quat_to_rotmat,
+        rotmat_to_quat,
+    )
+
+    rng = np.random.default_rng(3)
+    for i in range(25):
+        q = rng.normal(size=4)
+        if i % 3:
+            q = q / np.linalg.norm(q)  # mix unit and non-unit inputs
+        v = rng.normal(size=(5, 3))
+
+        np.testing.assert_allclose(
+            np_quat_rotate(q, v),
+            np.asarray(quat_rotate(jnp.asarray(q), jnp.asarray(v))),
+            atol=1e-9)
+        np.testing.assert_allclose(
+            np_quat_to_rotmat(q),
+            np.asarray(quat_to_rotmat(jnp.asarray(q))), atol=1e-9)
+        np.testing.assert_allclose(
+            np_quat_conjugate(q),
+            np.asarray(quat_conjugate(jnp.asarray(q))), atol=1e-9)
+
+        qn = np_quat_normalize(q)
+        R = np_quat_to_rotmat(qn)
+        q2 = np_rotmat_to_quat(R)
+        qr = np.asarray(rotmat_to_quat(jnp.asarray(R)))
+        assert min(np.abs(q2 - qr).max(), np.abs(q2 + qr).max()) < 1e-7
+        assert min(np.abs(q2 - qn).max(), np.abs(q2 + qn).max()) < 1e-9
+
+        aa = np_quat_to_angle_axis(qn)
+        np.testing.assert_allclose(
+            aa, np.asarray(quat_to_angle_axis(jnp.asarray(qn))), atol=1e-7)
+        qb = np_angle_axis_to_quat(aa)
+        assert min(np.abs(qb - qn).max(), np.abs(qb + qn).max()) < 1e-9
