@@ -516,6 +516,22 @@ def run_automatic_reconstructor(flags):
             if k.startswith("PatchMatchStereo.")}})
         run_stereo_fuser({"workspace_path": und,
                           "output_path": os.path.join(und, "fused.ply")})
+        # Meshing step (ref: automatic_reconstruction.cc:244-251,324-330:
+        # the dense chain ends with Poisson or Delaunay meshing).
+        mesher = flags.get("mesher", "poisson")
+        if mesher not in ("poisson", "delaunay"):
+            raise SystemExit("ERROR: Invalid `mesher` - supported values "
+                             "are {'poisson', 'delaunay'}.")
+        mesh_flags = {k: v for k, v in flags.items()
+                      if k.startswith("PoissonMeshing.")
+                      or k.startswith("DelaunayMeshing.")}
+        mesh_flags["input_path"] = und   # workspace (sparse/ + stereo/)
+        mesh_flags["output_path"] = os.path.join(
+            und, f"meshed-{mesher}.ply")
+        if mesher == "poisson":
+            run_poisson_mesher(mesh_flags)
+        else:
+            run_delaunay_mesher(mesh_flags)
     print(f"automatic reconstruction complete -> {workspace}")
 
 
@@ -878,31 +894,41 @@ def run_model_comparer(flags):
 
 
 def run_image_undistorter(flags):
-    """Undistort images + model for MVS (ref: exe/image_undistorter ->
-    base/undistortion.cc COLMAPUndistorter::Run: writes
-    <out>/images/<name> + <out>/sparse model)."""
+    """Undistort images + model for MVS (ref: exe/image.cc:305
+    RunImageUndistorter). --output_type {COLMAP, PMVS, CMP-MVS}:
+    COLMAP writes <out>/{images,sparse,stereo} + patch-match.cfg /
+    fusion.cfg / run scripts (undistortion.cc:271-300); PMVS writes the
+    pmvs/ workspace (bundle.rd.out, vis.dat, option-all,
+    undistortion.cc:314-366); CMP-MVS writes %05d.jpg + %05d_P.txt
+    (undistortion.cc:540-596)."""
+    import copy
+
     import jax.numpy as jnp
     from PIL import Image as PILImage
 
-    from sba_tpu.features.sift import load_image_gray
     from sba_tpu.geometry.undistortion import (
         UndistortCameraOptions,
         undistort_reconstruction,
         warp_image_between_cameras,
+        write_cmpmvs_workspace,
+        write_colmap_workspace_configs,
+        write_pmvs_workspace,
     )
     from sba_tpu.models.reconstruction import Reconstruction
 
     image_path, input_path, output_path = _require(
         flags, "image_path", "input_path", "output_path")
+    output_type = flags.get("output_type", "COLMAP")
+    if output_type not in ("COLMAP", "PMVS", "CMP-MVS"):
+        raise SystemExit("ERROR: Invalid `output_type` - supported values "
+                         "are {'COLMAP', 'PMVS', 'CMP-MVS'}.")
+    num_src = int(flags.get("num_patch_match_src_images", "20"))
     opt = apply_flags(UndistortCameraOptions(), "UndistortCamera", flags)
     rec = Reconstruction.read(input_path)
-    src_cams = {cid: c for cid, c in rec.cameras.items()}
-    import copy
-
     src_cams = copy.deepcopy(rec.cameras)
     new_cams = undistort_reconstruction(rec, opt)
-    img_out = os.path.join(output_path, "images")
-    os.makedirs(img_out, exist_ok=True)
+
+    undistorted = {}
     for iid, image in rec.images.items():
         src_file = os.path.join(image_path, image.name)
         if not os.path.exists(src_file):
@@ -912,15 +938,30 @@ def run_image_undistorter(flags):
         warped = np.asarray(warp_image_between_cameras(
             src_cams[image.camera_id], new_cams[image.camera_id],
             jnp.asarray(arr)))
-        os.makedirs(os.path.dirname(os.path.join(img_out, image.name))
-                    or img_out, exist_ok=True)
-        PILImage.fromarray(
-            np.clip(warped * 255, 0, 255).astype(np.uint8)).save(
-            os.path.join(img_out, image.name))
-    sparse_out = os.path.join(output_path, "sparse")
-    os.makedirs(sparse_out, exist_ok=True)
-    rec.write(sparse_out)
-    print(f"undistorted {len(rec.images)} images -> {output_path}")
+        undistorted[iid] = np.clip(warped * 255, 0, 255).astype(np.uint8)
+
+    if output_type == "COLMAP":
+        img_out = os.path.join(output_path, "images")
+        os.makedirs(img_out, exist_ok=True)
+        names = []
+        for iid, image in rec.images.items():
+            if iid not in undistorted:
+                continue
+            dst = os.path.join(img_out, image.name)
+            os.makedirs(os.path.dirname(dst) or img_out, exist_ok=True)
+            PILImage.fromarray(undistorted[iid]).save(dst)
+            names.append(image.name)
+        sparse_out = os.path.join(output_path, "sparse")
+        os.makedirs(sparse_out, exist_ok=True)
+        rec.write(sparse_out)
+        write_colmap_workspace_configs(output_path, sorted(names),
+                                       num_patch_match_src_images=num_src)
+    elif output_type == "PMVS":
+        write_pmvs_workspace(output_path, rec, undistorted)
+    else:
+        write_cmpmvs_workspace(output_path, rec, undistorted)
+    print(f"undistorted {len(undistorted)} images "
+          f"({output_type}) -> {output_path}")
 
 
 def run_patch_match_stereo(flags):

@@ -267,3 +267,163 @@ def rectify_and_undistort_stereo_pair(image1, image2, camera1: Camera,
              for c in range(arr.shape[-1])], -1)
 
     return warp(image1, camera1, H1), warp(image2, camera2, H2), und_cam, Q
+
+
+# ---------------------------------------------------------------------------
+# MVS workspace config / script writers
+# (ref: undistortion.cc COLMAPUndistorter::WritePatchMatchConfig /
+#  WriteFusionConfig / WriteScript :271-300, PMVSUndistorter :314-556,
+#  CMPMVSUndistorter :540-596)
+# ---------------------------------------------------------------------------
+
+
+def write_colmap_workspace_configs(output_path: str, image_names,
+                                   num_patch_match_src_images: int = 20):
+    """stereo/patch-match.cfg + stereo/fusion.cfg + run-colmap-*.sh
+    (ref: undistortion.cc:271-300)."""
+    import os
+
+    stereo = os.path.join(output_path, "stereo")
+    for sub in ("depth_maps", "normal_maps", "consistency_graphs"):
+        os.makedirs(os.path.join(stereo, sub), exist_ok=True)
+    with open(os.path.join(stereo, "patch-match.cfg"), "w") as f:
+        for name in image_names:
+            f.write(f"{name}\n__auto__, {num_patch_match_src_images}\n")
+    with open(os.path.join(stereo, "fusion.cfg"), "w") as f:
+        for name in image_names:
+            f.write(f"{name}\n")
+    for geometric in (False, True):
+        kind = "geometric" if geometric else "photometric"
+        script = os.path.join(output_path, f"run-colmap-{kind}.sh")
+        with open(script, "w") as f:
+            f.write(
+                "# You must set $COLMAP_EXE_PATH to\n"
+                "# the directory containing the COLMAP executables.\n"
+                "$COLMAP_EXE_PATH/colmap patch_match_stereo \\\n"
+                "  --workspace_path . \\\n"
+                "  --workspace_format COLMAP \\\n"
+                "  --pmvs_option_name option-all \\\n"
+                f"  --PatchMatchStereo.geom_consistency "
+                f"{'true' if geometric else 'false'}\n"
+                "$COLMAP_EXE_PATH/colmap stereo_fusion \\\n"
+                "  --workspace_path . \\\n"
+                "  --workspace_format COLMAP \\\n"
+                "  --pmvs_option_name option-all \\\n"
+                f"  --input_type {kind} \\\n"
+                f"  --output_path ./fused.ply\n")
+
+
+def _projection_matrix_text(camera: Camera, qvec, tvec,
+                            header: str = "CONTOUR") -> str:
+    """K [R|t] for a pinhole camera (ref: undistortion.cc:57-77
+    WriteProjectionMatrix)."""
+    from sba_tpu.geometry.quaternions import np_quat_to_rotmat
+
+    spec = camera_models.model_by_id(camera.model_id)
+    p = np.asarray(camera.params, np.float64)
+    if spec.name == "PINHOLE":
+        fx, fy, cx, cy = p[0], p[1], p[2], p[3]
+    elif spec.name == "SIMPLE_PINHOLE":
+        fx = fy = p[0]
+        cx, cy = p[1], p[2]
+    else:
+        raise ValueError("projection matrix export needs a pinhole camera")
+    K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
+    R = np_quat_to_rotmat(np.asarray(qvec, np.float64))
+    P = K @ np.concatenate([R, np.asarray(tvec, np.float64)[:, None]], 1)
+    lines = [header] if header else []
+    for row in P:
+        lines.append(" ".join(f"{v:.12g}" for v in row))
+    return "\n".join(lines) + "\n"
+
+
+def write_pmvs_workspace(output_path: str, reconstruction,
+                         undistorted_images: dict):
+    """PMVS workspace: visualize/%08d.jpg + txt/%08d.txt + bundle.rd.out +
+    vis.dat + option-all + runner scripts
+    (ref: undistortion.cc PMVSUndistorter::Run :314-366)."""
+    import os
+
+    from PIL import Image as PILImage
+
+    pmvs = os.path.join(output_path, "pmvs")
+    for sub in ("txt", "visualize", "models"):
+        os.makedirs(os.path.join(pmvs, sub), exist_ok=True)
+    reg_ids = list(reconstruction.registered_image_ids)
+    for idx, iid in enumerate(reg_ids):
+        image = reconstruction.images[iid]
+        cam = reconstruction.cameras[image.camera_id]
+        arr = undistorted_images.get(iid)
+        if arr is not None:
+            PILImage.fromarray(arr).convert("RGB").save(
+                os.path.join(pmvs, "visualize", f"{idx:08d}.jpg"))
+        with open(os.path.join(pmvs, "txt", f"{idx:08d}.txt"), "w") as f:
+            f.write(_projection_matrix_text(cam, image.qvec, image.tvec))
+
+    bundle_path = os.path.join(pmvs, "bundle.rd.out")
+    reconstruction.export_bundler(bundle_path, bundle_path + ".list.txt",
+                                  skip_distortion=True)
+
+    # vis.dat: per reg image, indices of images sharing a 3D point
+    # (ref: undistortion.cc:396-434 WriteVisibilityData).
+    id_to_idx = {iid: i for i, iid in enumerate(reg_ids)}
+    vis = {i: set() for i in range(len(reg_ids))}
+    for p in reconstruction.points3D.values():
+        track_idx = [id_to_idx[iid] for iid in np.asarray(p.image_ids)
+                     if iid in id_to_idx]
+        for a in track_idx:
+            for b in track_idx:
+                if a != b:
+                    vis[a].add(b)
+    with open(os.path.join(pmvs, "vis.dat"), "w") as f:
+        f.write("VISDATA\n")
+        f.write(f"{len(reg_ids)}\n")
+        for i in range(len(reg_ids)):
+            neigh = sorted(vis[i])
+            f.write(f"{i} {len(neigh)}" +
+                    "".join(f" {j}" for j in neigh) + "\n")
+
+    # option-all (ref: undistortion.cc:556 WriteOptionFile).
+    import multiprocessing
+
+    with open(os.path.join(pmvs, "option-all"), "w") as f:
+        f.write("# Generated by COLMAP - all images, no clustering.\n")
+        f.write("level 1\ncsize 2\nthreshold 0.7\nwsize 7\n"
+                "minImageNum 3\n")
+        f.write(f"CPU {multiprocessing.cpu_count()}\n")
+        f.write("setEdge 0\nuseBound 0\nuseVisData 1\nsequence -1\n"
+                "maxAngle 10\nquad 2.0\n")
+        f.write(f"timages {len(reg_ids)}" +
+                "".join(f" {i}" for i in range(len(reg_ids))) + "\n")
+        f.write("oimages 0\n")
+
+    with open(os.path.join(output_path, "run-pmvs.sh"), "w") as f:
+        f.write("# You must set $PMVS_EXE_PATH to\n"
+                "# the directory containing the CMVS-PMVS executables.\n"
+                "$PMVS_EXE_PATH/pmvs2 pmvs/ option-all\n")
+    with open(os.path.join(output_path, "run-cmvs-pmvs.sh"), "w") as f:
+        f.write("# You must set $PMVS_EXE_PATH to\n"
+                "# the directory containing the CMVS-PMVS executables.\n"
+                "$PMVS_EXE_PATH/cmvs pmvs/\n"
+                "$PMVS_EXE_PATH/genOption pmvs/\n")
+
+
+def write_cmpmvs_workspace(output_path: str, reconstruction,
+                           undistorted_images: dict):
+    """CMP-MVS workspace: %05d.jpg + %05d_P.txt per registered image
+    (ref: undistortion.cc CMPMVSUndistorter::Undistort :569-596)."""
+    import os
+
+    from PIL import Image as PILImage
+
+    os.makedirs(output_path, exist_ok=True)
+    for idx, iid in enumerate(reconstruction.registered_image_ids):
+        image = reconstruction.images[iid]
+        cam = reconstruction.cameras[image.camera_id]
+        arr = undistorted_images.get(iid)
+        if arr is not None:
+            PILImage.fromarray(arr).convert("RGB").save(
+                os.path.join(output_path, f"{idx + 1:05d}.jpg"))
+        with open(os.path.join(output_path, f"{idx + 1:05d}_P.txt"),
+                  "w") as f:
+            f.write(_projection_matrix_text(cam, image.qvec, image.tvec))

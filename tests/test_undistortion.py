@@ -119,3 +119,98 @@ def test_undistort_reconstruction_keypoints():
         jnp.asarray(img.xys)))
     # Same viewing rays through either camera model.
     np.testing.assert_allclose(uv_after, uv_before, atol=1e-8)
+
+
+def _tiny_reconstruction_with_points(tmp_path, n_images=3):
+    """Registered SIMPLE_RADIAL reconstruction + images on disk."""
+    from PIL import Image as PILImage
+
+    from sba_tpu.io.colmap_models import Image, Point3D
+    from sba_tpu.models.reconstruction import Reconstruction
+
+    rng = np.random.default_rng(0)
+    rec = Reconstruction()
+    rec.add_camera(radial_camera(k=0.03))
+    img_dir = tmp_path / "images"
+    img_dir.mkdir(exist_ok=True)
+    for i in range(n_images):
+        name = f"im{i}.png"
+        rec.add_image(Image(image_id=i + 1, qvec=np.array([1.0, 0, 0, 0]),
+                            tvec=np.array([0.1 * i, 0, 0]), camera_id=1,
+                            name=name,
+                            xys=rng.uniform(10, 150, size=(4, 2)),
+                            point3D_ids=np.array([1, 2, -1, -1],
+                                                 np.int64)),
+                      registered=True)
+        PILImage.fromarray(
+            rng.integers(0, 255, (160, 200), np.uint8)).save(
+            img_dir / name)
+    for pid in (1, 2):
+        rec.add_point3d(rng.normal(size=3) + [0, 0, 5],
+                        [(i + 1, pid - 1) for i in range(n_images)],
+                        error=0.5)
+    sparse = tmp_path / "sparse_in"
+    sparse.mkdir(exist_ok=True)
+    rec.write(str(sparse))
+    return rec, str(img_dir), str(sparse)
+
+
+def test_undistorter_colmap_workspace_configs(tmp_path):
+    """COLMAP output writes patch-match.cfg / fusion.cfg / run scripts
+    (ref: undistortion.cc:271-300)."""
+    from sba_tpu.cli import main
+
+    _, img_dir, sparse = _tiny_reconstruction_with_points(tmp_path)
+    out = str(tmp_path / "colmap_ws")
+    assert main(["image_undistorter", "--image_path", img_dir,
+                 "--input_path", sparse, "--output_path", out]) == 0
+    cfg = open(f"{out}/stereo/patch-match.cfg").read().splitlines()
+    assert cfg[0] == "im0.png" and cfg[1] == "__auto__, 20"
+    fusion = open(f"{out}/stereo/fusion.cfg").read().split()
+    assert fusion == ["im0.png", "im1.png", "im2.png"]
+    import os
+    assert os.path.exists(f"{out}/run-colmap-photometric.sh")
+    assert os.path.exists(f"{out}/run-colmap-geometric.sh")
+    assert os.path.isdir(f"{out}/stereo/consistency_graphs")
+
+
+def test_undistorter_pmvs_workspace(tmp_path):
+    """PMVS layout: visualize/%08d.jpg, txt/%08d.txt, bundle.rd.out,
+    vis.dat, option-all (ref: undistortion.cc:314-366)."""
+    from sba_tpu.cli import main
+
+    _, img_dir, sparse = _tiny_reconstruction_with_points(tmp_path)
+    out = str(tmp_path / "pmvs_ws")
+    assert main(["image_undistorter", "--image_path", img_dir,
+                 "--input_path", sparse, "--output_path", out,
+                 "--output_type", "PMVS"]) == 0
+    import os
+    assert os.path.exists(f"{out}/pmvs/visualize/00000000.jpg")
+    ptxt = open(f"{out}/pmvs/txt/00000000.txt").read().splitlines()
+    assert ptxt[0] == "CONTOUR" and len(ptxt) == 4
+    P = np.array([[float(v) for v in row.split()] for row in ptxt[1:]])
+    assert P.shape == (3, 4)
+    vis = open(f"{out}/pmvs/vis.dat").read().splitlines()
+    assert vis[0] == "VISDATA" and vis[1] == "3"
+    # images 0/1/2 all co-see points 1,2 -> each sees the other two
+    assert vis[2].split() == ["0", "2", "1", "2"]
+    opt = open(f"{out}/pmvs/option-all").read()
+    assert "level 1" in opt and "timages 3 0 1 2" in opt
+    assert os.path.exists(f"{out}/pmvs/bundle.rd.out")
+    assert os.path.exists(f"{out}/run-pmvs.sh")
+
+
+def test_undistorter_cmpmvs_workspace(tmp_path):
+    """CMP-MVS layout: %05d.jpg + %05d_P.txt
+    (ref: undistortion.cc:569-596)."""
+    from sba_tpu.cli import main
+
+    _, img_dir, sparse = _tiny_reconstruction_with_points(tmp_path)
+    out = str(tmp_path / "cmpmvs_ws")
+    assert main(["image_undistorter", "--image_path", img_dir,
+                 "--input_path", sparse, "--output_path", out,
+                 "--output_type", "CMP-MVS"]) == 0
+    import os
+    assert os.path.exists(f"{out}/00001.jpg")
+    ptxt = open(f"{out}/00001_P.txt").read().splitlines()
+    assert ptxt[0] == "CONTOUR" and len(ptxt) == 4
