@@ -1,84 +1,259 @@
-"""Benchmark: BA LM iterations/sec on one chip (South-Building scale).
+"""Benchmark suite: one JSON line per metric; HEADLINE metric printed
+LAST (the driver parses the final line).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Metrics (vs_baseline = ratio to a documented reference proxy; the
+reference itself publishes no numbers — BASELINE.md):
 
-The reference publishes no numbers (BASELINE.md); `vs_baseline` is measured
-against a documented proxy: Ceres SPARSE_SCHUR on a desktop CPU sustains
-~10 LM iterations/sec on a ~128-image / ~30k-point / ~200k-observation
-problem (order-of-magnitude from Ceres BAL benchmarks; see BASELINE.md).
+1. sba_lm_iters_per_sec_50img_640x480_step10 — semantic BA at the
+   reference's production shape (ref defaults:
+   src/optim/semantic_bundle_adjustment.h:80-83, full-res map pairs
+   src/optim/semantic_bundle_adjustment.cc:1021-1068). Proxy: the
+   reference evaluates every residual by numeric central differences
+   (2 evals x 12-14 pose DoF per pair per iteration) on CPU — measured
+   order 0.02 it/s for 2450 pairs at this size on a desktop core.
+2. gsba_lm_iters_per_sec_20img_640x480 — geometric-semantic BA. Proxy:
+   reference = numeric diff over 6N+8K params x O(H*W) CPU rasterizer
+   per eval, order 1 it/s at N=20.
+3. pose_graph_iters_per_sec_4096 — SE(3) pose-graph relaxation, 4096
+   nodes + loop closures (capability beyond the reference CLI).
+4. ba_lm_iters_per_sec_1024img_840kobs — implicit matvec-PCG fused path
+   (large-N; ranged kernels + slim coupling store).
+5. e2e_ate_frac_of_ring — QUALITY: full pipeline (SIFT -> match ->
+   mapper) on rendered photographic-texture images; ATE vs ground truth
+   as a fraction of the camera-ring radius (subprocess, CPU backend —
+   the mapper is a host-driven loop and the axon tunnel's ~25-55 ms
+   sync tax would swamp it; quality is platform-independent).
+6. ba_lm_iterations_per_sec_128img_200kobs — HEADLINE: fused-Pallas
+   dense-Schur LM at South-Building scale. Proxy: Ceres SPARSE_SCHUR
+   ~10 it/s on desktop CPU (BAL folklore; BASELINE.md).
 
-Methodology (see BASELINE.md "Measuring on axon"): the axon runtime adds a
-large, noisy fixed cost per host sync (~25-55 ms once any device->host read
-has happened in the process), and in its async mode `block_until_ready`
-returns before the work is done — so single-call wall times are wrong in
-both modes. We therefore time the SAME prepared solve at two iteration
-counts and report the delta per iteration: fixed dispatch/sync costs
-cancel, leaving the sustained per-iteration rate a long production solve
-actually gets. Problem prep is host-only (utils/host.py) so nothing
-poisons dispatch before the measurement.
+Methodology (BASELINE.md "Measuring on axon"): each throughput metric
+times the SAME prepared solve at two iteration counts and reports the
+delta per iteration — the axon runtime's fixed per-sync cost cancels.
 """
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 
-# Persistent compile cache: the LM program compiles once per machine
-# (remote TPU AOT compiles take minutes; reruns must not pay them).
 jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(__file__), ".jax_cache_tpu"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-CERES_PROXY_ITERS_PER_SEC = 10.0
-IT_LO, IT_HI = 5, 20
-REPS = 12
+REPS = 8
 
 
-def main():
+def _emit(metric, value, unit, vs_baseline):
+    print(json.dumps({"metric": metric, "value": round(float(value), 3),
+                      "unit": unit,
+                      "vs_baseline": round(float(vs_baseline), 3)}),
+          flush=True)
+
+
+def _delta_rate(solve, it_lo=5, it_hi=20, reps=REPS):
+    """Best-of-reps two-point delta: iterations/second."""
+    best = {}
+    for n_it in (it_lo, it_hi):
+        run = solve(n_it)
+        run()  # warmup/compile
+        b = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            run()
+            b = min(b, time.perf_counter() - t0)
+        best[n_it] = b
+    per_iter = (best[it_hi] - best[it_lo]) / (it_hi - it_lo)
+    return 1.0 / max(per_iter, 1e-9)
+
+
+def bench_sba():
+    from sba_tpu.optim.sba import (SBAOptions, build_sba_problem,
+                                   semantic_bundle_adjust)
+    from sba_tpu.utils.synthetic import make_sba_scene
+
+    q, t, cam, depth, sem, q0, t0v = make_sba_scene(
+        num_images=50, image_size=(640, 480), focal=500.0,
+        pose_noise=0.003, seed=0)
+
+    def solve(n_it):
+        opt = SBAOptions(pixel_step=10, max_iterations=n_it, mode="soft",
+                         function_tolerance=0.0, gradient_tolerance=0.0,
+                         parameter_tolerance=0.0)
+        problem = build_sba_problem(q0, t0v, cam, depth, sem, opt,
+                                    dtype=jnp.float32)
+
+        def run():
+            out, summary = semantic_bundle_adjust(problem, opt)
+            jax.block_until_ready(summary.final_cost)
+
+        return run
+
+    rate = _delta_rate(solve, reps=4)
+    _emit("sba_lm_iters_per_sec_50img_640x480_step10", rate, "iter/s",
+          rate / 0.02)
+
+
+def bench_gsba():
+    import numpy as np
+
+    from sba_tpu.optim.gsba import (GSBAOptions, build_gsba_problem,
+                                    geometric_semantic_bundle_adjust)
+    from sba_tpu.utils.synthetic import make_gsba_scene
+
+    q, t, cam, sem, cyl, q0, t0v, cyl0 = make_gsba_scene(
+        num_images=20, image_size=(640, 480), pose_noise=0.01,
+        cylinder_noise=0.05, seed=0)
+
+    def solve(n_it):
+        opt = GSBAOptions(mode="soft", max_iterations=n_it,
+                          function_tolerance=0.0, gradient_tolerance=0.0,
+                          parameter_tolerance=0.0)
+        problem = build_gsba_problem(np.asarray(q0), np.asarray(t0v), cam,
+                                     sem, [cyl0], opt,
+                                     dtype=jnp.float32)
+
+        def run():
+            out, summary = geometric_semantic_bundle_adjust(problem, opt)
+            jax.block_until_ready(summary.final_cost)
+
+        return run
+
+    rate = _delta_rate(solve, reps=4)
+    _emit("gsba_lm_iters_per_sec_20img_640x480", rate, "iter/s",
+          rate / 1.0)
+
+
+def bench_pose_graph():
+    import numpy as np
+
+    from sba_tpu.optim.pose_graph import (PoseGraphOptions, make_problem,
+                                          optimize_pose_graph)
+
+    rng = np.random.default_rng(0)
+    n = 4096
+    # Noisy circle with odometry edges + 1/16 loop closures.
+    ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    t_gt = np.stack([np.cos(ang), np.sin(ang), 0 * ang], 1) * 50.0
+    q = np.tile(np.array([1.0, 0, 0, 0]), (n, 1))
+    ei = np.arange(n - 1, dtype=np.int32)
+    ej = ei + 1
+    lc_i = np.arange(0, n - 16, 16, dtype=np.int32)
+    lc_j = lc_i + 16
+    ei = np.concatenate([ei, lc_i])
+    ej = np.concatenate([ej, lc_j])
+    rel_q = np.tile(np.array([1.0, 0, 0, 0]), (len(ei), 1))
+    rel_t = t_gt[ej] - t_gt[ei]
+    t0v = t_gt + rng.normal(scale=0.5, size=t_gt.shape)
+
+    def solve(n_it):
+        opt = PoseGraphOptions(max_iterations=n_it, cg_iterations=50,
+                               function_tolerance=0.0,
+                               gradient_tolerance=0.0,
+                               parameter_tolerance=0.0)
+        problem = make_problem(q, t0v, ei, ej, rel_q, rel_t)
+
+        def run():
+            out, summary = optimize_pose_graph(problem, opt)
+            jax.block_until_ready(summary.final_cost)
+
+        return run
+
+    rate = _delta_rate(solve, it_lo=5, it_hi=15, reps=4)
+    # Proxy: g2o/Ceres CPU pose graph at this size ~ 3 it/s.
+    _emit("pose_graph_iters_per_sec_4096", rate, "iter/s", rate / 3.0)
+
+
+def bench_ba_large():
+    from sba_tpu.optim import ba_fused
+    from sba_tpu.optim.ba import BAOptions
+    from sba_tpu.utils.synthetic import make_sequential_ba_problem
+
+    problem, _ = make_sequential_ba_problem(
+        num_images=1024, num_points=120_000, track_len=7,
+        pose_noise=0.005, point_noise=0.02, pixel_noise=0.5, seed=0,
+        dtype=jnp.float32)
+
+    def solve(n_it):
+        opt = BAOptions(max_iterations=n_it, cg_iterations=100,
+                        dtype="float32", function_tolerance=0.0,
+                        gradient_tolerance=0.0, parameter_tolerance=0.0)
+        ctx = ba_fused.prepare(problem, opt)
+
+        def run():
+            out, summary = ba_fused.solve_prepared(ctx)
+            jax.block_until_ready(summary.final_cost)
+
+        return run
+
+    rate = _delta_rate(solve, reps=4)
+    # Proxy: Ceres ITERATIVE_SCHUR at 1k images ~ 2 it/s desktop CPU.
+    _emit("ba_lm_iters_per_sec_1024img_840kobs", rate, "iter/s",
+          rate / 2.0)
+
+
+def bench_e2e_quality():
+    """Full-pipeline quality metric in a CPU subprocess (see module
+    docstring for why not the tunnel TPU)."""
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "benchmarks", "e2e_quality.py")
+    out = subprocess.run([sys.executable, script], capture_output=True,
+                         text=True, timeout=3000)
+    line = [ln for ln in out.stdout.splitlines()
+            if ln.startswith("{")][-1]
+    d = json.loads(line)
+    # value: ATE as fraction of camera-ring radius (lower is better).
+    # vs_baseline: registered-image fraction (1.0 = all registered, the
+    # reference-equivalent outcome).
+    _emit("e2e_ate_frac_of_ring", d["ate_frac"], "ratio",
+          d["registered_frac"])
+
+
+def bench_headline():
+    from sba_tpu.optim import ba_fused
     from sba_tpu.optim.ba import BAOptions
     from sba_tpu.utils.synthetic import make_ba_problem
-    from sba_tpu.optim import ba_fused
 
-    # South-Building scale: 128 images, ~30k points, every point seen by ~7
-    # images -> ~200k observations.
     problem, _ = make_ba_problem(
         num_images=128, num_points=30_000, observations_per_point=7,
         pose_noise=0.005, point_noise=0.02, pixel_noise=0.5, seed=0,
         dtype=jnp.float32)
 
-    # Force synchronous dispatch: in async mode block_until_ready does not
-    # actually wait on this runtime (BASELINE.md). The fixed sync tax this
-    # adds cancels in the iteration-count delta below.
-    _ = float(jnp.sum(jnp.ones(3)))
+    def solve(n_it):
+        opt = BAOptions(max_iterations=n_it, cg_iterations=100,
+                        dtype="float32", function_tolerance=0.0,
+                        gradient_tolerance=0.0, parameter_tolerance=0.0)
+        ctx = ba_fused.prepare(problem, opt)
 
-    best = {}
-    for n_it in (IT_LO, IT_HI):
-        options = BAOptions(
-            max_iterations=n_it, cg_iterations=100, dtype="float32",
-            function_tolerance=0.0, gradient_tolerance=0.0,
-            parameter_tolerance=0.0)
-        ctx = ba_fused.prepare(problem, options)
-        out, summary = ba_fused.solve_prepared(ctx)   # warmup/compile
-        jax.block_until_ready(summary.final_cost)
-        b = float("inf")
-        for _ in range(REPS):
-            t0 = time.perf_counter()
+        def run():
             out, summary = ba_fused.solve_prepared(ctx)
             jax.block_until_ready(summary.final_cost)
-            b = min(b, time.perf_counter() - t0)
-        best[n_it] = b
 
-    per_iter = (best[IT_HI] - best[IT_LO]) / (IT_HI - IT_LO)
-    iters_per_sec = 1.0 / max(per_iter, 1e-9)
+        return run
 
-    print(json.dumps({
-        "metric": "ba_lm_iterations_per_sec_128img_200kobs",
-        "value": round(iters_per_sec, 3),
-        "unit": "iter/s",
-        "vs_baseline": round(iters_per_sec / CERES_PROXY_ITERS_PER_SEC, 3),
-    }))
+    rate = _delta_rate(solve, reps=12)
+    _emit("ba_lm_iterations_per_sec_128img_200kobs", rate, "iter/s",
+          rate / 10.0)
+
+
+def main():
+    # Force synchronous dispatch once: in async mode block_until_ready
+    # does not actually wait on this runtime (BASELINE.md); the fixed
+    # sync tax this adds cancels in the iteration-count deltas.
+    _ = float(jnp.sum(jnp.ones(3)))
+
+    for fn in (bench_sba, bench_gsba, bench_pose_graph, bench_ba_large,
+               bench_e2e_quality):
+        try:
+            fn()
+        except Exception as e:  # noqa: BLE001 — a failed metric must not
+            print(f"[bench] {fn.__name__} failed: {e!r}", file=sys.stderr)
+
+    bench_headline()  # headline LAST — the driver reads the final line
 
 
 if __name__ == "__main__":

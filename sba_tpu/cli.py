@@ -207,6 +207,8 @@ def _match_and_verify(db, pairs_idx, image_ids, flags):
     )
     from sba_tpu.geometry import camera_models
 
+    import jax
+
     mopt = apply_flags(SiftMatchingOptions(), "SiftMatching", flags)
     vopt = apply_flags(TwoViewGeometryOptions(), "TwoViewGeometry", flags)
 
@@ -215,13 +217,31 @@ def _match_and_verify(db, pairs_idx, image_ids, flags):
     desc_cache: Dict[int, np.ndarray] = {}
     kp_cache: Dict[int, np.ndarray] = {}
 
+    # Static-shape discipline: pad every image's descriptors to ONE fixed
+    # size so the matcher compiles once for the whole run (a fresh (N1,N2)
+    # per pair would recompile the matmul+top-k program for every pair).
+    max_n = 1
+    for iid in image_ids:
+        max_n = max(max_n, db.num_keypoints_for_image(iid))
+    npad = max(256, -(-max_n // 256) * 256)
+
     def get(iid):
         if iid not in desc_cache:
             d = db.read_descriptors(iid).astype(np.float32)
             n = np.linalg.norm(d, axis=-1, keepdims=True)
-            desc_cache[iid] = d / np.maximum(n, 1e-12)
-            kp_cache[iid] = db.read_keypoints(iid)
+            d = d / np.maximum(n, 1e-12)
+            k = db.read_keypoints(iid)
+            nv = len(d)
+            dp = np.zeros((npad, 128), np.float32)
+            dp[:nv] = d
+            mk = np.zeros(npad, bool)
+            mk[:nv] = True
+            desc_cache[iid] = (dp, mk)
+            kp_cache[iid] = k
         return desc_cache[iid], kp_cache[iid]
+
+    matcher = jax.jit(lambda d1, d2, m1, m2: match_descriptors(
+        d1, d2, mask1=m1, mask2=m2, options=mopt))
 
     def fxycxy(iid):
         cam = cams[images[iid]["camera_id"]]
@@ -234,24 +254,34 @@ def _match_and_verify(db, pairs_idx, image_ids, flags):
     num_verified = 0
     for (a, b) in pairs_idx:
         i1, i2 = image_ids[a], image_ids[b]
-        d1, k1 = get(i1)
-        d2, k2 = get(i2)
-        if len(d1) == 0 or len(d2) == 0:
+        (d1, mk1), k1 = get(i1)
+        (d2, mk2), k2 = get(i2)
+        if not mk1.any() or not mk2.any():
             continue
-        res = match_descriptors(jnp.asarray(d1), jnp.asarray(d2),
-                                options=mopt)
+        res = matcher(d1, d2, mk1, mk2)
         m = matches_to_pairs(res)
         if len(m) == 0:
             continue
         db.write_matches(i1, i2, m.astype(np.uint32))
         cam1 = cams[images[i1]["camera_id"]]
         cam2 = cams[images[i2]["camera_id"]]
+        # Bucket the match count to the next power of two: the RANSAC
+        # stack's jax ops then hit the shape cache (few buckets per run
+        # instead of a fresh compile per pair).
+        mcount = len(m)
+        mpad = 1 << max(5, (mcount - 1).bit_length())
+        xy1 = np.zeros((mpad, 2))
+        xy2 = np.zeros((mpad, 2))
+        xy1[:mcount] = k1[m[:, 0], :2]
+        xy2[:mcount] = k2[m[:, 1], :2]
+        vmask = np.zeros(mpad, bool)
+        vmask[:mcount] = True
         tv = estimate_two_view_geometry(
-            k1[m[:, 0], :2], k2[m[:, 1], :2],
+            xy1, xy2,
             fxycxy(i1), fxycxy(i2),
             image_size1=(cam1["width"], cam1["height"]),
             image_size2=(cam2["width"], cam2["height"]),
-            options=vopt)
+            options=vopt, mask=vmask)
         inl = m[tv.inlier_mask[: len(m)]] if tv.num_inliers else m[:0]
         db.write_two_view_geometry(
             i1, i2, inl.astype(np.uint32), config=tv.config, F=tv.F,

@@ -51,25 +51,26 @@ def estimate_absolute_pose(key, points3d, points2d,
     Returns a RANSACReport whose model is (qvec [4], tvec [3]).
     """
     opt = options or AbsolutePoseOptions()
-
-    def solve(p3d, p2d):
-        q, t, valid = p3p_solve(p3d, p2d)  # [4, ...]
-        return (q, t), valid
-
-    def refit_epnp(weights, p3d, p2d):
-        q, t, _ = _weighted_epnp(weights, p3d, p2d)
-        return (q, t)
-
     report = ransac(
         key, (points3d, points2d),
-        solve_fn=solve,
+        solve_fn=_p3p_ransac_solve,
         residual_fn=_reproj_sq_error,
         sample_size=3,
         options=opt.ransac,
         mask=mask,
-        refit_fn=refit_epnp,
+        refit_fn=_epnp_ransac_refit,
     )
     return report
+
+
+def _p3p_ransac_solve(p3d, p2d):
+    q, t, valid = p3p_solve(p3d, p2d)  # [4, ...]
+    return (q, t), valid
+
+
+def _epnp_ransac_refit(weights, p3d, p2d):
+    q, t, _ = _weighted_epnp(weights, p3d, p2d)
+    return (q, t)
 
 
 def _weighted_epnp(weights, points3d, points2d):
@@ -127,24 +128,14 @@ def estimate_relative_pose(key, xy1, xy2,
     two_view_geometry.cc EstimateCalibrated path).
     """
     opt = options or RelativePoseOptions()
-
-    def solve(x1, x2):
-        return essential_5pt(x1, x2)
-
-    def residual(E, x1, x2):
-        return sampson_error_e(E, x1, x2)
-
-    def refit(weights, x1, x2):
-        return _weighted_essential(weights, x1, x2)
-
     report = ransac(
         key, (xy1, xy2),
-        solve_fn=solve,
-        residual_fn=residual,
+        solve_fn=essential_5pt,
+        residual_fn=sampson_error_e,
         sample_size=5,
         options=opt.ransac,
         mask=mask,
-        refit_fn=refit,
+        refit_fn=_weighted_essential,
     )
     E = report.model
     R, t, n_front = pose_from_essential(

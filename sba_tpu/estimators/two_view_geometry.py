@@ -40,6 +40,12 @@ from sba_tpu.geometry.quaternions import rotmat_to_quat
 from sba_tpu.optim.ransac import RANSACOptions, ransac
 
 
+def _h_solve(a, b):
+    """4pt homography as a 1-model solver (module-level for the jitted
+    RANSAC program cache)."""
+    return homography_dlt(a, b)[None], jnp.ones(1, bool)
+
+
 class TwoViewConfig(IntEnum):
     """Ref: two_view_geometry.h ConfigurationType enum (same values)."""
 
@@ -93,22 +99,30 @@ def estimate_two_view_geometry(
     image_size1=None, image_size2=None,
     options: Optional[TwoViewGeometryOptions] = None,
     seed: int = 0,
+    mask=None,
 ) -> TwoViewGeometryResult:
     """Classify a matched image pair and estimate its relative geometry.
 
     xy1/xy2: [N, 2] matched pixel keypoints (already matched 1:1).
     cam*_fxycxy: (fx, fy, cx, cy) intrinsics; if given the CALIBRATED
     path (essential matrix) runs, else only F/H (UNCALIBRATED).
+    `mask`: optional [N] validity mask — callers pad N to a fixed bucket
+    size so every jax op in the RANSAC stack hits the shape cache (one
+    compile per bucket instead of one per pair; the dynamic-shape
+    discipline SURVEY.md §7 calls the central engineering problem).
     Decision logic mirrors ref two_view_geometry.cc:232-369.
     """
     opt = options or TwoViewGeometryOptions()
     n = int(xy1.shape[0])
+    n_true = n if mask is None else int(np.asarray(mask).sum())
     empty3 = np.eye(3)
-    if n < opt.min_num_inliers:
+    if n_true < opt.min_num_inliers:
         return TwoViewGeometryResult(
             int(TwoViewConfig.DEGENERATE), empty3, empty3, empty3,
             np.array([1.0, 0, 0, 0]), np.zeros(3),
             np.zeros(n, bool), 0)
+    if mask is not None:
+        mask = jnp.asarray(mask)
 
     xy1 = jnp.asarray(xy1, jnp.float64 if jax.config.jax_enable_x64
                       else jnp.float32)
@@ -122,19 +136,21 @@ def estimate_two_view_geometry(
     calibrated = cam1_fxycxy is not None and cam2_fxycxy is not None
 
     # --- F (7pt minimal; residual = squared Sampson in px) ---
+    # Module-level fns: stable identities -> the jitted RANSAC program
+    # caches across pairs (optim/ransac.py).
     repF = ransac(
         kF, (xy1, xy2),
-        lambda a, b: fundamental_7pt(a, b),
-        lambda F, a, b: sampson_error_f(F, a, b),
-        7, ropt,
-        refit_fn=lambda w, a, b: _weighted_f_refit(w, a, b))
+        fundamental_7pt,
+        sampson_error_f,
+        7, ropt, mask=mask,
+        refit_fn=_weighted_f_refit)
 
     # --- H (4pt DLT; residual = squared transfer error in px) ---
     repH = ransac(
         kH, (xy1, xy2),
-        lambda a, b: (homography_dlt(a, b)[None], jnp.ones(1, bool)),
-        lambda H, a, b: homography_transfer_error(H, a, b),
-        4, ropt)
+        _h_solve,
+        homography_transfer_error,
+        4, ropt, mask=mask)
 
     nF = int(repF.num_inliers)
     nH = int(repH.num_inliers)
@@ -155,10 +171,10 @@ def estimate_two_view_geometry(
             confidence=opt.confidence, max_num_trials=opt.max_num_trials)
         repE = ransac(
             kE, (n1, n2),
-            lambda a, b: essential_5pt(a, b),
-            lambda E, a, b: sampson_error_e(E, a, b),
-            5, roptE,
-            refit_fn=lambda w, a, b: _weighted_e_refit(w, a, b))
+            essential_5pt,
+            sampson_error_e,
+            5, roptE, mask=mask,
+            refit_fn=_weighted_e_refit)
         nE = int(repE.num_inliers)
 
     # --- configuration decision (ref: two_view_geometry.cc:286-338) ---

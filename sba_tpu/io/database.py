@@ -307,6 +307,12 @@ class Database:
             "SELECT SUM(rows) FROM keypoints").fetchone()[0]
         return int(r or 0)
 
+    def num_keypoints_for_image(self, image_id: int) -> int:
+        r = self.conn.execute(
+            "SELECT rows FROM keypoints WHERE image_id = ?",
+            (int(image_id),)).fetchone()
+        return int(r[0]) if r and r[0] else 0
+
     def num_matches(self) -> int:
         r = self.conn.execute("SELECT SUM(rows) FROM matches").fetchone()[0]
         return int(r or 0)

@@ -75,6 +75,10 @@ class KernelLayout(NamedTuple):
     BJ: bool = True  # implicit payload carries the full 6x6 pose-block
     #   Schur correction (21 tri rows) for block-Jacobi PCG; False when
     #   the DI padding has no room (np=5 models) -> scalar Jacobi
+    JCW: int = 48  # correction-coupling rows (WLp+WLc only, padded):
+    #   the matvec-PCG streams this slim bf16 array instead of the full
+    #   f32 jw — ~3.5x less HBM traffic per CG iteration (the large-N
+    #   bottleneck; BASELINE.md "large-N cliff")
 
 
 class KernelStatic(NamedTuple):
@@ -119,8 +123,10 @@ def plan_layout(problem, opt, TP: int = 128,
     IB = min(256, Npad)
     base = 6 + 36 + 6 * nparams + nparams + nparams * nparams
     BJ = base + 27 + 2 * nparams <= DI
+    # bf16 sublane tiling is (16, 128): pad the coupling rows to 16.
+    JCW = _round_up(18 + 3 * nparams, 16)
     return KernelLayout(TP, K, nb, Pp, N, Npad, C, nparams, Dk, DI, JW,
-                        ranged, IB, BJ)
+                        ranged, IB, BJ, JCW)
 
 
 def build_static(problem, opt, lay: KernelLayout) -> KernelStatic:
@@ -1002,18 +1008,28 @@ def fused_schur(static: KernelStatic, par, pts, lam, lay: KernelLayout,
 def _fused_reduce_kernel(model_id, nparams, loss, loss_scale, lay,
                          lam_ref, par_ref, free_ref, pts_ref,
                          freep_ref, obs_sta_ref, obs_img_ref,
-                         img_ref, pt_ref, jw_ref):
+                         img_ref, pt_ref, jw_ref, jcorr_ref):
     blk = pl.program_id(0)
 
     @pl.when(blk == 0)
     def _init():
         img_ref[:, :] = jnp.zeros_like(img_ref)
 
-    _linearize_and_reduce(
+    lin = _linearize_and_reduce(
         model_id, nparams, loss, loss_scale, lay,
         lam_ref, par_ref, free_ref, pts_ref, freep_ref,
         obs_sta_ref, obs_img_ref, img_ref, pt_ref, jw_ref,
         implicit_rows=True)
+
+    # Slim correction-coupling store for the PCG matvec: only the
+    # whitened couplings WLp (18) + WLc (3*np), in bf16. The matvec
+    # streams this per CG iteration instead of the full f32 jw — the
+    # large-N solve is HBM-bound on exactly this read.
+    rows = lin["WLp"] + lin["WLc"]
+    zero_b = jnp.zeros((1, rows[0].shape[1]), jnp.float32)
+    while len(rows) < lay.JCW:
+        rows.append(zero_b)
+    jcorr_ref[:, :] = jnp.concatenate(rows, axis=0).astype(jcorr_ref.dtype)
 
 
 def fused_reduce(static: KernelStatic, par, pts, lam, lay: KernelLayout,
@@ -1035,7 +1051,13 @@ def fused_reduce(static: KernelStatic, par, pts, lam, lay: KernelLayout,
     lam_arr = jnp.asarray(lam, jnp.float32).reshape(1, 1)
     const = lambda i: (0, 0)
     blocked = lambda i: (0, i)
-    img_red, pt_pay, jw = pl.pallas_call(
+    # bf16 couplings win only in the ranged regime (Npad >= 2048), where
+    # the matvec is HBM-bound on this read (4096 img: 24.6 -> 28.1 it/s);
+    # below that the one-hot MXU contractions dominate and the cast
+    # overhead loses (1024 img: 114 -> 99 it/s). Measured v5e 2026-08-21.
+    corr_dtype = jnp.bfloat16 if (
+        getattr(opt, "matvec_bf16", True) and lay.ranged) else jnp.float32
+    img_red, pt_pay, jw, jcorr = pl.pallas_call(
         kern,
         grid=(nb,),
         in_specs=[
@@ -1054,26 +1076,36 @@ def fused_reduce(static: KernelStatic, par, pts, lam, lay: KernelLayout,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((PT_ROWS, TP), blocked, memory_space=pltpu.VMEM),
             pl.BlockSpec((lay.JW, B), blocked, memory_space=pltpu.VMEM),
+            pl.BlockSpec((lay.JCW, B), blocked, memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((lay.Npad, lay.DI), jnp.float32),
             jax.ShapeDtypeStruct((PT_ROWS, lay.Pp), jnp.float32),
             jax.ShapeDtypeStruct((lay.JW, lay.Pp * K), jnp.float32),
+            jax.ShapeDtypeStruct((lay.JCW, lay.Pp * K), corr_dtype),
         ),
         interpret=interpret,
     )(lam_arr, par, static.free_sta, pts, static.free_pts,
       static.obs_sta, static.obs_img)
-    return img_red, pt_pay, jw
+    return img_red, pt_pay, jw, jcorr
 
 
 def _schur_matvec_kernel(nparams, lay,
-                         dup_ref, duc_ref, jw_ref,
+                         dup_ref, duc_ref, jcorr_ref,
                          obs_img_ref, obs_cam_ref,
                          out_ref):
     """Correction matvec: out[image rows] += EL (EL^T p) for this
     block's points. p arrives as (du_pose [6, Npad], du_cam [12, C]);
     out is [Npad, 6+np] (cam part segment-summed by image_cam in the
-    epilogue — every image has exactly one camera)."""
+    epilogue — every image has exactly one camera).
+
+    Reads the slim `jcorr` store (WLp+WLc rows only, usually bf16) —
+    NOT the full jw — because at large N this read IS the LM iteration:
+    ~60 CG matvecs each stream every observation's couplings from HBM.
+    bf16 EL keeps the operator symmetric PSD (same rounded EL on both
+    sides of EL ELᵀ), so PCG is solving an exactly-SPD nearby system —
+    sound inexact-Newton; the trial cost that accepts/rejects the step
+    stays f32."""
     TP, K, Npad, C = lay.TP, lay.K, lay.Npad, lay.C
     B = TP * K
     blk = pl.program_id(0)
@@ -1099,11 +1131,9 @@ def _schur_matvec_kernel(nparams, lay,
     du_c = jax.lax.dot_general(duc_ref[:, :], ohc, (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)  # [12,B]
 
-    jw = jw_ref
-    o = 18 + 2 * nparams
-    WLp = [jw[o + i:o + i + 1, :] for i in range(18)]
-    o += 18
-    WLc = [jw[o + i:o + i + 1, :] for i in range(3 * nparams)]
+    jc = jcorr_ref[:, :].astype(jnp.float32)
+    WLp = [jc[i:i + 1, :] for i in range(18)]
+    WLc = [jc[18 + i:19 + i, :] for i in range(3 * nparams)]
     dup = [du_p[i:i + 1, :] for i in range(6)]
     duc = [du_c[m:m + 1, :] for m in range(12)]
 
@@ -1138,10 +1168,11 @@ def _schur_matvec_kernel(nparams, lay,
             preferred_element_type=jnp.float32)
 
 
-def schur_matvec(static: KernelStatic, du_pose_t, du_cam_t, jw,
+def schur_matvec(static: KernelStatic, du_pose_t, du_cam_t, jcorr,
                  lay: KernelLayout, opt, interpret: bool = False):
     """Correction matvec over one bucket. Returns [Npad, DV] with
-    DV = round_up(6 + np, 128); rows: corr_pose(6), corr_cam(np)."""
+    DV = round_up(6 + np, 128); rows: corr_pose(6), corr_cam(np).
+    `jcorr`: the slim (bf16) coupling store from fused_reduce."""
     TP, K, nb = lay.TP, lay.K, lay.nb
     B = TP * K
     DV = _round_up(6 + lay.nparams, 128)
@@ -1154,7 +1185,7 @@ def schur_matvec(static: KernelStatic, du_pose_t, du_cam_t, jw,
         in_specs=[
             pl.BlockSpec((6, lay.Npad), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((12, lay.C), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((lay.JW, B), blocked, memory_space=pltpu.VMEM),
+            pl.BlockSpec((lay.JCW, B), blocked, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, B), blocked, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, B), blocked, memory_space=pltpu.VMEM),
         ],
@@ -1162,7 +1193,7 @@ def schur_matvec(static: KernelStatic, du_pose_t, du_cam_t, jw,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((lay.Npad, DV), jnp.float32),
         interpret=interpret,
-    )(du_pose_t, du_cam_t, jw, static.obs_img, static.obs_cam)
+    )(du_pose_t, du_cam_t, jcorr, static.obs_img, static.obs_cam)
     return out
 
 

@@ -309,6 +309,14 @@ class BAOptions:
     # match to ~1e-3 and converge to the same optimum (guarded by
     # tests/test_ba_fused.py::test_fused_converges_bf16).
     schur_bf16: bool = True
+    # Implicit (large-N) path: store the PCG matvec's whitened couplings
+    # in bf16 — the matvec is HBM-bound on exactly this read (~60 CG
+    # streams per LM iteration), and bf16 EL keeps the operator exactly
+    # SPD (same rounded EL on both sides of EL ELᵀ): inexact Newton with
+    # an f32 trial-cost gate. Applied only in the ranged regime
+    # (Npad >= 2048) where it measures faster; see ops/ba_kernels.py
+    # fused_reduce for the v5e numbers.
+    matvec_bf16: bool = True
     # SPMD: when set, the solve runs inside shard_map with observations
     # sharded over this mesh axis; every reduction gains a psum over it
     # (parallel/distributed_ba.py). None = single device.

@@ -287,10 +287,10 @@ def _fused_step(statics, lays, opt, qvecs, tvecs, pts_list, cams,
     if implicit:
         s_corr = ey = None
         for static, lay, pts_b in zip(statics, lays, pts_list):
-            i_b, pt_pay, jw = bk.fused_reduce(
+            i_b, pt_pay, jw, jcorr = bk.fused_reduce(
                 static, par, pts_b, lam, lay, opt, interpret=interpret)
             img_red = img_red + i_b
-            per_bucket.append((pt_pay, jw))
+            per_bucket.append((pt_pay, jw, jcorr))
     else:
         s_corr = jnp.zeros((Dk, Dk), jnp.float32)
         ey = jnp.zeros((8, Dk), jnp.float32)
@@ -301,7 +301,7 @@ def _fused_step(statics, lays, opt, qvecs, tvecs, pts_list, cams,
             s_corr = s_corr + s_b
             img_red = img_red + i_b
             ey = ey + e_b
-            per_bucket.append((pt_pay, jw))
+            per_bucket.append((pt_pay, jw, None))
     if axis_name is not None:
         img_red = jax.lax.psum(img_red, axis_name)
         if not implicit:
@@ -369,10 +369,10 @@ def _fused_step(statics, lays, opt, qvecs, tvecs, pts_list, cams,
             dup_t = jnp.zeros((6, Npad), jnp.float32).at[:, :N].set(vp.T)
             duc_t = jnp.zeros((12, C), jnp.float32).at[:nparams].set(vc.T)
             corr = None
-            for (static, lay), (pt_pay, jw) in zip(
+            for (static, lay), (pt_pay, jw, jcorr) in zip(
                     zip(statics, lays), per_bucket):
-                c_b = bk.schur_matvec(static, dup_t, duc_t, jw, lay, opt,
-                                      interpret=interpret)
+                c_b = bk.schur_matvec(static, dup_t, duc_t, jcorr, lay,
+                                      opt, interpret=interpret)
                 corr = c_b if corr is None else corr + c_b
             if axis_name is not None:
                 corr = jax.lax.psum(corr, axis_name)
@@ -449,7 +449,8 @@ def _fused_step(statics, lays, opt, qvecs, tvecs, pts_list, cams,
     g_dp = jnp.float32(0.0)
     d_dp2 = jnp.float32(0.0)
     g_inf_pts = jnp.float32(0.0)
-    for (static, lay), (pt_pay, jw) in zip(zip(statics, lays), per_bucket):
+    for (static, lay), (pt_pay, jw, _) in zip(zip(statics, lays),
+                                              per_bucket):
         dp, acc = bk.backsub(static, du_pose_t, du_cam_t, pt_pay, jw, lam,
                              lay, opt, interpret=interpret)
         dp_list.append(dp[:3])

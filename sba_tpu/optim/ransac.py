@@ -98,8 +98,55 @@ def ransac(
     All shapes static: `num_trials` from options, models per sample from the
     solver. `residual_fn` must return SQUARED residuals (the threshold is
     squared internally, matching the reference's support measurement).
+
+    The whole program is jit-compiled, cached on the identity of
+    (solve_fn, residual_fn, refit_fn) + static config: pass MODULE-LEVEL
+    functions (not fresh lambdas) from hot loops — matcher verification
+    and mapper registration call this hundreds of times, and eager
+    op-by-op dispatch of the vmapped solver stack is ~50x slower on CPU
+    than the compiled program.
     """
     opt = options or RANSACOptions()
+    fn = _ransac_jitted(solve_fn, residual_fn, refit_fn, sample_size, opt,
+                        progressive, mask is not None, len(data))
+    if mask is None:
+        return fn(key, data)
+    return fn(key, data, mask)
+
+
+def _ransac_jitted(solve_fn, residual_fn, refit_fn, sample_size, opt,
+                   progressive, has_mask, nargs):
+    cache_key = (id(solve_fn), id(residual_fn), id(refit_fn), sample_size,
+                 opt, progressive, has_mask, nargs)
+    hit = _RANSAC_CACHE.get(cache_key)
+    if hit is not None:
+        return hit
+    if has_mask:
+        def run(key, data, mask):
+            return _ransac_impl(key, data, solve_fn, residual_fn,
+                                sample_size, opt, mask, refit_fn,
+                                progressive)
+    else:
+        def run(key, data):
+            return _ransac_impl(key, data, solve_fn, residual_fn,
+                                sample_size, opt, None, refit_fn,
+                                progressive)
+    fn = jax.jit(run)
+    # Keep referenced callables alive so id() keys stay unique.
+    _RANSAC_CACHE[cache_key] = fn
+    _RANSAC_CACHE_REFS.append((solve_fn, residual_fn, refit_fn))
+    if len(_RANSAC_CACHE) > 512:   # unbounded lambda churn guard
+        _RANSAC_CACHE.clear()
+        _RANSAC_CACHE_REFS.clear()
+    return fn
+
+
+_RANSAC_CACHE: dict = {}
+_RANSAC_CACHE_REFS: list = []
+
+
+def _ransac_impl(key, data, solve_fn, residual_fn, sample_size, opt,
+                 mask, refit_fn, progressive):
     n = data[0].shape[0]
     num_trials = num_required_trials(sample_size, opt)
     thr2 = opt.max_error ** 2

@@ -69,14 +69,21 @@ def prepare_spmd(problem: BAProblem, options: BAOptions, mesh: Mesh,
     local_lays = tuple(
         lay._replace(Pp=lay.Pp // ndev, nb=lay.nb // ndev) for lay in lays)
 
+    # Place with make_array_from_callback, NOT device_put: under
+    # multi-process meshes (jax.distributed) device_put of a host array
+    # onto a global sharding runs a cross-process assert_equal collective
+    # per array (slow, and gloo-timeout-prone); the callback form
+    # materializes only this process's addressable shards — the correct
+    # multi-host ingest pattern (each host feeds its local point blocks).
+    def _place(a, s):
+        a = np.asarray(a)
+        sharding = NamedSharding(mesh, s)
+        return jax.make_array_from_callback(a.shape, sharding,
+                                            lambda idx, a=a: a[idx])
+
     specs = _static_specs(axis_name)
-    statics = tuple(
-        jax.tree.map(lambda a, s: jax.device_put(a, NamedSharding(mesh, s)),
-                     st, specs)
-        for st in statics)
-    pts0 = tuple(
-        jax.device_put(p, NamedSharding(mesh, P(None, axis_name)))
-        for p in pts0)
+    statics = tuple(jax.tree.map(_place, st, specs) for st in statics)
+    pts0 = tuple(_place(p, P(None, axis_name)) for p in pts0)
     return (statics, lays, local_lays, pts0, idxs, problem_f, options_f,
             free_arrays, mesh)
 

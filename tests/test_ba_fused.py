@@ -204,7 +204,8 @@ def test_implicit_step_matches_dense(model_id):
     outs = {}
     for mode in ("dense", "implicit"):
         opt = BAOptions(model_id=model_id, dtype="float32",
-                        schur_bf16=False, fused_mode=mode,
+                        schur_bf16=False, matvec_bf16=False,
+                        fused_mode=mode,
                         cg_iterations=200, cg_tolerance=1e-9,
                         solver="explicit_schur", obs_layout="point_major")
         ctx = bf.prepare(pm, opt)
@@ -319,6 +320,7 @@ def _two_camera_problem(seed=9):
 def test_fused_step_two_cameras_matches_xla(mode):
     problem, _ = _two_camera_problem()
     opt = BAOptions(model_id=0, dtype="float32", schur_bf16=False,
+                    matvec_bf16=False,
                     fused_mode=mode, cg_iterations=200, cg_tolerance=1e-9,
                     solver="explicit_schur", obs_layout="point_major")
     pm = to_point_major(problem)
@@ -415,3 +417,49 @@ def test_kernel_head_jacobians_match_finite_differences(model_id):
                                    np.asarray((py_p - py_m) / (2 * h)),
                                    rtol=2e-3, atol=1e-4,
                                    err_msg=f"model {model_id} dk[{m}] y")
+
+
+def test_implicit_bf16_couplings_close_and_converges():
+    """matvec_bf16 (active in the ranged large-N regime): the PCG
+    operator uses bf16 whitened couplings — step close to the f32
+    implicit step, and full LM still converges (the f32 trial cost gates
+    every step). Forces fused_ranged="on" since bf16 only applies
+    there (see ops/ba_kernels.py fused_reduce)."""
+    _, _, pm, _, _, _, _, _ = _setup(0)
+    lam = jnp.float32(1e-3)
+    outs = {}
+    for bf16 in (False, True):
+        opt = BAOptions(model_id=0, dtype="float32",
+                        schur_bf16=False, matvec_bf16=bf16,
+                        fused_mode="implicit", fused_ranged="on",
+                        cg_iterations=200, cg_tolerance=1e-9,
+                        solver="explicit_schur", obs_layout="point_major")
+        ctx = bf.prepare(pm, opt)
+        (statics, lays, pts0, idxs, prob_f, options, free_arrays) = ctx
+        outs[bf16] = bf._fused_step(
+            statics, lays, options, prob_f.qvecs, prob_f.tvecs, pts0,
+            prob_f.cam_params, lam, free_arrays, interpret=True)
+    u_32 = np.asarray(outs[False][0]).reshape(-1)
+    u_16 = np.asarray(outs[True][0]).reshape(-1)
+    # bf16 (~3 decimal digits) through an ill-conditioned PCG solve moves
+    # individual small elements at the % level; what must survive is the
+    # step DIRECTION (inexact Newton: any descent-aligned step the f32
+    # trial cost accepts is valid).
+    cos = float(u_16 @ u_32 / (np.linalg.norm(u_16)
+                               * np.linalg.norm(u_32) + 1e-30))
+    assert cos > 0.99, f"bf16 step direction diverged: cos={cos:.4f}"
+    # Norm deviation scales with the reduced system's conditioning; this
+    # tiny 6-image fixture is near the worst case (~0.19 measured). The
+    # binding guarantees are direction (above) + the full-solve
+    # convergence below.
+    rel = float(np.linalg.norm(u_16 - u_32) / np.linalg.norm(u_32))
+    assert rel < 0.3, f"bf16 step norm deviation {rel:.3f}"
+
+    problem, _ = make_ba_problem(
+        num_images=20, num_points=200, observations_per_point=4,
+        pose_noise=0.01, point_noise=0.05, pixel_noise=0.0, seed=7,
+        dtype=jnp.float32)
+    opt = BAOptions(model_id=0, max_iterations=25, dtype="float32",
+                    fused_mode="implicit", fused_ranged="on")
+    out, summary = bf.bundle_adjust_fused(problem, opt, interpret=True)
+    assert float(summary.final_cost) < 1e-4 * float(summary.initial_cost)
