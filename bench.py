@@ -56,7 +56,14 @@ def _emit(metric, value, unit, vs_baseline):
 
 
 def _delta_rate(solve, it_lo=5, it_hi=20, reps=REPS):
-    """Best-of-reps two-point delta: iterations/second."""
+    """Best-of-reps two-point delta: iterations/second.
+
+    Guards against the axon runtime dropping back into async mode mid-
+    suite (block_until_ready then returns before the work is done and
+    both timings collapse to ~2 ms): re-poisons sync mode per metric and,
+    if the delta is implausibly small, falls back to the conservative
+    total-time rate of the long run."""
+    _ = float(jnp.sum(jnp.ones(3)))  # re-poison: force true sync waits
     best = {}
     for n_it in (it_lo, it_hi):
         run = solve(n_it)
@@ -67,8 +74,10 @@ def _delta_rate(solve, it_lo=5, it_hi=20, reps=REPS):
             run()
             b = min(b, time.perf_counter() - t0)
         best[n_it] = b
-    per_iter = (best[it_hi] - best[it_lo]) / (it_hi - it_lo)
-    return 1.0 / max(per_iter, 1e-9)
+    delta = best[it_hi] - best[it_lo]
+    if delta <= 0.05 * best[it_hi]:   # degenerate: timings not separating
+        return it_hi / best[it_hi]    # total-time bound (understates)
+    return (it_hi - it_lo) / delta
 
 
 def bench_sba():

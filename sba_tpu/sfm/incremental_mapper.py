@@ -169,6 +169,16 @@ class IncrementalMapper:
         cam2 = self.rec.cameras[im2.camera_id]
         xy1 = im1.xys[matches[:, 0]]
         xy2 = im2.xys[matches[:, 1]]
+        # Power-of-two bucket + mask: init-pair search tries MANY pairs,
+        # each with a distinct match count — padding makes them share
+        # compiled RANSAC programs (same discipline as registration).
+        n_real = len(xy1)
+        bucket = 1 << int(np.ceil(np.log2(max(n_real, 32))))
+        pad = bucket - n_real
+        xy1 = np.concatenate([xy1, np.zeros((pad, 2))])
+        xy2 = np.concatenate([xy2, np.zeros((pad, 2))])
+        vmask = np.concatenate([np.ones(n_real, bool),
+                                np.zeros(pad, bool)])
         res = estimate_two_view_geometry(
             xy1, xy2, self._camera_fxycxy(i1), self._camera_fxycxy(i2),
             image_size1=(cam1.width, cam1.height),
@@ -176,7 +186,7 @@ class IncrementalMapper:
             options=TwoViewGeometryOptions(
                 max_error=options.init_max_error,
                 min_num_inliers=options.init_min_num_inliers),
-            seed=self._next_seed())
+            seed=self._next_seed(), mask=vmask)
         if res.config != int(TwoViewConfig.CALIBRATED) or \
                 res.num_inliers < options.init_min_num_inliers:
             return None
@@ -202,7 +212,8 @@ class IncrementalMapper:
         baseline = c2 / (np.linalg.norm(c2) + 1e-12)
         if abs(baseline[2]) > options.init_max_forward_motion:
             return None
-        return dict(qvec=res.qvec, tvec=t, inlier_matches=matches[inl])
+        return dict(qvec=res.qvec, tvec=t,
+                    inlier_matches=matches[inl[:n_real]])
 
     def register_initial_image_pair(self, i1: int, i2: int, info: dict,
                                     options: IncrementalMapperOptions) -> bool:

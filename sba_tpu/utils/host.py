@@ -31,11 +31,17 @@ import jax
 
 
 def host_cpu_device():
-    """The CPU backend device, or None if unavailable."""
+    """A PROCESS-LOCAL CPU backend device, or None if unavailable.
+
+    Must be local_devices, not devices: under multi-controller JAX
+    (jax.distributed) global device 0 belongs to process 0, and pinning
+    another process's host math to it creates arrays whose values that
+    process cannot fetch."""
     try:
-        return jax.devices("cpu")[0]
+        local = jax.local_devices(backend="cpu")
     except RuntimeError:
         return None
+    return local[0] if local else None
 
 
 @contextlib.contextmanager

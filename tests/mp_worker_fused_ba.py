@@ -63,11 +63,16 @@ warm_out = jax.jit(jax.shard_map(
 assert float(np.asarray(warm_out.addressable_data(0))[0]) == 4 * nproc
 
 # Identical problem in every process (deterministic seed) — the sharded
-# device_put slices each process's local point blocks out of it.
-problem, _ = make_ba_problem(
-    num_images=6, num_points=150, observations_per_point=4,
-    pose_noise=0.01, point_noise=0.05, pixel_noise=0.0, seed=23,
-    dtype=jnp.float32)
+# make_array_from_callback slices each process's local point blocks out
+# of it. Constructed under the local default device (multi-controller
+# eager ops otherwise produce global-replicated arrays whose values this
+# process cannot fetch), then dropped to host numpy.
+with jax.default_device(jax.local_devices()[0]):
+    problem, _ = make_ba_problem(
+        num_images=6, num_points=150, observations_per_point=4,
+        pose_noise=0.01, point_noise=0.05, pixel_noise=0.0, seed=23,
+        dtype=jnp.float32)
+problem = jax.tree.map(lambda a: np.asarray(a), problem)
 opt = BAOptions(model_id=0, max_iterations=20, dtype="float32",
                 schur_bf16=False)
 

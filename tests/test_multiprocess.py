@@ -91,10 +91,11 @@ def test_two_process_fused_spmd_matches_single_process():
     mesh = Mesh(np.array(jax.devices()[:8]), ("points",))
     out_s, sum_s = distributed_bundle_adjust_fused(
         problem, opt, mesh, interpret=True)
-    # Same program partitioned differently -> equal up to f32 reduction
-    # order across process boundaries.
-    assert r0["final"] == pytest.approx(float(sum_s.final_cost),
-                                        rel=1e-3, abs=1e-10)
+    # Same program partitioned differently: both drive the noise-free
+    # problem to the f32 noise floor (absolute costs there differ by
+    # reduction order — compare against the initial cost scale).
+    assert r0["final"] < 1e-11 * r0["initial"]
+    assert float(sum_s.final_cost) < 1e-11 * float(sum_s.initial_cost)
     t_s = np.asarray(out_s.tvecs)
     assert r0["t0"] == pytest.approx(float(t_s[1, 0]), abs=1e-4)
     assert r0["t1"] == pytest.approx(float(t_s[1, 1]), abs=1e-4)
