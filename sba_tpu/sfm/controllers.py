@@ -176,13 +176,18 @@ def _iterative_local_refinement(mapper: IncrementalMapper, image_id: int,
     """Local BA + merge/complete/filter rounds until converged
     (ref: IterativeLocalRefinement controllers/incremental_mapper.cc)."""
     for _ in range(opt.ba_local_max_refinements):
+        # Intrinsics refinement follows the mapper flags, as in the
+        # reference (AdjustLocalBundle shares ba_refine_*; the default
+        # SIMPLE_RADIAL ingest recovers focal/k1 THROUGH local BA,
+        # ref: sfm/incremental_mapper.cc:435-506 + bundle adjustment
+        # option plumbing).
         out = mapper.adjust_local_bundle(
             image_id, opt.mapper,
             BAOptions(max_iterations=opt.ba_local_max_num_iterations,
                       loss="cauchy", loss_scale=1.0,
-                      refine_focal_length=False,
-                      refine_principal_point=False,
-                      refine_extra_params=False))
+                      refine_focal_length=opt.ba_refine_focal_length,
+                      refine_principal_point=opt.ba_refine_principal_point,
+                      refine_extra_params=opt.ba_refine_extra_params))
         # Track maintenance around the modified points.
         image = mapper.rec.images[image_id]
         pids = [int(p) for p in image.point3D_ids if p != -1]

@@ -411,15 +411,21 @@ class IncrementalMapper:
         # Gauge: if everything is local, fix the two first registered.
         if len(const_rows) == 0:
             const_rows = [row_of[i] for i in sorted(local)[:2]]
-        problem = pad_problem_pow2(build_problem(
-            arrays, constant_pose_rows=const_rows,
-            constant_cam_rows=range(len(arrays.camera_ids))))
+        # Cameras stay FREE: which intrinsic components move is governed
+        # by BAOptions.refine_* (the reference's ba_refine_focal_length /
+        # _extra_params flags apply to local and global BA alike —
+        # SIMPLE_RADIAL ingest recovers focal/k1 through these solves,
+        # ref: sfm/incremental_mapper.cc:435-506).
         opt = ba_options or BAOptions(
             max_iterations=25, loss="cauchy", loss_scale=1.0)
+        problem = pad_problem_pow2(build_problem(
+            arrays, constant_pose_rows=const_rows))
         out, summary = bundle_adjust(problem, opt)
-        self.rec.update_from_arrays(arrays, qvecs=np.asarray(out.qvecs),
-                                    tvecs=np.asarray(out.tvecs),
-                                    points=np.asarray(out.points))
+        self.rec.update_from_arrays(
+            arrays, qvecs=np.asarray(out.qvecs),
+            tvecs=np.asarray(out.tvecs),
+            points=np.asarray(out.points),
+            camera_params=np.asarray(out.cam_params))
         return dict(summary=summary, local_images=local)
 
     def adjust_global_bundle(self, options: IncrementalMapperOptions,
@@ -429,15 +435,18 @@ class IncrementalMapper:
         if len(reg) < 2:
             raise ValueError("need >= 2 registered images for global BA")
         arrays = self.rec.to_arrays(image_ids=reg)
+        # Cameras free; BAOptions.refine_* gates the components (see
+        # adjust_local_bundle).
         problem = pad_problem_pow2(build_problem(
             arrays, constant_pose_rows=[0],
-            constant_tvec_rows={1: [0]},
-            constant_cam_rows=range(len(arrays.camera_ids))))
+            constant_tvec_rows={1: [0]}))
         opt = ba_options or BAOptions(max_iterations=50)
         out, summary = bundle_adjust(problem, opt)
-        self.rec.update_from_arrays(arrays, qvecs=np.asarray(out.qvecs),
-                                    tvecs=np.asarray(out.tvecs),
-                                    points=np.asarray(out.points))
+        self.rec.update_from_arrays(
+            arrays, qvecs=np.asarray(out.qvecs),
+            tvecs=np.asarray(out.tvecs),
+            points=np.asarray(out.points),
+            camera_params=np.asarray(out.cam_params))
         return dict(summary=summary)
 
     # ------------------------------------------------------------------
