@@ -398,6 +398,27 @@ class IncrementalMapper:
         return [image_id] + [i for i, _ in
                              ranked[:options.local_ba_num_images - 1]]
 
+    def _ba_options_with_model(self, base: BAOptions) -> BAOptions:
+        """Pin BAOptions.model_id to the scene's camera model.
+
+        The BA residual evaluates the STATIC opt.model_id camera head
+        (kernel specialization); leaving the default SIMPLE_PINHOLE on a
+        SIMPLE_RADIAL scene silently ignores the distortion params — the
+        default-ingest recovery path (ref: incremental_mapper.cc:435-506)
+        then can never refine k1. Mixed-model scenes fall back to the
+        most common model (single-model is the overwhelmingly common
+        ingest; per-obs model switching is a dense-dispatch cost the
+        kernels avoid)."""
+        import dataclasses
+
+        ids = [cam.model_id for cam in self.rec.cameras.values()]
+        if not ids:
+            return base
+        mid = max(set(ids), key=ids.count)
+        if mid == base.model_id:
+            return base
+        return dataclasses.replace(base, model_id=int(mid))
+
     def adjust_local_bundle(self, image_id: int,
                             options: IncrementalMapperOptions,
                             ba_options: Optional[BAOptions] = None) -> dict:
@@ -416,8 +437,9 @@ class IncrementalMapper:
         # _extra_params flags apply to local and global BA alike —
         # SIMPLE_RADIAL ingest recovers focal/k1 through these solves,
         # ref: sfm/incremental_mapper.cc:435-506).
-        opt = ba_options or BAOptions(
-            max_iterations=25, loss="cauchy", loss_scale=1.0)
+        opt = self._ba_options_with_model(
+            ba_options or BAOptions(
+                max_iterations=25, loss="cauchy", loss_scale=1.0))
         problem = pad_problem_pow2(build_problem(
             arrays, constant_pose_rows=const_rows))
         out, summary = bundle_adjust(problem, opt)
@@ -440,7 +462,8 @@ class IncrementalMapper:
         problem = pad_problem_pow2(build_problem(
             arrays, constant_pose_rows=[0],
             constant_tvec_rows={1: [0]}))
-        opt = ba_options or BAOptions(max_iterations=50)
+        opt = self._ba_options_with_model(
+            ba_options or BAOptions(max_iterations=50))
         out, summary = bundle_adjust(problem, opt)
         self.rec.update_from_arrays(
             arrays, qvecs=np.asarray(out.qvecs),

@@ -253,3 +253,47 @@ def test_repeated_structure_rerank_precision():
                            num_verifications=2)
     assert reranked[0][0] == 1, (
         f"vote-and-verify failed to promote the true match: {reranked}")
+
+
+def test_hamming_embedding_separates_same_word_candidates():
+    """Hamming embedding (ref: inverted_index.h): two candidates with
+    IDENTICAL word histograms — TF-IDF cannot order them — but only one
+    has descriptor-level appearance matching the query. The binary
+    signatures must promote it."""
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((64, 128))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    tree = build_vocab_tree(centers.astype(np.float32), branching=8,
+                            depth=2, iters=10)
+
+    n = 80
+    q_words = rng.integers(0, 64, n)
+
+    def jitter(word_ids, scale):
+        d = centers[word_ids] + scale * rng.standard_normal(
+            (len(word_ids), 128))
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        return d.astype(np.float32)
+
+    dq = jitter(q_words, 0.03)
+    d_true = dq + 0.01 * rng.standard_normal((n, 128)).astype(np.float32)
+    d_true /= np.linalg.norm(d_true, axis=1, keepdims=True)
+    # Distractor: same words, but a DIFFERENT sample within each word
+    # cell (repeated structure elsewhere in the scene).
+    d_far = jitter(q_words, 0.18)
+
+    index = VisualIndex(tree)
+    index.add_image(1, d_true)
+    index.add_image(2, d_far)
+    # Extra corpus images so thresholds/medians are meaningful.
+    for k in range(3, 9):
+        index.add_image(k, jitter(rng.integers(0, 64, n), 0.1))
+    index.prepare()
+
+    plain = index.query(dq, num_images=2)
+    top2 = {plain[0][0], plain[1][0]}
+    assert top2 == {1, 2}  # both word-identical candidates lead
+
+    rer = index.query(dq, num_images=2, num_verifications=4,
+                      hamming_rerank=True)
+    assert rer[0][0] == 1, f"hamming rerank failed: {rer}"
