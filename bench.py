@@ -41,8 +41,10 @@ import time
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(__file__), ".jax_cache_tpu"))
+from sba_tpu.utils.host import machine_cache_dir
+
+jax.config.update("jax_compilation_cache_dir", machine_cache_dir(
+    os.path.join(os.path.dirname(__file__), ".jax_cache_tpu")))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 REPS = 8

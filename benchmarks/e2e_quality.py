@@ -25,8 +25,10 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(_REPO, "tests", ".jax_cache"))
+from sba_tpu.utils.host import machine_cache_dir  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", machine_cache_dir(
+    os.path.join(_REPO, "tests", ".jax_cache")))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 

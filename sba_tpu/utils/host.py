@@ -58,3 +58,29 @@ def on_host():
         return
     with jax.default_device(dev):
         yield
+
+
+def machine_cache_dir(base_dir: str) -> str:
+    """Per-machine-type subdirectory for the jax persistent compile cache.
+
+    XLA:CPU AOT executables encode the COMPILE machine's feature set;
+    loading them on a host with different features is undefined behavior
+    (observed: SIGSEGV in compilation_cache.get_executable_and_time when
+    a cache primed on an AMX-capable host was reused elsewhere). The
+    sandbox pool mixes machine generations, so key the cache directory
+    on the CPU flags."""
+    import hashlib
+    import os
+
+    tag = "generic"
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    tag = hashlib.md5(line.encode()).hexdigest()[:10]
+                    break
+    except OSError:
+        pass
+    path = os.path.join(base_dir, tag)
+    os.makedirs(path, exist_ok=True)
+    return path

@@ -25,7 +25,12 @@ jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: kernels (Newton undistortion, LM loops)
 # compile once per machine instead of once per pytest process.
-_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+from sba_tpu.utils.host import machine_cache_dir  # noqa: E402
+
+# Per-machine-type subdir: XLA:CPU AOT artifacts are machine-feature-
+# specific; loading a cache primed on another host generation segfaults.
+_cache_dir = machine_cache_dir(
+    os.path.join(os.path.dirname(__file__), ".jax_cache"))
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 

@@ -21,8 +21,11 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 _here = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_here))
+from sba_tpu.utils.host import machine_cache_dir  # noqa: E402
+
 jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(_here, ".jax_cache"))
+                  machine_cache_dir(os.path.join(_here, ".jax_cache")))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.distributed.initialize(coordinator_address=f"localhost:{port}",
                            num_processes=nproc, process_id=pid)

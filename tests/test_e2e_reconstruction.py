@@ -127,7 +127,7 @@ def test_automatic_reconstructor_dense_with_mesher(tmp_path):
     missing #3)."""
     import os
 
-    scene = render_scene(num_images=4, image_size=(200, 150), seed=4)
+    scene = render_scene(num_images=4, image_size=(256, 192), seed=4)
     img_dir = str(tmp_path / "images")
     write_scene_images(scene, img_dir)
     ws = str(tmp_path / "ws")
@@ -138,7 +138,8 @@ def test_automatic_reconstructor_dense_with_mesher(tmp_path):
                  "--mesher", "poisson",
                  "--ImageReader.camera_model", "SIMPLE_PINHOLE",
                  "--ImageReader.single_camera", "1",
-                 "--SiftExtraction.max_num_features", "1024",
+                 "--SiftExtraction.max_num_features", "2048",
+                 "--Mapper.init_min_num_inliers", "40",
                  "--PatchMatchStereo.num_iterations", "6",
                  "--PatchMatchStereo.window_radius", "3"]) == 0
     assert os.path.exists(f"{ws}/sparse/0/images.bin")
