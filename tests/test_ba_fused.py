@@ -250,8 +250,12 @@ def test_ranged_step_matches_onehot(model_id):
     lam = jnp.float32(1e-3)
     outs = {}
     for ranged in ("on", "off"):
+        # matvec_bf16=False: this test isolates the RANGED INDEXING
+        # equivalence; the bf16-coupling delta (ranged-only) is covered
+        # by test_implicit_bf16_couplings_close_and_converges.
         opt = BAOptions(model_id=model_id, dtype="float32",
-                        schur_bf16=False, fused_mode="implicit",
+                        schur_bf16=False, matvec_bf16=False,
+                        fused_mode="implicit",
                         fused_ranged=ranged,
                         cg_iterations=200, cg_tolerance=1e-9,
                         solver="explicit_schur", obs_layout="point_major")
