@@ -115,3 +115,49 @@ def test_prefetching_loader(tmp_path):
     for k, arr in truth.items():
         idx = k if k < 5 else k + 1
         np.testing.assert_allclose(got[idx], arr / 255.0, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_native_runtime_under_thread_sanitizer(tmp_path):
+    """Race-detection coverage for the C++ JobQueue/worker-pool runtime
+    (ref: CMakeLists.txt:63 ASAN_ENABLED; the reference has no TSAN
+    config at all). Builds the TSAN variant, preloads libtsan, drives
+    the prefetching loader from a subprocess, and fails on any
+    ThreadSanitizer report."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    native = os.path.join(repo, "native")
+    r = subprocess.run(["make", "-C", native, "tsan"],
+                       capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr
+    libtsan = subprocess.run(
+        ["gcc", "-print-file-name=libtsan.so"],
+        capture_output=True, text=True).stdout.strip()
+    if not os.path.isabs(libtsan):
+        pytest.skip("libtsan runtime not available")
+
+    for k in range(6):
+        _write_pgm(tmp_path / f"im{k}.pgm",
+                   np.arange(64 * 48, dtype=np.uint8).reshape(48, 64))
+    driver = f"""
+import glob, sys
+sys.path.insert(0, {repo!r})
+import sba_tpu.io.native_loader as nl
+nl._LIB_PATH = {os.path.join(native, "libsba_native_tsan.so")!r}
+paths = sorted(glob.glob({str(tmp_path)!r} + "/*.pgm"))
+with nl.PrefetchingImageLoader(paths, num_threads=4, queue_size=2) as ld:
+    out = [(i, img) for i, img in ld]
+assert len(out) == len(paths), len(out)
+assert all(img is not None for _, img in out)
+print("TSAN_DRIVE_OK")
+"""
+    env = dict(os.environ, LD_PRELOAD=libtsan,
+               TSAN_OPTIONS="exitcode=66")
+    r = subprocess.run([sys.executable, "-c", driver],
+                       capture_output=True, text=True, timeout=300,
+                       env=env)
+    assert "TSAN_DRIVE_OK" in r.stdout, (r.stdout[-2000:], r.stderr[-2000:])
+    assert "WARNING: ThreadSanitizer" not in r.stderr, r.stderr[-4000:]
+    assert r.returncode == 0
