@@ -37,7 +37,12 @@ from sba_tpu.optim.ba import BAOptions, BAProblem, BASummary, to_point_major
 MAXP = 12
 
 
-DENSE_MAX_IMAGES = 256   # S [Dk,Dk] VMEM-resident: N=256 -> 11 MB, fits
+DENSE_MAX_IMAGES = 128   # auto-policy crossover, NOT a capability cap:
+# the dense kernel works to N=256 (S [Dk,Dk] VMEM-resident, 11 MB), but
+# with the slim jcorr matvec store the implicit PCG path overtakes it
+# above 128 images (v5e, 2026-08-21: N=128 dense 460 vs implicit 368
+# it/s; N=256 dense 210 vs implicit 413; N=512 implicit 276).
+# fused_mode="dense" still forces the dense kernel up to 256.
 #   Mosaic's 16 MB scoped-vmem; N=512 -> 41 MB OOMs. Beyond it the
 #   implicit matvec-PCG path takes over (no S at all).
 

@@ -150,3 +150,46 @@ def test_automatic_reconstructor_dense_with_mesher(tmp_path):
     assert os.path.getsize(mesh) > 500  # non-trivial surface
     # Workspace configs written by the undistorter (COLMAP layout).
     assert os.path.exists(f"{ws}/dense/stereo/patch-match.cfg")
+
+
+@pytest.mark.slow
+def test_vocab_tree_pipeline_recovers_trajectory(tmp_path):
+    """Retrieval-driven matching end to end (the ETH3D-style config:
+    vocab_tree_builder -> vocab_tree_matcher -> mapper on rendered
+    imagery; ref: exe/vocab_tree.cc RunVocabTreeBuilder +
+    feature/matching.h:456 VocabTreeFeatureMatcher)."""
+    scene = render_scene(num_images=6, image_size=(320, 240), seed=2)
+    img_dir = str(tmp_path / "images")
+    names = write_scene_images(scene, img_dir)
+    gt = gt_reconstruction(scene, names)
+
+    db = str(tmp_path / "db.db")
+    assert main(["database_creator", "--database_path", db]) == 0
+    assert main(["feature_extractor", "--database_path", db,
+                 "--image_path", img_dir,
+                 "--ImageReader.camera_model", "SIMPLE_PINHOLE",
+                 "--ImageReader.single_camera", "1",
+                 "--SiftExtraction.max_num_features", "2048"]) == 0
+    tree = str(tmp_path / "tree.npz")
+    assert main(["vocab_tree_builder", "--database_path", db,
+                 "--vocab_tree_path", tree,
+                 "--VocabTree.branching", "8",
+                 "--VocabTree.depth", "2"]) == 0
+    assert main(["vocab_tree_matcher", "--database_path", db,
+                 "--vocab_tree_path", tree,
+                 "--VocabTreeMatching.num_images", "4"]) == 0
+
+    from sba_tpu.io.database import Database
+
+    d = Database(db)
+    geoms = d.read_all_two_view_geometries()
+    assert len(geoms) >= 8  # retrieval found most useful pairs
+    d.close()
+
+    sparse = str(tmp_path / "sparse")
+    assert main(["mapper", "--database_path", db,
+                 "--image_path", img_dir,
+                 "--output_path", sparse]) == 0
+    rec, err, common = _ate_vs_gt(f"{sparse}/0", gt)
+    assert rec.num_registered_images() >= 5
+    assert err.mean() < 0.1, f"ATE mean {err.mean():.3f}"
