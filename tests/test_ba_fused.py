@@ -49,9 +49,12 @@ def _setup(model_id=0, **kw):
     for i, val in _DISTORT.get(model_id, {}).items():
         cam[:, i] = val
     problem = problem._replace(cam_params=jnp.asarray(cam, jnp.float32))
-    # schur_bf16=False: these are exact-parity tests of the f32 math
-    # (the bf16 default is covered by test_fused_converges_bf16).
+    # schur_bf16=False + tight CG: these are exact-parity tests of the
+    # f32 math (the bf16 default is covered by test_fused_converges_bf16;
+    # the production cg_tolerance=1e-2 inexact-Newton default is covered
+    # by the convergence tests).
     opt = BAOptions(model_id=model_id, dtype="float32", schur_bf16=False,
+                    cg_iterations=200, cg_tolerance=1e-9,
                     solver="explicit_schur", obs_layout="point_major")
     pm = to_point_major(problem)
     lay = bk.plan_layout(pm, opt)
