@@ -207,6 +207,35 @@ def bench_ba_large():
           rate / 2.0)
 
 
+def bench_ba_10k():
+    """BASELINE.json's largest driver config (10k images), one chip."""
+    from sba_tpu.optim import ba_fused
+    from sba_tpu.optim.ba import BAOptions
+    from sba_tpu.utils.synthetic import make_sequential_ba_problem
+
+    problem, _ = make_sequential_ba_problem(
+        num_images=10240, num_points=1_200_000, track_len=7,
+        pose_noise=0.005, point_noise=0.02, pixel_noise=0.5, seed=0,
+        dtype=jnp.float32)
+
+    def solve(n_it):
+        opt = BAOptions(max_iterations=n_it, cg_iterations=100,
+                        dtype="float32", function_tolerance=0.0,
+                        gradient_tolerance=0.0, parameter_tolerance=0.0)
+        ctx = ba_fused.prepare(problem, opt)
+
+        def run():
+            out, summary = ba_fused.solve_prepared(ctx)
+            jax.block_until_ready(summary.final_cost)
+
+        return run
+
+    rate = _delta_rate(solve, reps=2)
+    # Proxy: Ceres ITERATIVE_SCHUR at 10k images ~ 0.2 it/s desktop CPU.
+    _emit("ba_lm_iters_per_sec_10240img_8400kobs", rate, "iter/s",
+          rate / 0.2)
+
+
 def bench_e2e_quality():
     """Full-pipeline quality metric in a CPU subprocess (see module
     docstring for why not the tunnel TPU)."""
@@ -258,7 +287,7 @@ def main():
     _ = float(jnp.sum(jnp.ones(3)))
 
     for fn in (bench_sba, bench_gsba, bench_pose_graph, bench_ba_large,
-               bench_e2e_quality):
+               bench_ba_10k, bench_e2e_quality):
         try:
             fn()
         except Exception as e:  # noqa: BLE001 — a failed metric must not
