@@ -1254,7 +1254,15 @@ def run_model_viewer(flags):
 
     input_path, output_path = _require(flags, "input_path", "output_path")
     rec = Reconstruction.read(input_path)
-    export_html_viewer(rec, output_path)
+    export_html_viewer(
+        rec, output_path,
+        max_points=int(flags.get("ModelViewer.max_points", "50000")),
+        frustum_scale=float(flags.get("ModelViewer.frustum_scale", "0.3")),
+        point_size=float(flags.get("ModelViewer.point_size", "3.0")),
+        background=flags.get("ModelViewer.background", "#111"),
+        color_mode=flags.get("ModelViewer.color_mode", "rgb"),
+        animate=flags.get("ModelViewer.animate", "0") in ("1", "true",
+                                                          "True"))
     print(f"viewer ({rec.num_points3d()} points, "
           f"{rec.num_registered_images()} cameras) -> {output_path}")
 

@@ -17,14 +17,15 @@ import numpy as np
 _TEMPLATE = """<!DOCTYPE html>
 <html><head><meta charset="utf-8"><title>sba_tpu model viewer</title>
 <style>
- body {{ margin: 0; background: #111; color: #ddd;
+ body {{ margin: 0; background: {background}; color: #ddd;
         font-family: monospace; overflow: hidden; }}
  #hud {{ position: fixed; top: 8px; left: 8px; font-size: 12px; }}
  canvas {{ display: block; }}
 </style></head>
 <body>
 <div id="hud">{title} — {num_points} points, {num_cameras} cameras<br>
-drag: rotate &nbsp; wheel: zoom &nbsp; shift-drag: pan</div>
+drag: rotate &nbsp; wheel: zoom &nbsp; shift-drag: pan &nbsp;
+r: orbit movie</div>
 <canvas id="c"></canvas>
 <script>
 const PTS = {points_json};
@@ -33,6 +34,8 @@ const CAMS = {cameras_json};
 const canvas = document.getElementById('c');
 const ctx = canvas.getContext('2d');
 let yaw = 0.5, pitch = -0.4, dist = {initial_dist}, panX = 0, panY = 0;
+let spinning = {animate_json};
+const PS = {point_size};
 const center = {center_json};
 function resize() {{
   canvas.width = innerWidth; canvas.height = innerHeight; draw();
@@ -65,14 +68,22 @@ function project(p) {{
   return [canvas.width / 2 + f * x1 / zc + panX,
           canvas.height / 2 + f * y2 / zc + panY, zc];
 }}
+addEventListener('keydown', e => {{
+  if (e.key === 'r') {{ spinning = !spinning; if (spinning) orbit(); }}
+}});
+function orbit() {{
+  if (!spinning) return;
+  yaw += 0.01; draw();
+  requestAnimationFrame(orbit);
+}}
 function draw() {{
-  ctx.fillStyle = '#111';
+  ctx.fillStyle = '{background}';
   ctx.fillRect(0, 0, canvas.width, canvas.height);
   for (let i = 0; i < PTS.length; i++) {{
     const s = project(PTS[i]);
     if (!s) continue;
     ctx.fillStyle = COL[i];
-    const r = Math.max(1, 3 / Math.sqrt(s[2]));
+    const r = Math.max(1, PS / Math.sqrt(s[2]));
     ctx.fillRect(s[0], s[1], r, r);
   }}
   ctx.strokeStyle = '#e33';
@@ -94,6 +105,7 @@ function draw() {{
   }}
 }}
 resize();
+if (spinning) orbit();
 </script></body></html>
 """
 
@@ -101,8 +113,18 @@ resize();
 def export_html_viewer(reconstruction, path: str,
                        max_points: int = 50_000,
                        frustum_scale: float = 0.3,
-                       title: str = "sba_tpu reconstruction"):
-    """Write a single-file interactive viewer for a reconstruction."""
+                       title: str = "sba_tpu reconstruction",
+                       point_size: float = 3.0,
+                       background: str = "#111",
+                       color_mode: str = "rgb",
+                       animate: bool = False):
+    """Write a single-file interactive viewer for a reconstruction.
+
+    Render options mirror the reference GUI's render-options dialog
+    (ref: src/ui render options — point size, background, coloring) and
+    `animate` starts the orbit fly-through (movie-grabber capability:
+    press 'r' in the viewer to toggle; record with any screen recorder).
+    color_mode: rgb (track colors) | height (z colormap) | uniform."""
     from sba_tpu.sfm.incremental_triangulator import _projection_center, \
         _rotmat
 
@@ -115,6 +137,14 @@ def export_html_viewer(reconstruction, path: str,
             c = np.array([200.0, 200.0, 200.0])
         cols.append(f"rgb({int(c[0])},{int(c[1])},{int(c[2])})")
     pts = np.asarray(pts).reshape(-1, 3)
+    if color_mode == "uniform":
+        cols = ["rgb(220,220,220)"] * len(pts)
+    elif color_mode == "height" and len(pts):
+        z = pts[:, 2]
+        lo, hi = np.percentile(z, 5), np.percentile(z, 95)
+        t = np.clip((z - lo) / max(hi - lo, 1e-9), 0, 1)
+        cols = [f"rgb({int(60 + 180 * ti)},{int(80 + 120 * (1 - abs(ti - 0.5) * 2))},{int(240 - 180 * ti)})"
+                for ti in t]
     if len(pts) > max_points:
         sel = np.random.default_rng(0).choice(len(pts), max_points,
                                               replace=False)
@@ -150,6 +180,9 @@ def export_html_viewer(reconstruction, path: str,
         cameras_json=json.dumps(cams),
         center_json=json.dumps([round(float(v), 4) for v in center]),
         initial_dist=round(spread, 3),
+        point_size=point_size,
+        background=background,
+        animate_json="true" if animate else "false",
     )
     with open(path, "w") as f:
         f.write(html)

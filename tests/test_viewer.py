@@ -37,3 +37,25 @@ def test_export_empty_model(tmp_path):
     out = str(tmp_path / "empty.html")
     export_html_viewer(rec, out)
     assert "0 points" in open(out).read()
+
+
+def test_viewer_render_options(tmp_path):
+    """Render-options parity with the reference GUI's dialog (point
+    size, background, coloring, orbit animation = movie-grabber)."""
+    from sba_tpu.utils.synthetic import make_synthetic_reconstruction
+    from sba_tpu.viewer import export_html_viewer
+
+    rec = make_synthetic_reconstruction(num_images=3, num_points=40)
+    p = str(tmp_path / "v.html")
+    export_html_viewer(rec, p, point_size=5.0, background="#202030",
+                       color_mode="height", animate=True)
+    html = open(p).read()
+    assert "const PS = 5.0" in html
+    assert "#202030" in html
+    assert "let spinning = true" in html
+    assert "orbit movie" in html
+
+    export_html_viewer(rec, p, color_mode="uniform")
+    html = open(p).read()
+    assert "rgb(220,220,220)" in html
+    assert "let spinning = false" in html
