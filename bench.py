@@ -286,8 +286,12 @@ def main():
     # sync tax this adds cancels in the iteration-count deltas.
     _ = float(jnp.sum(jnp.ones(3)))
 
-    for fn in (bench_sba, bench_gsba, bench_pose_graph, bench_ba_large,
-               bench_ba_10k, bench_e2e_quality):
+    # e2e (subprocess, slowest) runs FIRST: if an external timeout kills
+    # the suite midway, the last complete line is then always a
+    # throughput metric with a meaningful vs_baseline, never the
+    # quality ratio.
+    for fn in (bench_e2e_quality, bench_sba, bench_gsba,
+               bench_pose_graph, bench_ba_large, bench_ba_10k):
         try:
             fn()
         except Exception as e:  # noqa: BLE001 — a failed metric must not
