@@ -66,16 +66,19 @@ def _delta_rate(solve, it_lo=5, it_hi=20, reps=REPS):
     if the delta is implausibly small, falls back to the conservative
     total-time rate of the long run."""
     _ = float(jnp.sum(jnp.ones(3)))  # re-poison: force true sync waits
-    best = {}
-    for n_it in (it_lo, it_hi):
-        run = solve(n_it)
-        run()  # warmup/compile
-        b = float("inf")
-        for _ in range(reps):
+    runs = {n: solve(n) for n in (it_lo, it_hi)}
+    for r in runs.values():
+        r()  # warmup/compile
+    # INTERLEAVE the two iteration counts: the tunnel's fixed sync tax
+    # drifts over tens of seconds, and timing all short runs then all
+    # long runs lets the drift masquerade as per-iteration time
+    # (observed headline swings 466..910 it/s run to run).
+    best = {it_lo: float("inf"), it_hi: float("inf")}
+    for _ in range(reps):
+        for n in (it_lo, it_hi):
             t0 = time.perf_counter()
-            run()
-            b = min(b, time.perf_counter() - t0)
-        best[n_it] = b
+            runs[n]()
+            best[n] = min(best[n], time.perf_counter() - t0)
     delta = best[it_hi] - best[it_lo]
     if delta <= 0.05 * best[it_hi]:   # degenerate: timings not separating
         return it_hi / best[it_hi]    # total-time bound (understates)
