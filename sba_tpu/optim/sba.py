@@ -119,6 +119,10 @@ class SBAOptions:
     tau_depth: float = 0.25          # soft depth-gate sharpness (x threshold)
     tau_bounds: float = 2.0          # soft bounds-gate sharpness, pixels
     numeric_step: float = 1e-3       # ref numeric_relative_step_size
+    # Pair-chunked linearization: 0 = auto (bound one chunk to ~4M
+    # (pair, pixel) samples so 100+ full-res images fit; see
+    # _linearize_system). Set explicitly to tune chunk size.
+    pair_chunk: int = 0
     function_tolerance: float = 1e-8
     gradient_tolerance: float = 1e-12
     parameter_tolerance: float = 1e-10
@@ -342,8 +346,16 @@ def _cost(qvecs, tvecs, problem, opt, soft: bool):
 # Pose-only LM with dense normal equations from per-pair 12x12 blocks
 # ---------------------------------------------------------------------------
 
-def _pair_jacobians(problem: SBAProblem, opt: SBAOptions):
-    """r [Q,S] and J [Q,S,12] wrt the 12 local DoF (src 6, dst 6)."""
+def _pair_jacobians(problem: SBAProblem, opt: SBAOptions,
+                    pair_src=None, pair_dst=None, pair_mask=None):
+    """r [Q,S] and J [Q,S,12] wrt the 12 local DoF (src 6, dst 6).
+
+    pair_src/pair_dst/pair_mask default to the problem's full pair list;
+    the chunked large-Q path (`_linearize_system`) passes slices."""
+    if pair_src is None:
+        pair_src = problem.pair_src
+        pair_dst = problem.pair_dst
+        pair_mask = problem.pair_mask
     qvecs, tvecs = problem.qvecs, problem.tvecs
 
     def pair_fn(d_src, d_dst, ps, pd):
@@ -393,15 +405,15 @@ def _pair_jacobians(problem: SBAProblem, opt: SBAOptions):
             J = jax.vmap(col)(jnp.arange(12))  # [12, S]
             return r, jnp.moveaxis(J, 0, -1)
 
-    r, J = jax.vmap(one)(problem.pair_src, problem.pair_dst)
+    r, J = jax.vmap(one)(pair_src, pair_dst)
     # Robust cost at the linearization point — a free byproduct (the
     # evaluate-at-proposal LM loop uses it as the trial cost, saving a
     # separate residual pass per iteration).
     s = r * r
     cost = 0.5 * jnp.sum(loss_value(opt.loss, s, opt.loss_scale)
-                         * problem.pair_mask[:, None])
+                         * pair_mask[:, None])
     # Mask + IRLS weights.
-    w = problem.pair_mask[:, None] * loss_weight(opt.loss, s, opt.loss_scale)
+    w = pair_mask[:, None] * loss_weight(opt.loss, s, opt.loss_scale)
     sw = jnp.sqrt(w)
     r = r * sw
     J = J * sw[..., None]
@@ -409,13 +421,14 @@ def _pair_jacobians(problem: SBAProblem, opt: SBAOptions):
     free_pose = jnp.concatenate(
         [jnp.repeat(problem.free_rot[:, None], 3, axis=1), problem.free_trans],
         axis=1)  # [N, 6]
-    msrc = free_pose[problem.pair_src][:, None, :]  # [Q,1,6]
-    mdst = free_pose[problem.pair_dst][:, None, :]
+    msrc = free_pose[pair_src][:, None, :]  # [Q,1,6]
+    mdst = free_pose[pair_dst][:, None, :]
     J = J * jnp.concatenate([msrc, mdst], axis=-1)
     return r, J, cost
 
 
-def _assemble_dense(problem: SBAProblem, r, J):
+def _assemble_dense(problem: SBAProblem, r, J,
+                    pair_src=None, pair_dst=None):
     """Scatter per-pair blocks into dense H [6N,6N], g [6N]."""
     N = problem.qvecs.shape[0]
     Q = r.shape[0]
@@ -424,7 +437,8 @@ def _assemble_dense(problem: SBAProblem, r, J):
 
     H = jnp.zeros((N, 6, N, 6), J.dtype)
     g = jnp.zeros((N, 6), J.dtype)
-    ps, pd = problem.pair_src, problem.pair_dst
+    ps = problem.pair_src if pair_src is None else pair_src
+    pd = problem.pair_dst if pair_dst is None else pair_dst
     H = H.at[ps, :, ps, :].add(Hq[:, :6, :6])
     H = H.at[ps, :, pd, :].add(Hq[:, :6, 6:])
     H = H.at[pd, :, ps, :].add(Hq[:, 6:, :6])
@@ -432,6 +446,60 @@ def _assemble_dense(problem: SBAProblem, r, J):
     g = g.at[ps].add(gq[:, :6])
     g = g.at[pd].add(gq[:, 6:])
     return H.reshape(6 * N, 6 * N), g.reshape(6 * N)
+
+
+# Auto pair-chunking threshold: one chunk's residual/Jacobian tensor is
+# ~chunk*S*12 floats plus warp intermediates; 4M (pair, pixel) samples
+# per chunk keeps peak memory ~1-2 GB regardless of Q (the 50-image
+# production shape Q=2450, S=3072 = 7.5M just exceeds one chunk; 100
+# images Q=9900 without chunking OOMs the remote compiler).
+_SBA_CHUNK_SAMPLES = 4_000_000
+
+
+def _linearize_system(problem: SBAProblem, opt: SBAOptions):
+    """(H [6N,6N], g [6N], cost) with automatic pair chunking at large Q.
+
+    The reference builds one Ceres problem with O(Q*S) residual blocks
+    and lets sparse solvers page through it; the TPU equivalent is a
+    lax.scan over fixed-size pair chunks accumulating the dense pose
+    system — peak memory is one chunk, wall time unchanged (same total
+    FLOPs, fewer but reused buffers)."""
+    Q = problem.pair_src.shape[0]
+    S = problem.pix_xy.shape[0]
+    chunk = getattr(opt, "pair_chunk", 0)
+    if chunk <= 0:
+        chunk = max(1, _SBA_CHUNK_SAMPLES // max(S, 1))
+    if Q <= chunk:
+        r, J, cost = _pair_jacobians(problem, opt)
+        H, g = _assemble_dense(problem, r, J)
+        return H, g, cost
+
+    nch = -(-Q // chunk)
+    pad = nch * chunk - Q
+    ps = jnp.concatenate([problem.pair_src,
+                          jnp.zeros(pad, problem.pair_src.dtype)])
+    pd = jnp.concatenate([problem.pair_dst,
+                          jnp.zeros(pad, problem.pair_dst.dtype)])
+    pm = jnp.concatenate([problem.pair_mask,
+                          jnp.zeros(pad, problem.pair_mask.dtype)])
+    ps = ps.reshape(nch, chunk)
+    pd = pd.reshape(nch, chunk)
+    pm = pm.reshape(nch, chunk)
+
+    N = problem.qvecs.shape[0]
+    dt = problem.tvecs.dtype
+
+    def step(carry, blk):
+        H, g, cost = carry
+        src, dst, msk = blk
+        r, J, c = _pair_jacobians(problem, opt, src, dst, msk)
+        Hb, gb = _assemble_dense(problem, r, J, src, dst)
+        return (H + Hb, g + gb, cost + c), None
+
+    init = (jnp.zeros((6 * N, 6 * N), dt), jnp.zeros(6 * N, dt),
+            jnp.zeros((), dt))
+    (H, g, cost), _ = jax.lax.scan(step, init, (ps, pd, pm))
+    return H, g, cost
 
 
 @functools.partial(jax.jit, static_argnames=("opt",))
@@ -466,8 +534,7 @@ def _sba_impl(problem: SBAProblem, opt: SBAOptions):
     # classic linearize + separate-trial-cost loop.
     lam0 = jnp.asarray(1.0 / opt.initial_trust_radius,
                        problem.tvecs.dtype)
-    r0, J0, cost0 = _pair_jacobians(problem, opt)
-    H0, g0 = _assemble_dense(problem, r0, J0)
+    H0, g0, cost0 = _linearize_system(problem, opt)
     delta0, pred0 = solve(H0, g0, lam0)
     qp0, tp0 = propose(problem.qvecs, problem.tvecs, delta0)
 
@@ -475,7 +542,7 @@ def _sba_impl(problem: SBAProblem, opt: SBAOptions):
         (it, q, t, cost, H, g, qp, tp, pred, step_norm, lam, nu, done,
          trace) = state
         prob = problem._replace(qvecs=qp, tvecs=tp)
-        r, J, cost_prop = _pair_jacobians(prob, opt)
+        Hn, gn, cost_prop = _linearize_system(prob, opt)
 
         actual = cost - cost_prop
         rho = actual / jnp.maximum(pred, 1e-30)
@@ -487,7 +554,6 @@ def _sba_impl(problem: SBAProblem, opt: SBAOptions):
                         jnp.minimum(lam * nu, 1e10))
         nu = jnp.where(accept, 2.0, nu * 2.0)
 
-        Hn, gn = _assemble_dense(prob, r, J)
         H = jnp.where(accept, Hn, H)
         g = jnp.where(accept, gn, g)
         q = jnp.where(accept, qp, q)

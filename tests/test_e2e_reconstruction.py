@@ -193,3 +193,36 @@ def test_vocab_tree_pipeline_recovers_trajectory(tmp_path):
     rec, err, common = _ate_vs_gt(f"{sparse}/0", gt)
     assert rec.num_registered_images() >= 5
     assert err.mean() < 0.1, f"ATE mean {err.mean():.3f}"
+
+
+@pytest.mark.slow
+def test_hierarchical_mapper_pipeline(tmp_path):
+    """Hierarchical mapping end to end on rendered imagery: cluster the
+    match graph, map clusters independently, merge + relax seams
+    (ref: controllers/hierarchical_mapper.cc:116). Forced into 2 leaves
+    with a small leaf_max_num_images; judged by the same ATE harness."""
+    scene = render_scene(num_images=8, image_size=(320, 240), seed=5)
+    img_dir = str(tmp_path / "images")
+    names = write_scene_images(scene, img_dir)
+    gt = gt_reconstruction(scene, names)
+
+    db = str(tmp_path / "db.db")
+    assert main(["database_creator", "--database_path", db]) == 0
+    assert main(["feature_extractor", "--database_path", db,
+                 "--image_path", img_dir,
+                 "--ImageReader.camera_model", "SIMPLE_PINHOLE",
+                 "--ImageReader.single_camera", "1",
+                 "--SiftExtraction.max_num_features", "2048"]) == 0
+    assert main(["exhaustive_matcher", "--database_path", db]) == 0
+
+    sparse = str(tmp_path / "sparse")
+    assert main(["hierarchical_mapper", "--database_path", db,
+                 "--output_path", sparse,
+                 "--SceneClustering.leaf_max_num_images", "5",
+                 "--SceneClustering.image_overlap", "2"]) == 0
+
+    rec, err, common = _ate_vs_gt(f"{sparse}/0", gt)
+    assert rec.num_registered_images() >= 7, \
+        f"only {rec.num_registered_images()}/8 registered after merge"
+    assert len(common) >= 7
+    assert err.mean() < 0.12, f"ATE mean {err.mean():.3f}"
