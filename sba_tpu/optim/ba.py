@@ -293,6 +293,18 @@ class BAOptions:
     # measured +31% LM throughput at 1024 images with identical
     # 20-iteration final cost vs 1e-6 (v5e; parity tests pin 1e-9).
     cg_tolerance: float = 1e-2
+    # Warm-start the reduced-system PCG from the previous LM iteration's
+    # camera step (optimally rescaled against the new damped system, so
+    # it can never regress past a cold start). Costs one extra matvec
+    # per LM iteration (r0 = b - S x0). Measured v5e 2026-08-21: a WIN
+    # only under tight CG tolerances where the solve runs many rounds
+    # (dense 128-img at 1e-6: 419 -> 445 it/s), a LOSS at the default
+    # 1e-2 inexact-Newton forcing where CG is already short and the
+    # seed matvec is pure overhead (dense 128-img: 506 -> 463; implicit
+    # 1024-img: 143 -> 94, each seed matvec being a full HBM stream of
+    # the stored couplings). Default off to match the default forcing;
+    # turn on for machine-precision solves (parity contexts pin 1e-9).
+    cg_warm_start: bool = False
     function_tolerance: float = 1e-8
     gradient_tolerance: float = 1e-12
     parameter_tolerance: float = 1e-10

@@ -103,13 +103,14 @@ def can_use_fused(problem: BAProblem, options: BAOptions) -> bool:
     return platform in ("tpu", "axon")
 
 
-def _solve_reduced(S, b, free, opt: BAOptions):
+def _solve_reduced(S, b, free, opt: BAOptions, x0=None):
     """Dense solve of the masked reduced system.
 
     TPU note: jnp Cholesky goes through the XLA expander (~9 ms at
     D=896); Jacobi-PCG on the explicit S is latency-bound instead
     (~60 matvecs of a VMEM-resident [D, D]) and converges far below LM
-    step tolerance because S is SPD + damped.
+    step tolerance because S is SPD + damped. `x0` warm-starts from the
+    previous LM iteration's step (opt.cg_warm_start).
     """
     S = S * free[:, None] * free[None, :] + jnp.diag(1.0 - free)
     b = b * free
@@ -134,16 +135,29 @@ def _solve_reduced(S, b, free, opt: BAOptions):
             (jnp.dot(r, r) > (opt.cg_tolerance ** 2) * bnorm2)
 
     bnorm2 = jnp.maximum(jnp.dot(b, b), 1e-30)
-    z0 = dinv * b
+    if x0 is None:
+        x_init, r_init = jnp.zeros_like(b), b
+    else:
+        # Optimally scaled seed (see _pcg_2block): ||r0|| <= ||b||,
+        # with the same finite-s guard against NaN carry-over.
+        x_init = x0 * free
+        Ax0 = S @ x_init
+        s = jnp.dot(b, Ax0) / jnp.maximum(jnp.dot(Ax0, Ax0), 1e-30)
+        ok = jnp.isfinite(s)
+        x_init = jnp.where(ok, s * x_init, 0.0)
+        r_init = jnp.where(ok, b - s * Ax0, b)
+    z0 = dinv * r_init
     _, x, _, _, _ = jax.lax.while_loop(
-        cond, body, (0, jnp.zeros_like(b), b, z0, jnp.dot(b, z0)))
+        cond, body, (0, x_init, r_init, z0, jnp.dot(r_init, z0)))
     return x * free
 
-def _pcg_2block(matvec, b_pose, b_cam, prec_p, d_cam, opt: BAOptions):
+def _pcg_2block(matvec, b_pose, b_cam, prec_p, d_cam, opt: BAOptions,
+                x0=None):
     """PCG over the (pose [N,6], cam [C,np]) block pair with an implicit
     operator. `prec_p` applies the pose preconditioner (block-Jacobi
     [N,6,6] inverse or scalar Jacobi); the cam side is scalar Jacobi.
-    Same stopping rule as `_solve_reduced`."""
+    Same stopping rule as `_solve_reduced`. `x0 = (x0p, x0c)` warm-starts
+    from the previous LM step at the cost of one extra matvec."""
     dinv_c = 1.0 / jnp.where(d_cam > 1e-20, d_cam, 1.0)
 
     def dot(xp, xc, yp, yc):
@@ -171,10 +185,32 @@ def _pcg_2block(matvec, b_pose, b_cam, prec_p, d_cam, opt: BAOptions):
             (dot(rp, rc, rp, rc) > (opt.cg_tolerance ** 2) * bnorm2)
 
     bnorm2 = jnp.maximum(dot(b_pose, b_cam, b_pose, b_cam), 1e-30)
-    zp0 = prec_p(b_pose)
-    zc0 = dinv_c * b_cam
-    init = (0, jnp.zeros_like(b_pose), jnp.zeros_like(b_cam),
-            b_pose, b_cam, zp0, zc0, dot(b_pose, b_cam, zp0, zc0))
+    if x0 is None:
+        xp0, xc0 = jnp.zeros_like(b_pose), jnp.zeros_like(b_cam)
+        rp0, rc0 = b_pose, b_cam
+    else:
+        # Seed with the optimally SCALED previous step: s minimizing
+        # ||b - s A x0|| makes ||r0|| <= ||b|| unconditionally, so the
+        # warm start can never regress past the cold start — unscaled
+        # seeds diverge after LM rejects, where the damping jump makes
+        # ||A x0|| >> ||b|| and PCG spends its whole budget undoing the
+        # seed (observed: reject death-spiral to lambda=1e10).
+        xp0, xc0 = x0
+        Ap0, Ac0 = matvec(xp0, xc0)
+        s = (dot(b_pose, b_cam, Ap0, Ac0)
+             / jnp.maximum(dot(Ap0, Ac0, Ap0, Ac0), 1e-30))
+        # A non-finite s means the seed itself (a rejected NaN step at
+        # over-small damping) or A x0 overflowed — fall back to the cold
+        # start, otherwise the NaN re-enters every later iteration
+        # through the carried seed. (0 * NaN = NaN: jnp.where, not s=0.)
+        ok = jnp.isfinite(s)
+        xp0 = jnp.where(ok, s * xp0, 0.0)
+        xc0 = jnp.where(ok, s * xc0, 0.0)
+        rp0 = jnp.where(ok, b_pose - s * Ap0, b_pose)
+        rc0 = jnp.where(ok, b_cam - s * Ac0, b_cam)
+    zp0 = prec_p(rp0)
+    zc0 = dinv_c * rc0
+    init = (0, xp0, xc0, rp0, rc0, zp0, zc0, dot(rp0, rc0, zp0, zc0))
     _, xp, xc, *_ = jax.lax.while_loop(cond, body, init)
     return xp, xc
 
@@ -270,7 +306,8 @@ def _bucketize(problem: BAProblem, options: BAOptions, TP: int = 128,
 
 
 def _fused_step(statics, lays, opt, qvecs, tvecs, pts_list, cams,
-                lam, free_arrays, axis_name=None, interpret=False):
+                lam, free_arrays, axis_name=None, interpret=False,
+                warm=None):
     """One linearize + solve over all buckets. Returns (u_pose [N,6],
     u_cam [C,12], dp_list (per-bucket [3, Pp]), predicted, g_inf).
 
@@ -413,8 +450,10 @@ def _fused_step(statics, lays, opt, qvecs, tvecs, pts_list, cams,
 
             def prec_p(r):
                 return dinv_p * r
+        x0 = None if warm is None else (warm[0] * free_pose,
+                                        warm[1] * free_cam_np)
         u_pose, u_cam_np = _pcg_2block(matvec, b_pose, b_cam,
-                                       prec_p, diag_c, opt)
+                                       prec_p, diag_c, opt, x0=x0)
         u_pose = u_pose * free_pose
         u_cam_np = u_cam_np * free_cam_np
     else:
@@ -441,7 +480,15 @@ def _fused_step(statics, lays, opt, qvecs, tvecs, pts_list, cams,
         g_u = g_u.at[ci_np.reshape(-1)].set(g_cam.reshape(-1))
         b = (-g_u + ey[0]) * free
 
-        du = _solve_reduced(S, b, free, opt)
+        if warm is None:
+            x0 = None
+        else:
+            x0 = jnp.zeros(Dk, jnp.float32)
+            x0 = x0.at[bi.reshape(-1)].set(
+                (warm[0] * free_pose).reshape(-1))
+            x0 = x0.at[ci_np.reshape(-1)].set(
+                (warm[1] * free_cam_np).reshape(-1))
+        du = _solve_reduced(S, b, free, opt, x0=x0)
         u_pose = du[:6 * Npad].reshape(6, Npad).T[:N] * free_pose
         u_cam_np = du[6 * Npad:6 * Npad + 12 * C] \
             .reshape(12, C).T[:, :nparams] * free_cam_np
@@ -504,11 +551,15 @@ def _fused_lm_loop_impl(statics, lays, pts0, problem, options,
 
     cost0 = cost_of(q0a, t0a, pts0, k0a)
 
+    nparams = lay0.nparams
+
     def body(state):
-        (it, q, t, pts_t, k, lam, nu, cost, done, g_inf, trace) = state
+        (it, q, t, pts_t, k, lam, nu, cost, done, g_inf, trace,
+         wp, wc) = state
+        warm = (wp, wc) if opt.cg_warm_start else None
         u_pose, u_cam, dp_list, predicted, g_inf = _fused_step(
             statics, lays, opt, q, t, pts_t, k, lam, free_arrays,
-            axis_name=axis_name, interpret=interpret)
+            axis_name=axis_name, interpret=interpret, warm=warm)
         q2 = quat_retract(q, u_pose[:, :3])
         t2 = t + u_pose[:, 3:]
         pts2 = tuple(p + dp for p, dp in zip(pts_t, dp_list))
@@ -545,8 +596,11 @@ def _fused_lm_loop_impl(statics, lays, pts0, problem, options,
             | (accept & (step_norm < opt.parameter_tolerance * x_norm))
             | (lam >= 1e10))
         trace = trace.at[it + 1].set(cost_new)
+        # Warm-start seed for the next iteration's PCG (the solver
+        # rescales it optimally against the new damped system, so no
+        # accept/reject adjustment is needed here).
         return (it + 1, q, t, pts_t, k, lam, nu, cost_new, done, g_inf,
-                trace)
+                trace, u_pose, u_cam[:, :nparams])
 
     def cond(state):
         return (state[0] < max_it) & (~state[8])
@@ -554,8 +608,10 @@ def _fused_lm_loop_impl(statics, lays, pts0, problem, options,
     trace0 = jnp.full((max_it + 1,), jnp.nan, jnp.float32).at[0].set(cost0)
     lam0 = jnp.asarray(1.0 / opt.initial_trust_radius, jnp.float32)
     init = (0, q0a, t0a, pts0, k0a, lam0, jnp.float32(2.0), cost0,
-            jnp.asarray(False), jnp.asarray(jnp.inf, jnp.float32), trace0)
-    (it, q, t, pts_t, k, lam, nu, cost, done, g_inf, trace) = \
+            jnp.asarray(False), jnp.asarray(jnp.inf, jnp.float32), trace0,
+            jnp.zeros((lay0.N, 6), jnp.float32),
+            jnp.zeros((lay0.C, nparams), jnp.float32))
+    (it, q, t, pts_t, k, lam, nu, cost, done, g_inf, trace, _, _) = \
         jax.lax.while_loop(cond, body, init)
 
     summary = BASummary(

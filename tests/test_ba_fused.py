@@ -470,3 +470,27 @@ def test_implicit_bf16_couplings_close_and_converges():
                     fused_mode="implicit", fused_ranged="on")
     out, summary = bf.bundle_adjust_fused(problem, opt, interpret=True)
     assert float(summary.final_cost) < 1e-4 * float(summary.initial_cost)
+
+
+@pytest.mark.parametrize("mode", ["dense", "implicit"])
+def test_cg_warm_start_converges(mode):
+    """Warm-started PCG (optimally rescaled previous-step seed,
+    optim/ba_fused.py::_pcg_2block) must reach the cold-start basin on
+    both reduced-solve paths — including surviving the NaN steps the
+    trust region emits (and rejects) at over-small damping, which the
+    seed's finite-s guard must not carry into later iterations."""
+    problem, _ = make_ba_problem(
+        num_images=24, num_points=300, observations_per_point=4,
+        pose_noise=0.01, point_noise=0.05, pixel_noise=0.0, seed=5,
+        dtype=jnp.float32)
+    finals = {}
+    for ws in (False, True):
+        opt = BAOptions(model_id=0, max_iterations=20, dtype="float32",
+                        fused_mode=mode, cg_warm_start=ws)
+        out, summary = bf.bundle_adjust_fused(problem, opt,
+                                              interpret=True)
+        finals[ws] = float(summary.final_cost)
+        assert finals[ws] < 1e-3 * float(summary.initial_cost)
+    # Same basin: warm start changes the CG iteration path, not the
+    # fixed point the trust region converges to.
+    assert finals[True] < 2.0 * finals[False] + 1e-6
