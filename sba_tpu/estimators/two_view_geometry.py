@@ -207,14 +207,38 @@ def estimate_two_view_geometry(
 
     qvec = np.array([1.0, 0, 0, 0])
     tvec = np.zeros(3)
-    if (opt.compute_relative_pose and calibrated and repE is not None
-            and config in (TwoViewConfig.CALIBRATED,
-                           TwoViewConfig.PLANAR_OR_PANORAMIC)):
+    if (opt.compute_relative_pose and calibrated
+            and config == TwoViewConfig.CALIBRATED and repE is not None):
         R, t, _ = pose_from_essential(repE.model, n1, n2, repE.inlier_mask)
         from sba_tpu.geometry.quaternions import np_rotmat_to_quat
         qvec = np_rotmat_to_quat(np.asarray(R))
         nrm = float(jnp.linalg.norm(t))
         tvec = np.asarray(t) / (nrm if nrm > 1e-12 else 1.0)
+    elif (opt.compute_relative_pose and calibrated
+          and config == TwoViewConfig.PLANAR_OR_PANORAMIC):
+        # Planar/panoramic pairs: pose from the HOMOGRAPHY decomposition
+        # (Malis/Vargas + cheirality voting), not from E — E is degenerate
+        # for pure rotation (t ~ 0) and ill-conditioned for planar scenes
+        # (ref: src/estimators/two_view_geometry.cc:203 ->
+        # src/base/homography_matrix.cc:186 PoseFromHomographyMatrix).
+        from sba_tpu.estimators.homography_matrix import \
+            pose_from_homography
+        from sba_tpu.geometry.quaternions import np_rotmat_to_quat
+        K1 = np.array([[f1x, 0, c1x], [0, f1y, c1y], [0, 0, 1.0]])
+        K2 = np.array([[f2x, 0, c2x], [0, f2y, c2y], [0, 0, 1.0]])
+        R, t, _, _ = pose_from_homography(
+            np.asarray(repH.model), K1, K2, np.asarray(xy1),
+            np.asarray(xy2), inlier_mask=np.asarray(repH.inlier_mask))
+        qvec = np_rotmat_to_quat(np.asarray(R))
+        nrm = float(np.linalg.norm(t))
+        # |t| = 0 resolves the ambiguity to PANORAMIC, else PLANAR
+        # (ref: two_view_geometry.cc:221-228).
+        if nrm <= 1e-12:
+            config = TwoViewConfig.PANORAMIC
+            tvec = np.zeros(3)
+        else:
+            config = TwoViewConfig.PLANAR
+            tvec = np.asarray(t) / nrm
 
     return TwoViewGeometryResult(
         config=int(config),

@@ -103,14 +103,18 @@ def can_use_fused(problem: BAProblem, options: BAOptions) -> bool:
     return platform in ("tpu", "axon")
 
 
-def _solve_reduced(S, b, free, opt: BAOptions, x0=None):
+def _solve_reduced(S, b, free, opt: BAOptions, x0=None, have_seed=None):
     """Dense solve of the masked reduced system.
 
     TPU note: jnp Cholesky goes through the XLA expander (~9 ms at
     D=896); Jacobi-PCG on the explicit S is latency-bound instead
     (~60 matvecs of a VMEM-resident [D, D]) and converges far below LM
     step tolerance because S is SPD + damped. `x0` warm-starts from the
-    previous LM iteration's step (opt.cg_warm_start).
+    previous LM iteration's step (opt.cg_warm_start); `have_seed`
+    (traced bool) gates the seed matvec behind lax.cond so the first LM
+    iteration's all-zero seed pays nothing, and the seed matvec counts
+    against opt.cg_iterations (the loop counter starts at 1 when a seed
+    matvec was spent), keeping matvec-budget comparisons honest.
     """
     S = S * free[:, None] * free[None, :] + jnp.diag(1.0 - free)
     b = b * free
@@ -136,28 +140,41 @@ def _solve_reduced(S, b, free, opt: BAOptions, x0=None):
 
     bnorm2 = jnp.maximum(jnp.dot(b, b), 1e-30)
     if x0 is None:
-        x_init, r_init = jnp.zeros_like(b), b
+        x_init, r_init, i0 = jnp.zeros_like(b), b, 0
     else:
-        # Optimally scaled seed (see _pcg_2block): ||r0|| <= ||b||,
-        # with the same finite-s guard against NaN carry-over.
-        x_init = x0 * free
-        Ax0 = S @ x_init
-        s = jnp.dot(b, Ax0) / jnp.maximum(jnp.dot(Ax0, Ax0), 1e-30)
-        ok = jnp.isfinite(s)
-        x_init = jnp.where(ok, s * x_init, 0.0)
-        r_init = jnp.where(ok, b - s * Ax0, b)
+        def _seeded(_):
+            # Optimally scaled seed (see _pcg_2block): ||r0|| <= ||b||,
+            # with the same finite-s guard against NaN carry-over.
+            xi = x0 * free
+            Ax0 = S @ xi
+            s = jnp.dot(b, Ax0) / jnp.maximum(jnp.dot(Ax0, Ax0), 1e-30)
+            ok = jnp.isfinite(s)
+            return (jnp.where(ok, s * xi, 0.0),
+                    jnp.where(ok, b - s * Ax0, b), jnp.int32(1))
+
+        def _cold(_):
+            return jnp.zeros_like(b), b, jnp.int32(0)
+
+        if have_seed is None:
+            x_init, r_init, i0 = _seeded(None)
+        else:
+            x_init, r_init, i0 = jax.lax.cond(have_seed, _seeded, _cold,
+                                              None)
     z0 = dinv * r_init
     _, x, _, _, _ = jax.lax.while_loop(
-        cond, body, (0, x_init, r_init, z0, jnp.dot(r_init, z0)))
+        cond, body, (jnp.int32(i0), x_init, r_init, z0,
+                     jnp.dot(r_init, z0)))
     return x * free
 
 def _pcg_2block(matvec, b_pose, b_cam, prec_p, d_cam, opt: BAOptions,
-                x0=None):
+                x0=None, have_seed=None):
     """PCG over the (pose [N,6], cam [C,np]) block pair with an implicit
     operator. `prec_p` applies the pose preconditioner (block-Jacobi
     [N,6,6] inverse or scalar Jacobi); the cam side is scalar Jacobi.
     Same stopping rule as `_solve_reduced`. `x0 = (x0p, x0c)` warm-starts
-    from the previous LM step at the cost of one extra matvec."""
+    from the previous LM step at the cost of one extra matvec, gated by
+    `have_seed` (lax.cond: the first iteration's zero seed skips it) and
+    counted against opt.cg_iterations."""
     dinv_c = 1.0 / jnp.where(d_cam > 1e-20, d_cam, 1.0)
 
     def dot(xp, xc, yp, yc):
@@ -188,6 +205,7 @@ def _pcg_2block(matvec, b_pose, b_cam, prec_p, d_cam, opt: BAOptions,
     if x0 is None:
         xp0, xc0 = jnp.zeros_like(b_pose), jnp.zeros_like(b_cam)
         rp0, rc0 = b_pose, b_cam
+        i0 = 0
     else:
         # Seed with the optimally SCALED previous step: s minimizing
         # ||b - s A x0|| makes ||r0|| <= ||b|| unconditionally, so the
@@ -195,22 +213,36 @@ def _pcg_2block(matvec, b_pose, b_cam, prec_p, d_cam, opt: BAOptions,
         # seeds diverge after LM rejects, where the damping jump makes
         # ||A x0|| >> ||b|| and PCG spends its whole budget undoing the
         # seed (observed: reject death-spiral to lambda=1e10).
-        xp0, xc0 = x0
-        Ap0, Ac0 = matvec(xp0, xc0)
-        s = (dot(b_pose, b_cam, Ap0, Ac0)
-             / jnp.maximum(dot(Ap0, Ac0, Ap0, Ac0), 1e-30))
-        # A non-finite s means the seed itself (a rejected NaN step at
-        # over-small damping) or A x0 overflowed — fall back to the cold
-        # start, otherwise the NaN re-enters every later iteration
-        # through the carried seed. (0 * NaN = NaN: jnp.where, not s=0.)
-        ok = jnp.isfinite(s)
-        xp0 = jnp.where(ok, s * xp0, 0.0)
-        xc0 = jnp.where(ok, s * xc0, 0.0)
-        rp0 = jnp.where(ok, b_pose - s * Ap0, b_pose)
-        rc0 = jnp.where(ok, b_cam - s * Ac0, b_cam)
+        def _seeded(_):
+            sp, sc = x0
+            Ap0, Ac0 = matvec(sp, sc)
+            s = (dot(b_pose, b_cam, Ap0, Ac0)
+                 / jnp.maximum(dot(Ap0, Ac0, Ap0, Ac0), 1e-30))
+            # A non-finite s means the seed itself (a rejected NaN step
+            # at over-small damping) or A x0 overflowed — fall back to
+            # the cold start, otherwise the NaN re-enters every later
+            # iteration through the carried seed. (0 * NaN = NaN:
+            # jnp.where, not s=0.)
+            ok = jnp.isfinite(s)
+            return (jnp.where(ok, s * sp, 0.0),
+                    jnp.where(ok, s * sc, 0.0),
+                    jnp.where(ok, b_pose - s * Ap0, b_pose),
+                    jnp.where(ok, b_cam - s * Ac0, b_cam),
+                    jnp.int32(1))
+
+        def _cold(_):
+            return (jnp.zeros_like(b_pose), jnp.zeros_like(b_cam),
+                    b_pose, b_cam, jnp.int32(0))
+
+        if have_seed is None:
+            xp0, xc0, rp0, rc0, i0 = _seeded(None)
+        else:
+            xp0, xc0, rp0, rc0, i0 = jax.lax.cond(
+                have_seed, _seeded, _cold, None)
     zp0 = prec_p(rp0)
     zc0 = dinv_c * rc0
-    init = (0, xp0, xc0, rp0, rc0, zp0, zc0, dot(rp0, rc0, zp0, zc0))
+    init = (jnp.int32(i0), xp0, xc0, rp0, rc0, zp0, zc0,
+            dot(rp0, rc0, zp0, zc0))
     _, xp, xc, *_ = jax.lax.while_loop(cond, body, init)
     return xp, xc
 
@@ -307,7 +339,7 @@ def _bucketize(problem: BAProblem, options: BAOptions, TP: int = 128,
 
 def _fused_step(statics, lays, opt, qvecs, tvecs, pts_list, cams,
                 lam, free_arrays, axis_name=None, interpret=False,
-                warm=None):
+                warm=None, have_seed=None):
     """One linearize + solve over all buckets. Returns (u_pose [N,6],
     u_cam [C,12], dp_list (per-bucket [3, Pp]), predicted, g_inf).
 
@@ -453,7 +485,8 @@ def _fused_step(statics, lays, opt, qvecs, tvecs, pts_list, cams,
         x0 = None if warm is None else (warm[0] * free_pose,
                                         warm[1] * free_cam_np)
         u_pose, u_cam_np = _pcg_2block(matvec, b_pose, b_cam,
-                                       prec_p, diag_c, opt, x0=x0)
+                                       prec_p, diag_c, opt, x0=x0,
+                                       have_seed=have_seed)
         u_pose = u_pose * free_pose
         u_cam_np = u_cam_np * free_cam_np
     else:
@@ -488,7 +521,7 @@ def _fused_step(statics, lays, opt, qvecs, tvecs, pts_list, cams,
                 (warm[0] * free_pose).reshape(-1))
             x0 = x0.at[ci_np.reshape(-1)].set(
                 (warm[1] * free_cam_np).reshape(-1))
-        du = _solve_reduced(S, b, free, opt, x0=x0)
+        du = _solve_reduced(S, b, free, opt, x0=x0, have_seed=have_seed)
         u_pose = du[:6 * Npad].reshape(6, Npad).T[:N] * free_pose
         u_cam_np = du[6 * Npad:6 * Npad + 12 * C] \
             .reshape(12, C).T[:, :nparams] * free_cam_np
@@ -559,7 +592,8 @@ def _fused_lm_loop_impl(statics, lays, pts0, problem, options,
         warm = (wp, wc) if opt.cg_warm_start else None
         u_pose, u_cam, dp_list, predicted, g_inf = _fused_step(
             statics, lays, opt, q, t, pts_t, k, lam, free_arrays,
-            axis_name=axis_name, interpret=interpret, warm=warm)
+            axis_name=axis_name, interpret=interpret, warm=warm,
+            have_seed=None if warm is None else it > 0)
         q2 = quat_retract(q, u_pose[:, :3])
         t2 = t + u_pose[:, 3:]
         pts2 = tuple(p + dp for p, dp in zip(pts_t, dp_list))

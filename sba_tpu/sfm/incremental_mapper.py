@@ -187,7 +187,14 @@ class IncrementalMapper:
                 max_error=options.init_max_error,
                 min_num_inliers=options.init_min_num_inliers),
             seed=self._next_seed(), mask=vmask)
-        if res.config != int(TwoViewConfig.CALIBRATED) or \
+        # CALIBRATED pairs take pose from E; PLANAR pairs from the
+        # homography decomposition (estimate_two_view_geometry resolves
+        # PLANAR_OR_PANORAMIC to PLANAR/PANORAMIC via |t|). PANORAMIC
+        # (pure rotation) cannot initialize — the reference reaches the
+        # same rejection through its init_min_tri_angle check
+        # (ref: sfm/incremental_mapper.cc:1188-1190).
+        if res.config not in (int(TwoViewConfig.CALIBRATED),
+                              int(TwoViewConfig.PLANAR)) or \
                 res.num_inliers < options.init_min_num_inliers:
             return None
         # Cheirality + angle: triangulate inliers with the relative pose.

@@ -55,13 +55,98 @@ def test_calibrated_pair():
 
 
 def test_planar_pair_detected():
-    xy1, xy2, K, _, _ = make_pair(planar=True, noise=0.1)
+    xy1, xy2, K, q_true, t_true = make_pair(planar=True, noise=0.1)
     res = estimate_two_view_geometry(
         xy1, xy2, K, K, image_size1=(640, 480), image_size2=(640, 480))
-    assert res.config in (int(TwoViewConfig.PLANAR_OR_PANORAMIC),
+    # PLANAR_OR_PANORAMIC now resolves to PLANAR/PANORAMIC via the
+    # homography decomposition (ref: two_view_geometry.cc:221-228).
+    assert res.config in (int(TwoViewConfig.PLANAR),
                           int(TwoViewConfig.CALIBRATED))
     # H must explain nearly everything on a plane.
     assert res.num_inliers > 90
+    # The H-decomposed pose must agree with ground truth: this is the
+    # configuration where pose-from-E is ill-conditioned
+    # (ref: src/base/homography_matrix.cc:186).
+    R_est = np.asarray(quat_to_rotmat(jnp.asarray(res.qvec)))
+    R_true = np.asarray(quat_to_rotmat(jnp.asarray(q_true)))
+    # Tolerances reflect H-from-noisy-RANSAC accuracy (0.1 px noise), not
+    # the decomposition: the noise-free path is exact to 1e-6
+    # (test_pose_from_homography_cheirality).
+    assert np.abs(R_est - R_true).max() < 0.03
+    t_dir = t_true / np.linalg.norm(t_true)
+    assert np.abs(res.tvec - t_dir).max() < 0.15
+
+
+def test_panoramic_pair_pure_rotation():
+    """Pure-rotation pair: E is degenerate (t = 0); the H decomposition
+    must detect the rotation-only case and report PANORAMIC with the
+    correct R (ref: homography_matrix.cc:96-103 rotation branch)."""
+    rng = np.random.default_rng(3)
+    f, cx, cy = 500.0, 320.0, 240.0
+    n = 150
+    pts = rng.uniform(-1, 1, (n, 3))
+    pts[:, 2] = rng.uniform(3, 8, n)
+    q = np.asarray(angle_axis_to_quat(jnp.array([0.03, 0.12, 0.01])))
+    p2 = np.asarray(quat_rotate(jnp.asarray(q)[None], jnp.asarray(pts)))
+    xy1 = pts[:, :2] / pts[:, 2:] * f + [cx, cy]
+    xy2 = p2[:, :2] / p2[:, 2:] * f + [cx, cy]
+    keep = ((xy2[:, 0] > 0) & (xy2[:, 0] < 640)
+            & (xy2[:, 1] > 0) & (xy2[:, 1] < 480))
+    xy1, xy2 = xy1[keep], xy2[keep]
+    res = estimate_two_view_geometry(
+        xy1, xy2, (f, f, cx, cy), (f, f, cx, cy),
+        image_size1=(640, 480), image_size2=(640, 480))
+    assert res.config == int(TwoViewConfig.PANORAMIC)
+    assert np.linalg.norm(res.tvec) == 0.0
+    R_est = np.asarray(quat_to_rotmat(jnp.asarray(res.qvec)))
+    R_true = np.asarray(quat_to_rotmat(jnp.asarray(q)))
+    assert np.abs(R_est - R_true).max() < 1e-3
+
+
+def test_decompose_homography_roundtrip():
+    """Compose H from (R, t, n, d) with the reference formula
+    (ref: homography_matrix.cc:276 HomographyMatrixFromPose) and verify
+    the Malis/Vargas decomposition returns a candidate matching it."""
+    from sba_tpu.estimators.homography_matrix import decompose_homography
+
+    f, cx, cy = 500.0, 320.0, 240.0
+    K = np.array([[f, 0, cx], [0, f, cy], [0, 0, 1.0]])
+    q = np.asarray(angle_axis_to_quat(jnp.array([0.05, 0.1, 0.02])))
+    R = np.asarray(quat_to_rotmat(jnp.asarray(q)))
+    t = np.array([0.4, 0.05, 0.1])
+    nrm = np.array([0.1, -0.05, -1.0])
+    nrm = nrm / np.linalg.norm(nrm)
+    d = 4.0
+    H = K @ (R - np.outer(t, nrm) / d) @ np.linalg.inv(K)
+    Rs, ts, ns = decompose_homography(H, K, K)
+    assert len(Rs) == 4
+    errs = []
+    for Ri, ti, ni in zip(Rs, ts, ns):
+        errs.append(np.abs(Ri - R).max() + np.abs(ti - t / d).max()
+                    + np.abs(ni - nrm).max())
+    assert min(errs) < 1e-6
+
+
+def test_pose_from_homography_cheirality():
+    """Cheirality voting over the 8 sign candidates picks the true
+    (R, t) for a planar scene (ref: homography_matrix.cc:186)."""
+    from sba_tpu.estimators.homography_matrix import pose_from_homography
+
+    xy1, xy2, Kt, q_true, t_true = make_pair(planar=True, noise=0.0,
+                                             seed=5)
+    f = Kt[0]
+    K = np.array([[f, 0, Kt[2]], [0, f, Kt[3]], [0, 0, 1.0]])
+    R_true = np.asarray(quat_to_rotmat(jnp.asarray(q_true)))
+    nrm = np.array([0.0, 0.0, 1.0])
+    d = 4.0
+    # Plane z=4 with x2 = R x1 + t => H = K (R + t n^T / d) K^-1.
+    H = K @ (R_true + np.outer(t_true, nrm) / d) @ np.linalg.inv(K)
+    R, t, n, pts3 = pose_from_homography(H, K, K, xy1, xy2)
+    assert np.abs(R - R_true).max() < 1e-6
+    t_dir_est = t / np.linalg.norm(t)
+    t_dir = t_true / np.linalg.norm(t_true)
+    assert np.abs(t_dir_est - t_dir).max() < 1e-6
+    assert len(pts3) > 100
 
 
 def test_uncalibrated_pair():
