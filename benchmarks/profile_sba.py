@@ -59,10 +59,15 @@ def main():
                                               soft=True).sum())
     print(f"soft residual pass: {timeit(lambda: jax.block_until_ready(f_soft(problem)))*1e3:.1f} ms")
 
-    # (c) linearization (chunked): H,g,cost
+    # (c) linearization (chunked): H,g,cost — analytic vs jacfwd
+    import dataclasses
+    opt_j = dataclasses.replace(opt, linearize="jacfwd")
     f_lin = jax.jit(lambda p: jax.tree.map(
-        jnp.sum, _linearize_system(p, opt)))
+        jnp.sum, _linearize_system(p, opt_j)))
     print(f"jacfwd linearize+assemble: {timeit(lambda: jax.block_until_ready(f_lin(problem)))*1e3:.1f} ms")
+    f_lina = jax.jit(lambda p: jax.tree.map(
+        jnp.sum, _linearize_system(p, opt)))
+    print(f"analytic linearize+assemble: {timeit(lambda: jax.block_until_ready(f_lina(problem)))*1e3:.1f} ms")
 
     # (c2) unchunked single-chunk jacobian pass on a slice of pairs
     nsl = 512

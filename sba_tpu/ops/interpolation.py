@@ -153,7 +153,7 @@ def bilinear_depth_u8_flat(flat_u32, H, W, base, x, y, lo, hi, fill=0.0):
     sample's map offset (pd * H * W); lo/hi its dequant range. Takes
     x/y as separate component arrays (full-lane layout)."""
     x0c, y0c, fxe, fye, inb = _bilinear_setup_xy(H, W, x, y)
-    u = jnp.take(flat_u32, base + y0c * W + x0c)
+    u = _take_u32_rowsel(flat_u32, base + y0c * W + x0c)
     dq = (hi - lo) / 255.0
     v00 = (u & 0xFF).astype(x.dtype)
     v01 = ((u >> 8) & 0xFF).astype(x.dtype)
@@ -164,11 +164,73 @@ def bilinear_depth_u8_flat(flat_u32, H, W, base, x, y, lo, hi, fill=0.0):
     return jnp.where(inb, v, fill)
 
 
+def _take_u32_rowsel(flat_u32, fi):
+    """u32 gather via row-gather + one-hot lane select.
+
+    XLA's flat 1-D `jnp.take` costs ~11.8 ns/element on v5e; gathering
+    the (8,128)-tiled ROW containing the element and reducing a one-hot
+    lane mask measures 6.2 ns/element (benchmarks/gather_micro3.py v3 —
+    XLA fuses the select into the gather). Requires len(flat_u32) to be
+    a multiple of 128 (hot-path maps are 640x480; callers fall back to
+    jnp.take otherwise)."""
+    if flat_u32.shape[0] % 128 != 0:
+        return jnp.take(flat_u32, fi)
+    t2 = flat_u32.reshape(-1, 128)
+    rows = jnp.take(t2, fi // 128, axis=0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, rows.shape, 1)
+    return jnp.where(lane == (fi % 128)[:, None], rows,
+                     jnp.zeros_like(rows)).sum(axis=1)
+
+
+def bilinear_depth_u8_grad(flat_u32, H, W, base, x, y, lo, hi, fill=0.0):
+    """`bilinear_depth_u8_flat` + analytic screen-space derivatives.
+
+    Returns (value, d/dx, d/dy) with the derivatives matching EXACTLY
+    what jacfwd of the flat sampler computes (zero outside `inb`, zero
+    across the edge clamp) — the analytic SBA linearization consumes
+    them so the map gathers happen once, not once per pose tangent."""
+    x0c, y0c, fxe, fye, inb = _bilinear_setup_xy(H, W, x, y)
+    u = _take_u32_rowsel(flat_u32, base + y0c * W + x0c)
+    dq = (hi - lo) / 255.0
+    v00 = (u & 0xFF).astype(x.dtype)
+    v01 = ((u >> 8) & 0xFF).astype(x.dtype)
+    v10 = ((u >> 16) & 0xFF).astype(x.dtype)
+    v11 = ((u >> 24) & 0xFF).astype(x.dtype)
+    v = ((1 - fye) * ((1 - fxe) * v00 + fxe * v01)
+         + fye * ((1 - fxe) * v10 + fxe * v11)) * dq + lo
+    zero = jnp.zeros_like(x)
+    dfx = jnp.where(inb & (x0c < W - 1), dq, 0.0)
+    dfy = jnp.where(inb & (y0c < H - 1), dq, 0.0)
+    ddx = ((1 - fye) * (v01 - v00) + fye * (v11 - v10)) * dfx
+    ddy = ((1 - fxe) * (v10 - v00) + fxe * (v11 - v01)) * dfy
+    return jnp.where(inb, v, fill), ddx, ddy
+
+
+def bilinear_label_agreement_grad(flat_u32, H, W, base, x, y, label,
+                                  fill=0.0):
+    """`bilinear_label_agreement_flat` + analytic screen derivatives
+    (see bilinear_depth_u8_grad)."""
+    x0c, y0c, fxe, fye, inb = _bilinear_setup_xy(H, W, x, y)
+    u = _take_u32_rowsel(flat_u32, base + y0c * W + x0c)
+    lab = label.astype(jnp.uint32)
+    a00 = ((u & 0xFF) == lab).astype(x.dtype)
+    a01 = (((u >> 8) & 0xFF) == lab).astype(x.dtype)
+    a10 = (((u >> 16) & 0xFF) == lab).astype(x.dtype)
+    a11 = (((u >> 24) & 0xFF) == lab).astype(x.dtype)
+    p = ((1 - fye) * ((1 - fxe) * a00 + fxe * a01)
+         + fye * ((1 - fxe) * a10 + fxe * a11))
+    dfx = jnp.where(inb & (x0c < W - 1), 1.0, 0.0)
+    dfy = jnp.where(inb & (y0c < H - 1), 1.0, 0.0)
+    ddx = ((1 - fye) * (a01 - a00) + fye * (a11 - a10)) * dfx
+    ddy = ((1 - fxe) * (a10 - a00) + fxe * (a11 - a01)) * dfy
+    return jnp.where(inb, p, fill), ddx, ddy
+
+
 def bilinear_label_agreement_flat(flat_u32, H, W, base, x, y, label, fill=0.0):
     """`bilinear_label_agreement_packed` against a flattened map stack
     (one flat-index gather; see bilinear_depth_u8_flat)."""
     x0c, y0c, fxe, fye, inb = _bilinear_setup_xy(H, W, x, y)
-    u = jnp.take(flat_u32, base + y0c * W + x0c)
+    u = _take_u32_rowsel(flat_u32, base + y0c * W + x0c)
     lab = label.astype(jnp.uint32)
     a00 = ((u & 0xFF) == lab).astype(x.dtype)
     a01 = (((u >> 8) & 0xFF) == lab).astype(x.dtype)

@@ -59,8 +59,10 @@ from sba_tpu.geometry.quaternions import (
 from sba_tpu.ops.interpolation import (
     bilinear_label_agreement,
     bilinear_label_agreement_flat,
+    bilinear_label_agreement_grad,
     bilinear_sample2d,
     bilinear_depth_u8_flat,
+    bilinear_depth_u8_grad,
     nearest_sample2d,
     pack_depth_nbhd_u8,
     pack_label_neighborhood,
@@ -119,6 +121,13 @@ class SBAOptions:
     tau_depth: float = 0.25          # soft depth-gate sharpness (x threshold)
     tau_bounds: float = 2.0          # soft bounds-gate sharpness, pixels
     numeric_step: float = 1e-3       # ref numeric_relative_step_size
+    # Soft-mode linearization: "analytic" = closed-form chain-rule
+    # Jacobian blocks (one gather pass, ~4x faster than jacfwd at the
+    # 50-img production shape); "jacfwd" = 12-tangent forward-mode
+    # (the reference implementation of the same derivatives; kept for
+    # parity tests). Packed maps required for analytic; falls back to
+    # jacfwd otherwise.
+    linearize: str = "analytic"
     # Pair-chunked linearization: 0 = auto (bound one chunk to ~4M
     # (pair, pixel) samples so 100+ full-res images fit; see
     # _linearize_system). Set explicitly to tune chunk size.
@@ -281,6 +290,165 @@ def _pair_residual_hard(q_src, t_src, q_dst, t_dst, cam_src, cam_dst,
 
 
 # ---------------------------------------------------------------------------
+# Analytic linearization (the soft-mode hot path)
+# ---------------------------------------------------------------------------
+
+def _pair_linearize_analytic(q_src, t_src, q_dst, t_dst, cam_src, cam_dst,
+                             HW, px, py, src_depth, src_label,
+                             opt: SBAOptions, depth_packed, label_packed,
+                             base, depth_lo, depth_hi):
+    """One ordered pair's residuals + condensed Jacobian blocks, closed
+    form. Returns (r [S], P [9, S]) where P rows are the three 3-vector
+    blocks (a, b, G) that generate the full 12-DoF Jacobian:
+
+        J = [a | b | -a | G]   over (omega_src, t_src, omega_dst, t_dst)
+
+    Derivation: with right-multiplicative quaternion retraction
+    (quat_retract), the camera-point Jacobians are
+        dc/d omega_src = R_d [w]x,   dc/d t_src = -R_d R_s^T,
+        dc/d omega_dst = -R_d [w]x,  dc/d t_dst = I,
+    so for G = dr/dc (chain through screen gates + bilinear samples,
+    whose x/y derivatives come FREE from the already-gathered corner
+    values): a = (R_d^T G) x w, b = -R_s (R_d^T G). One gather pass
+    per map per iteration — replacing the 13-pass jacfwd over the same
+    gathers (the hot kernel of ref src/base/semantic_cost_functions.h:
+    88-208, which pays 2 evals x 12-14 DoF of numeric diff instead).
+    All per-sample arrays are full-lane [S] components (no [S,3]
+    tile padding)."""
+    from sba_tpu.geometry.quaternions import quat_to_rotmat
+
+    Hm, Wm = HW
+    f = cam_src[0]
+    d = src_depth
+    x1 = (px - cam_src[1]) / f * d
+    y1 = (py - cam_src[2]) / f * d
+    Rs = quat_to_rotmat(q_src)
+    ax = x1 - t_src[0]
+    ay = y1 - t_src[1]
+    az = d - t_src[2]
+    # world point w = R_s^T (p1 - t_s)
+    wx = Rs[0, 0] * ax + Rs[1, 0] * ay + Rs[2, 0] * az
+    wy = Rs[0, 1] * ax + Rs[1, 1] * ay + Rs[2, 1] * az
+    wz = Rs[0, 2] * ax + Rs[1, 2] * ay + Rs[2, 2] * az
+    Rd = quat_to_rotmat(q_dst)
+    cx2 = Rd[0, 0] * wx + Rd[0, 1] * wy + Rd[0, 2] * wz + t_dst[0]
+    cy2 = Rd[1, 0] * wx + Rd[1, 1] * wy + Rd[1, 2] * wz + t_dst[1]
+    z2 = Rd[2, 0] * wx + Rd[2, 1] * wy + Rd[2, 2] * wz + t_dst[2]
+    okz = jnp.abs(z2) > 1e-12
+    safe_z = jnp.where(okz, z2, 1e-12)
+    zi = 1.0 / safe_z
+    fd = cam_dst[0]
+    x2 = fd * cx2 * zi + cam_dst[1]
+    y2 = fd * cy2 * zi + cam_dst[2]
+
+    # --- gates + samples (primal) ---
+    tb = opt.tau_bounds
+    sa = jax.nn.sigmoid(x2 / tb)
+    sb = jax.nn.sigmoid((Wm - 1 - x2) / tb)
+    sc = jax.nn.sigmoid(y2 / tb)
+    sd_ = jax.nn.sigmoid((Hm - 1 - y2) / tb)
+    sz = jax.nn.sigmoid(z2 / 0.01)
+    gb = sa * sb * sc * sd_ * sz
+    depth2, dD_dx, dD_dy = bilinear_depth_u8_grad(
+        depth_packed, Hm, Wm, base, x2, y2, depth_lo, depth_hi,
+        fill=-1e6)
+    delta = depth2 - z2
+    thr = opt.depth_error_threshold
+    tau = opt.tau_depth * thr
+    gd = jax.nn.sigmoid((thr - jnp.abs(delta)) / tau)
+    agree, dA_dx, dA_dy = bilinear_label_agreement_grad(
+        label_packed, Hm, Wm, base, x2, y2, src_label, fill=0.0)
+    valid = (src_depth > 0).astype(x2.dtype)
+    r = valid * (1.0 - gb * gd * agree)
+
+    # --- screen-space gradient of r ---
+    dgb_dx = gb * (sb - sa) / tb
+    dgb_dy = gb * (sd_ - sc) / tb
+    dgb_dz = gb * (1.0 - sz) / 0.01
+    dgd_dDelta = -gd * (1.0 - gd) * jnp.sign(delta) / tau
+    dgd_dx = dgd_dDelta * dD_dx
+    dgd_dy = dgd_dDelta * dD_dy
+    dgd_dz = -dgd_dDelta
+    ga = gd * agree
+    Gx = -valid * (dgb_dx * ga + gb * (dgd_dx * agree + gd * dA_dx))
+    Gy = -valid * (dgb_dy * ga + gb * (dgd_dy * agree + gd * dA_dy))
+    Gz = -valid * (dgb_dz * ga + gb * dgd_dz * agree)
+
+    # --- chain to camera-frame gradient G = dr/dc ---
+    Gcx = Gx * fd * zi
+    Gcy = Gy * fd * zi
+    Gcz = Gz + jnp.where(okz, -(Gx * cx2 + Gy * cy2) * fd * zi * zi, 0.0)
+
+    # h = R_d^T G
+    hx = Rd[0, 0] * Gcx + Rd[1, 0] * Gcy + Rd[2, 0] * Gcz
+    hy = Rd[0, 1] * Gcx + Rd[1, 1] * Gcy + Rd[2, 1] * Gcz
+    hz = Rd[0, 2] * Gcx + Rd[1, 2] * Gcy + Rd[2, 2] * Gcz
+    # a = h x w (omega_src block; omega_dst = -a)
+    a_x = hy * wz - hz * wy
+    a_y = hz * wx - hx * wz
+    a_z = hx * wy - hy * wx
+    # b = -R_s h (t_src block)
+    b_x = -(Rs[0, 0] * hx + Rs[0, 1] * hy + Rs[0, 2] * hz)
+    b_y = -(Rs[1, 0] * hx + Rs[1, 1] * hy + Rs[1, 2] * hz)
+    b_z = -(Rs[2, 0] * hx + Rs[2, 1] * hy + Rs[2, 2] * hz)
+    P = jnp.stack([a_x, a_y, a_z, b_x, b_y, b_z, Gcx, Gcy, Gcz], axis=0)
+    return r, P
+
+
+# Column map expanding the condensed [9] block rows (a, b, G) to the
+# 12 local DoF [omega_src | t_src | omega_dst | t_dst] = [a | b | -a | G].
+_ANALYTIC_COLS = np.array([0, 1, 2, 3, 4, 5, 0, 1, 2, 6, 7, 8])
+_ANALYTIC_SIGNS = np.array([1.0, 1, 1, 1, 1, 1, -1, -1, -1, 1, 1, 1])
+
+
+def _pair_blocks_analytic(problem: SBAProblem, opt: SBAOptions,
+                          pair_src, pair_dst, pair_mask):
+    """(Hq [Q,12,12], gq [Q,12], cost) via the analytic path."""
+    qvecs, tvecs = problem.qvecs, problem.tvecs
+    Hm, Wm = problem.depth_maps.shape[-2:]
+
+    def one(ps, pd):
+        return _pair_linearize_analytic(
+            qvecs[ps], tvecs[ps], qvecs[pd], tvecs[pd],
+            problem.cam_params[ps], problem.cam_params[pd], (Hm, Wm),
+            problem.pix_xy[:, 0], problem.pix_xy[:, 1],
+            problem.src_depth[ps], problem.src_label[ps], opt,
+            problem.depth_packed, problem.label_packed, pd * Hm * Wm,
+            problem.depth_range[pd, 0], problem.depth_range[pd, 1])
+
+    r, P = jax.vmap(one)(pair_src, pair_dst)   # r [Q,S], P [Q,9,S]
+    s = r * r
+    cost = 0.5 * jnp.sum(loss_value(opt.loss, s, opt.loss_scale)
+                         * pair_mask[:, None])
+    w = pair_mask[:, None] * loss_weight(opt.loss, s, opt.loss_scale)
+    sw = jnp.sqrt(w)
+    rw = r * sw
+    Pw = P * sw[:, None, :]
+    M9 = jnp.einsum("qis,qjs->qij", Pw, Pw)
+    v9 = jnp.einsum("qis,qs->qi", Pw, rw)
+    cols = _ANALYTIC_COLS
+    sg = jnp.asarray(_ANALYTIC_SIGNS, r.dtype)
+    Hq = M9[:, cols][:, :, cols] * (sg[:, None] * sg[None, :])[None]
+    gq = v9[:, cols] * sg[None]
+    # Free-parameter masks (gauge/constant poses): identical in effect
+    # to masking the J columns before J^T J.
+    free_pose = jnp.concatenate(
+        [jnp.repeat(problem.free_rot[:, None], 3, axis=1),
+         problem.free_trans], axis=1)  # [N, 6]
+    m12 = jnp.concatenate([free_pose[pair_src], free_pose[pair_dst]],
+                          axis=1)      # [Q, 12]
+    Hq = Hq * m12[:, :, None] * m12[:, None, :]
+    gq = gq * m12
+    return Hq, gq, cost
+
+
+def _use_analytic(problem: SBAProblem, opt: SBAOptions) -> bool:
+    return (opt.mode == "soft" and opt.linearize == "analytic"
+            and problem.depth_packed is not None
+            and problem.label_packed is not None)
+
+
+# ---------------------------------------------------------------------------
 # Residual fields over all pairs
 # ---------------------------------------------------------------------------
 
@@ -429,14 +597,18 @@ def _pair_jacobians(problem: SBAProblem, opt: SBAOptions,
 
 def _assemble_dense(problem: SBAProblem, r, J,
                     pair_src=None, pair_dst=None):
-    """Scatter per-pair blocks into dense H [6N,6N], g [6N]."""
-    N = problem.qvecs.shape[0]
-    Q = r.shape[0]
+    """Scatter per-pair (r, J) into dense H [6N,6N], g [6N]."""
     Hq = jnp.einsum("qsi,qsj->qij", J, J)        # [Q,12,12]
     gq = jnp.einsum("qsi,qs->qi", J, r)          # [Q,12]
+    return _assemble_from_blocks(problem, Hq, gq, pair_src, pair_dst)
 
-    H = jnp.zeros((N, 6, N, 6), J.dtype)
-    g = jnp.zeros((N, 6), J.dtype)
+
+def _assemble_from_blocks(problem: SBAProblem, Hq, gq,
+                          pair_src=None, pair_dst=None):
+    """Scatter per-pair 12x12 blocks into dense H [6N,6N], g [6N]."""
+    N = problem.qvecs.shape[0]
+    H = jnp.zeros((N, 6, N, 6), Hq.dtype)
+    g = jnp.zeros((N, 6), Hq.dtype)
     ps = problem.pair_src if pair_src is None else pair_src
     pd = problem.pair_dst if pair_dst is None else pair_dst
     H = H.at[ps, :, ps, :].add(Hq[:, :6, :6])
@@ -466,13 +638,24 @@ def _linearize_system(problem: SBAProblem, opt: SBAOptions):
     FLOPs, fewer but reused buffers)."""
     Q = problem.pair_src.shape[0]
     S = problem.pix_xy.shape[0]
+    analytic = _use_analytic(problem, opt)
     chunk = getattr(opt, "pair_chunk", 0)
     if chunk <= 0:
         chunk = max(1, _SBA_CHUNK_SAMPLES // max(S, 1))
+
+    def lin(src, dst, msk):
+        if analytic:
+            Hq, gq, c = _pair_blocks_analytic(problem, opt, src, dst,
+                                              msk)
+        else:
+            r, J, c = _pair_jacobians(problem, opt, src, dst, msk)
+            Hq = jnp.einsum("qsi,qsj->qij", J, J)
+            gq = jnp.einsum("qsi,qs->qi", J, r)
+        Hb, gb = _assemble_from_blocks(problem, Hq, gq, src, dst)
+        return Hb, gb, c
+
     if Q <= chunk:
-        r, J, cost = _pair_jacobians(problem, opt)
-        H, g = _assemble_dense(problem, r, J)
-        return H, g, cost
+        return lin(problem.pair_src, problem.pair_dst, problem.pair_mask)
 
     nch = -(-Q // chunk)
     pad = nch * chunk - Q
@@ -492,8 +675,7 @@ def _linearize_system(problem: SBAProblem, opt: SBAOptions):
     def step(carry, blk):
         H, g, cost = carry
         src, dst, msk = blk
-        r, J, c = _pair_jacobians(problem, opt, src, dst, msk)
-        Hb, gb = _assemble_dense(problem, r, J, src, dst)
+        Hb, gb, c = lin(src, dst, msk)
         return (H + Hb, g + gb, cost + c), None
 
     init = (jnp.zeros((6 * N, 6 * N), dt), jnp.zeros(6 * N, dt),

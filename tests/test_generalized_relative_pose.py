@@ -1,0 +1,109 @@
+"""GR6P (rig-to-rig relative pose) tests.
+
+The reference's estimator (src/estimators/generalized_relative_pose.{h,cc})
+ships with a synthetic-recovery unit test style; same here: exact rig
+correspondences + noise + outliers, recover the rig transform.
+"""
+
+import numpy as np
+import pytest
+
+from sba_tpu.estimators.generalized_relative_pose import (
+    GeneralizedRelativePoseOptions,
+    estimate_generalized_relative_pose,
+    generalized_sampson_errors,
+    gr6p_solve,
+)
+
+
+def _rotz(a):
+    c, s = np.cos(a), np.sin(a)
+    return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
+
+
+def _roty(a):
+    c, s = np.cos(a), np.sin(a)
+    return np.array([[c, 0, s], [0, 1.0, 0], [-s, 0, c]])
+
+
+def make_rig_pair(n=40, noise=0.0, outlier_frac=0.0, seed=0,
+                  R_true=None, t_true=None):
+    """Two rig frames observing one point cloud. Rig has 3 cameras with
+    distinct extrinsics; each correspondence is observed by a random
+    camera in each frame. Returns per-correspondence arrays + truth."""
+    rng = np.random.default_rng(seed)
+    # camera-from-rig extrinsics (3 cameras, offset + slight rotations)
+    cams = []
+    for k, (dx, ang) in enumerate([(-0.3, -0.25), (0.0, 0.0),
+                                   (0.3, 0.25)]):
+        Rc = _roty(ang)
+        tc = -Rc @ np.array([dx, 0.0, 0.0])   # center at (dx, 0, 0)
+        cams.append((Rc, tc))
+    if R_true is None:
+        R_true = _rotz(0.15) @ _roty(-0.1)
+    if t_true is None:
+        t_true = np.array([0.5, 0.2, 0.1])
+
+    pts = np.stack([rng.uniform(-3, 3, n), rng.uniform(-2, 2, n),
+                    rng.uniform(4, 10, n)], axis=1)  # rig-1 frame
+    ci1 = rng.integers(0, 3, n)
+    ci2 = rng.integers(0, 3, n)
+    cam_R1 = np.stack([cams[i][0] for i in ci1])
+    cam_t1 = np.stack([cams[i][1] for i in ci1])
+    cam_R2 = np.stack([cams[i][0] for i in ci2])
+    cam_t2 = np.stack([cams[i][1] for i in ci2])
+
+    p_c1 = np.einsum("kij,kj->ki", cam_R1, pts) + cam_t1
+    # rig2 frame: X2 = R (X1 - ??) ... rig1->rig2: X2 = R X1 + t
+    pts2 = pts @ R_true.T + t_true
+    p_c2 = np.einsum("kij,kj->ki", cam_R2, pts2) + cam_t2
+    xy1 = p_c1[:, :2] / p_c1[:, 2:]
+    xy2 = p_c2[:, :2] / p_c2[:, 2:]
+    xy1 += rng.normal(0, noise, xy1.shape)
+    xy2 += rng.normal(0, noise, xy2.shape)
+    n_out = int(outlier_frac * n)
+    if n_out:
+        xy2[:n_out] = rng.uniform(-0.5, 0.5, (n_out, 2))
+    return (cam_R1, cam_t1, xy1, cam_R2, cam_t2, xy2, R_true, t_true,
+            n_out)
+
+
+def test_gr6p_minimal_exact():
+    """Noise-free 8-point solve recovers the rig transform among the
+    returned candidates (ref returns 4 models; RANSAC disambiguates)."""
+    (cR1, ct1, xy1, cR2, ct2, xy2, R_true, t_true, _) = make_rig_pair(
+        n=8, seed=1)
+    models = gr6p_solve(cR1, ct1, xy1, cR2, ct2, xy2, seed=0)
+    errs = []
+    for R, t in models:
+        errs.append(np.abs(R - R_true).max() + np.abs(t - t_true).max())
+    assert min(errs) < 1e-3
+
+
+def test_gr6p_sampson_zero_at_truth():
+    (cR1, ct1, xy1, cR2, ct2, xy2, R_true, t_true, _) = make_rig_pair(
+        n=30, seed=2)
+    err = generalized_sampson_errors(R_true, t_true, cR1, ct1, xy1,
+                                     cR2, ct2, xy2)
+    assert float(np.max(err)) < 1e-16
+
+
+def test_gr6p_ransac_with_outliers():
+    (cR1, ct1, xy1, cR2, ct2, xy2, R_true, t_true, n_out) = \
+        make_rig_pair(n=60, noise=5e-4, outlier_frac=0.25, seed=3)
+    rep = estimate_generalized_relative_pose(
+        cR1, ct1, xy1, cR2, ct2, xy2,
+        GeneralizedRelativePoseOptions(max_error=5e-3), seed=0)
+    assert rep.success
+    assert rep.num_inliers >= 40
+    # Outlier rows rejected.
+    assert rep.inlier_mask[:n_out].sum() <= 2
+    assert np.abs(rep.R - R_true).max() < 0.01
+    assert np.abs(rep.t - t_true).max() < 0.05
+
+
+def test_gr6p_rejects_degenerate_few_points():
+    (cR1, ct1, xy1, cR2, ct2, xy2, *_rest) = make_rig_pair(n=5, seed=4)
+    rep = estimate_generalized_relative_pose(cR1, ct1, xy1, cR2, ct2,
+                                             xy2)
+    assert not rep.success

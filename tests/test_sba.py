@@ -189,3 +189,47 @@ def test_packed_maps_match_unpacked_soft_residuals():
     r_plain = np.asarray(_all_residuals(p_plain.qvecs, p_plain.tvecs,
                                         p_plain, opt, soft=True))
     np.testing.assert_allclose(r_packed, r_plain, atol=2e-3)
+
+
+def test_analytic_linearization_matches_jacfwd():
+    """The closed-form chain-rule blocks (Hq, gq, cost) must match the
+    12-tangent jacfwd linearization of the same soft residual — the
+    analytic path exists purely for speed (one gather pass instead of
+    13), not different math."""
+    from sba_tpu.optim.sba import (_linearize_system, _use_analytic)
+    import dataclasses
+
+    qg, tg, cam, depth, sem, qn, tn = make_sba_scene(
+        num_images=5, image_size=(64, 48), pose_noise=0.02, seed=7)
+    for loss in ("trivial", "cauchy"):
+        opt_a = SBAOptions(pixel_step=3, loss=loss, linearize="analytic")
+        opt_j = dataclasses.replace(opt_a, linearize="jacfwd")
+        prob = build_sba_problem(qn, tn, cam, depth, sem, opt_a,
+                                 dtype=jnp.float32)
+        assert _use_analytic(prob, opt_a)
+        Ha, ga, ca = _linearize_system(prob, opt_a)
+        Hj, gj, cj = _linearize_system(prob, opt_j)
+        np.testing.assert_allclose(float(ca), float(cj), rtol=1e-6)
+        scale = float(np.abs(np.asarray(Hj)).max())
+        np.testing.assert_allclose(np.asarray(Ha), np.asarray(Hj),
+                                   atol=2e-4 * scale)
+        gscale = float(np.abs(np.asarray(gj)).max())
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gj),
+                                   atol=2e-4 * gscale)
+
+
+def test_analytic_solver_converges_like_jacfwd():
+    """End-to-end LM with the analytic linearization reaches the same
+    cost basin as the jacfwd path."""
+    qg, tg, cam, depth, sem, qn, tn = make_sba_scene(
+        num_images=4, image_size=(64, 48), pose_noise=0.01, seed=11)
+    opts = dict(pixel_step=4, max_iterations=15)
+    opt_a = SBAOptions(linearize="analytic", **opts)
+    opt_j = SBAOptions(linearize="jacfwd", **opts)
+    prob = build_sba_problem(qn, tn, cam, depth, sem, opt_a,
+                             dtype=jnp.float32)
+    out_a, sum_a = semantic_bundle_adjust(prob, opt_a)
+    out_j, sum_j = semantic_bundle_adjust(prob, opt_j)
+    assert float(sum_a.final_cost) < float(sum_a.initial_cost)
+    np.testing.assert_allclose(float(sum_a.final_cost),
+                               float(sum_j.final_cost), rtol=0.02)
