@@ -65,6 +65,10 @@ class GSBAProblem(NamedTuple):
     obs_xy: jnp.ndarray       # [O, 2]
     obs_mask: jnp.ndarray     # [O]
     free_points: jnp.ndarray  # [P]
+    # Per-image geometry-term weight. None -> the reference's uniform
+    # ScaledLoss(1/num_images) (ref .cc:714-726). parallel/gsba_spmd.py
+    # sets it explicitly (1/N_real for real images, 0 for shard padding).
+    img_weight: Optional[jnp.ndarray] = None  # [N]
 
 
 @dataclass(frozen=True)
@@ -89,6 +93,15 @@ class GSBAOptions:
     gradient_tolerance: float = 1e-14
     parameter_tolerance: float = 1e-12
     initial_trust_radius: float = 1e2
+    # SPMD (set by parallel/gsba_spmd.py, not by callers): images —
+    # poses, semantic masks, and the image x cylinder rasterization —
+    # are sharded over this mesh axis; cylinders are replicated. Per LM
+    # iteration the collectives are one psum of the [dim, dim] normal
+    # equations (dim = 6N + kdim*K, a few hundred) + scalar costs.
+    # spmd_num_images is the STATIC global image count (local shards
+    # only know their slice length).
+    axis_name: Optional[str] = None
+    spmd_num_images: int = 0
 
 
 class GSBASummary(NamedTuple):
@@ -190,14 +203,39 @@ def _retract_cyl(problem: GSBAProblem, opt: GSBAOptions, d_cyl):
     return (cq, ct, r, h), (cq, ct, log_r, jnp.log(jnp.maximum(h, 1e-8)))
 
 
+def _n_global(problem: GSBAProblem, opt: GSBAOptions) -> int:
+    """Global image count: the delta/H layout is GLOBAL even when the
+    local problem shard holds only a slice of the images."""
+    return opt.spmd_num_images if opt.axis_name else problem.qvecs.shape[0]
+
+
+def _img_gidx(problem: GSBAProblem, opt: GSBAOptions):
+    """Global indices of this shard's images (contiguous slices)."""
+    Nl = problem.qvecs.shape[0]
+    if opt.axis_name is None:
+        return jnp.arange(Nl)
+    return jax.lax.axis_index(opt.axis_name) * Nl + jnp.arange(Nl)
+
+
+def _geo_img_weight(problem: GSBAProblem, opt: GSBAOptions):
+    """[Nl] per-image geometry weight (uniform 1/N unless overridden)."""
+    if problem.img_weight is not None:
+        return problem.img_weight
+    Nl = problem.qvecs.shape[0]
+    return jnp.full((Nl,), 1.0 / _n_global(problem, opt),
+                    problem.tvecs.dtype)
+
+
 def _apply_deltas(problem: GSBAProblem, opt: GSBAOptions, delta):
-    """Unflatten + retract the LM step. Layout:
+    """Unflatten + retract the LM step. Layout (GLOBAL under SPMD):
     [N*6 pose | K*8 cylinder (default) or K*7 (by_2_points) | P*3 points]."""
-    N = problem.qvecs.shape[0]
+    N = _n_global(problem, opt)
     K = problem.cyl_qvec.shape[0]
     P = problem.points.shape[0]
     i = 0
     d_pose = delta[: N * 6].reshape(N, 6)
+    if opt.axis_name is not None:
+        d_pose = d_pose[_img_gidx(problem, opt)]
     i += N * 6
     kdim = 8 if opt.cylinder_parametrization == "default" else 7
     d_cyl = delta[i: i + K * kdim].reshape(K, kdim)
@@ -212,14 +250,20 @@ def _apply_deltas(problem: GSBAProblem, opt: GSBAOptions, delta):
 
 
 def _free_vector(problem: GSBAProblem, opt: GSBAOptions):
-    N = problem.qvecs.shape[0]
+    N = _n_global(problem, opt)
     K = problem.cyl_qvec.shape[0]
     P = problem.points.shape[0]
     dtype = problem.tvecs.dtype
     ext = 1.0 if opt.refine_extrinsics else 0.0
-    free_pose = jnp.concatenate([
+    free_local = jnp.concatenate([
         jnp.repeat(problem.free_rot[:, None] * ext, 3, axis=1),
-        problem.free_trans * ext], axis=1).reshape(-1)
+        problem.free_trans * ext], axis=1)          # [Nl, 6]
+    if opt.axis_name is None:
+        free_pose = free_local.reshape(-1)
+    else:
+        scat = jnp.zeros((N, 6), free_local.dtype).at[
+            _img_gidx(problem, opt)].set(free_local)
+        free_pose = jax.lax.psum(scat, opt.axis_name).reshape(-1)
     kdim = 8 if opt.cylinder_parametrization == "default" else 7
     geo = 1.0 if opt.refine_geometry else 0.0
     free_cyl = jnp.full(K * kdim, geo, dtype)
@@ -230,23 +274,30 @@ def _free_vector(problem: GSBAProblem, opt: GSBAOptions):
 
 def _all_residuals(problem: GSBAProblem, opt: GSBAOptions, delta, hard=False):
     """Weighted, stacked residual vector at params (+) delta."""
-    N = problem.qvecs.shape[0]
+    N = _n_global(problem, opt)
     q, t, (cq, ct, r, h), _, pts = _apply_deltas(problem, opt, delta)
     geo_r, _ = _cyl_residuals(q, t, cq, ct, r, h, problem, opt, hard)
     # ScaledLoss(1/num_images) on the geometry term (ref .cc:714-726):
     # implement as sqrt-weight on residuals under the robust loss.
-    parts = [(geo_r.reshape(-1), 1.0 / N)]
+    K = problem.cyl_qvec.shape[0]
+    geo_w = jnp.repeat(_geo_img_weight(problem, opt), K)
+    parts = [(geo_r.reshape(-1), geo_w)]
     if opt.landmark_error_weight > 0 and problem.obs_xy.shape[0] > 0:
         w = opt.landmark_error_weight / max(problem.obs_xy.shape[0], 1)
-        parts.append((_landmark_residuals(q, t, pts, problem).reshape(-1), w))
+        rl = _landmark_residuals(q, t, pts, problem).reshape(-1)
+        parts.append((rl, jnp.full(rl.shape, w, rl.dtype)))
     res = jnp.concatenate([p[0] for p in parts])
-    wts = jnp.concatenate([jnp.full(p[0].shape, p[1], res.dtype) for p in parts])
+    wts = jnp.concatenate([jnp.broadcast_to(p[1], p[0].shape)
+                           .astype(res.dtype) for p in parts])
     return res, wts
 
 
 def _robust_cost(res, wts, opt):
     s = res * res
-    return 0.5 * jnp.sum(wts * loss_value(opt.loss, s, opt.loss_scale))
+    c = 0.5 * jnp.sum(wts * loss_value(opt.loss, s, opt.loss_scale))
+    if opt.axis_name is not None:
+        c = jax.lax.psum(c, opt.axis_name)
+    return c
 
 
 def _geo_weighted_local(problem: GSBAProblem, opt: GSBAOptions, dlocal):
@@ -259,16 +310,17 @@ def _geo_weighted_local(problem: GSBAProblem, opt: GSBAOptions, dlocal):
     Jacobian blocks with 6+kdim tangents total — instead of pushing all
     6N + kdim*K (+3P) global tangents through the rasterizer. This is what
     makes GSBA linearization O(1) in N (see BASELINE.md GSBA table)."""
-    N = problem.qvecs.shape[0]
+    Nl = problem.qvecs.shape[0]
     K = problem.cyl_qvec.shape[0]
     kdim = 8 if opt.cylinder_parametrization == "default" else 7
-    q = quat_retract(problem.qvecs, jnp.broadcast_to(dlocal[:3], (N, 3)))
+    q = quat_retract(problem.qvecs, jnp.broadcast_to(dlocal[:3], (Nl, 3)))
     t = problem.tvecs + dlocal[3:6]
     (cq, ct, r, h), _ = _retract_cyl(
         problem, opt, jnp.broadcast_to(dlocal[6:], (K, kdim)))
     geo_r, _ = _cyl_residuals(q, t, cq, ct, r, h, problem, opt, hard=False)
     res = geo_r.reshape(-1)
-    w = (1.0 / N) * loss_weight(opt.loss, res * res, opt.loss_scale)
+    w = jnp.repeat(_geo_img_weight(problem, opt), K) \
+        * loss_weight(opt.loss, res * res, opt.loss_scale)
     return res * jnp.sqrt(w)
 
 
@@ -281,8 +333,7 @@ def _land_weighted(problem: GSBAProblem, opt: GSBAOptions, delta):
     return res * jnp.sqrt(w)
 
 
-@functools.partial(jax.jit, static_argnames=("opt",))
-def _gsba_impl(problem: GSBAProblem, opt: GSBAOptions):
+def _gsba_solve(problem: GSBAProblem, opt: GSBAOptions):
     free = _free_vector(problem, opt)
     dim = free.shape[0]
     dtype = problem.tvecs.dtype
@@ -302,11 +353,17 @@ def _gsba_impl(problem: GSBAProblem, opt: GSBAOptions):
 
     # LM on the flat delta around the CURRENT state: we re-center each
     # accepted step by folding it into the problem arrays functionally.
-    N = problem.qvecs.shape[0]
+    Nl = problem.qvecs.shape[0]
+    N = _n_global(problem, opt)
     K = problem.cyl_qvec.shape[0]
     P = problem.points.shape[0]
     kdim = 8 if opt.cylinder_parametrization == "default" else 7
     use_landmarks = opt.landmark_error_weight > 0 and problem.obs_xy.shape[0] > 0
+    if opt.axis_name is not None and use_landmarks:
+        raise NotImplementedError(
+            "SPMD GSBA shards images; the landmark term's observations "
+            "reference image indices and is not sharded yet — run it "
+            "single-device or with landmark_error_weight=0")
 
     def body(state):
         it, prob, lam, nu, cost, done, trace = state
@@ -317,13 +374,17 @@ def _gsba_impl(problem: GSBAProblem, opt: GSBAOptions):
         zl = jnp.zeros(6 + kdim, dtype)
         rg, Jl = _geo_weighted_local(prob, opt, zl), jax.jacfwd(
             functools.partial(_geo_weighted_local, prob, opt))(zl)
-        Jl = Jl.reshape(N, K, 6 + kdim)
-        eyeN = jnp.eye(N, dtype=dtype)
+        Jl = Jl.reshape(Nl, K, 6 + kdim)
+        # Row selector into the GLOBAL pose columns: under SPMD each
+        # shard's rows scatter into its images' global column offsets.
+        eyeN = jnp.eye(N, dtype=dtype)[_img_gidx(prob, opt)]  # [Nl, N]
         eyeK = jnp.eye(K, dtype=dtype)
-        J_pose = jnp.einsum("nkp,nm->nkmp", Jl[..., :6], eyeN).reshape(N * K, N * 6)
-        J_cyl = jnp.einsum("nkc,kl->nklc", Jl[..., 6:], eyeK).reshape(N * K, K * kdim)
+        J_pose = jnp.einsum("nkp,nm->nkmp", Jl[..., :6],
+                            eyeN).reshape(Nl * K, N * 6)
+        J_cyl = jnp.einsum("nkc,kl->nklc", Jl[..., 6:],
+                           eyeK).reshape(Nl * K, K * kdim)
         J = jnp.concatenate(
-            [J_pose, J_cyl, jnp.zeros((N * K, P * 3), dtype)], axis=1)
+            [J_pose, J_cyl, jnp.zeros((Nl * K, P * 3), dtype)], axis=1)
         r = rg
         if use_landmarks:
             rl = _land_weighted(prob, opt, z)
@@ -333,6 +394,11 @@ def _gsba_impl(problem: GSBAProblem, opt: GSBAOptions):
         J = J * free[None, :]
         g = J.T @ r
         H = J.T @ J
+        if opt.axis_name is not None:
+            # ONE psum of the tiny global normal equations per iteration
+            # (dim = 6N + kdim*K + 3P); the rasterization work stays local.
+            g = jax.lax.psum(g, opt.axis_name)
+            H = jax.lax.psum(H, opt.axis_name)
         d = jnp.clip(jnp.diag(H), 1e-8, 1e32)
         delta = -jax.scipy.linalg.solve(
             H + jnp.diag(lam * d + (1.0 - free)), g, assume_a="pos")
@@ -376,10 +442,20 @@ def _gsba_impl(problem: GSBAProblem, opt: GSBAOptions):
     _, iou = _cyl_residuals(prob.qvecs, prob.tvecs, prob.cyl_qvec, prob.cyl_tvec,
                             jnp.exp(prob.cyl_log_radius), jnp.exp(prob.cyl_log_height),
                             prob, opt, hard=True)
+    m = (_geo_img_weight(prob, opt) > 0).astype(iou.dtype)
+    num = jnp.sum(iou * m[:, None])
+    den = jnp.sum(m) * K
+    if opt.axis_name is not None:
+        num = jax.lax.psum(num, opt.axis_name)
+        den = jax.lax.psum(den, opt.axis_name)
+    mean_iou = num / jnp.maximum(den, 1.0)
     summary = GSBASummary(
         initial_cost=cost0, final_cost=cost, num_iterations=it,
-        cost_trace=trace, per_image_iou=iou, mean_iou=jnp.mean(iou))
+        cost_trace=trace, per_image_iou=iou, mean_iou=mean_iou)
     return prob, summary
+
+
+_gsba_impl = functools.partial(jax.jit, static_argnames=("opt",))(_gsba_solve)
 
 
 def geometric_semantic_bundle_adjust(problem: GSBAProblem,

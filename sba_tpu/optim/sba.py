@@ -139,6 +139,11 @@ class SBAOptions:
     # wide (bilinear agreement), so early steps must stay local — unlike
     # reprojection BA where the quadratic model is globally decent.
     initial_trust_radius: float = 1e2
+    # SPMD: mesh axis name the ordered pairs are sharded over (set by
+    # parallel/sba_spmd.py, not by callers). Per LM iteration the only
+    # collectives are one psum of (H [6N,6N], g [6N], cost) — poses are
+    # replicated, pair residual work is local.
+    axis_name: Optional[str] = None
 
 
 class SBASummary(NamedTuple):
@@ -694,8 +699,18 @@ def _linearize_system(problem: SBAProblem, opt: SBAOptions):
     return H, g, cost
 
 
-@functools.partial(jax.jit, static_argnames=("opt",))
-def _sba_impl(problem: SBAProblem, opt: SBAOptions):
+def _linearize_global(problem: SBAProblem, opt: SBAOptions):
+    """`_linearize_system` + the SPMD psum of (H, g, cost) when the
+    pair list is sharded over opt.axis_name."""
+    H, g, cost = _linearize_system(problem, opt)
+    if opt.axis_name is not None:
+        H = jax.lax.psum(H, opt.axis_name)
+        g = jax.lax.psum(g, opt.axis_name)
+        cost = jax.lax.psum(cost, opt.axis_name)
+    return H, g, cost
+
+
+def _sba_solve(problem: SBAProblem, opt: SBAOptions):
     N = problem.qvecs.shape[0]
     max_it = opt.max_iterations
 
@@ -726,7 +741,7 @@ def _sba_impl(problem: SBAProblem, opt: SBAOptions):
     # classic linearize + separate-trial-cost loop.
     lam0 = jnp.asarray(1.0 / opt.initial_trust_radius,
                        problem.tvecs.dtype)
-    H0, g0, cost0 = _linearize_system(problem, opt)
+    H0, g0, cost0 = _linearize_global(problem, opt)
     delta0, pred0 = solve(H0, g0, lam0)
     qp0, tp0 = propose(problem.qvecs, problem.tvecs, delta0)
 
@@ -734,7 +749,7 @@ def _sba_impl(problem: SBAProblem, opt: SBAOptions):
         (it, q, t, cost, H, g, qp, tp, pred, step_norm, lam, nu, done,
          trace) = state
         prob = problem._replace(qvecs=qp, tvecs=tp)
-        Hn, gn, cost_prop = _linearize_system(prob, opt)
+        Hn, gn, cost_prop = _linearize_global(prob, opt)
 
         actual = cost - cost_prop
         rho = actual / jnp.maximum(pred, 1e-30)
@@ -781,14 +796,24 @@ def _sba_impl(problem: SBAProblem, opt: SBAOptions):
 
     out = problem._replace(qvecs=q, tvecs=t)
     hard = evaluate_hard(out, opt)
+    num_res = (jnp.sum(problem.pair_mask)
+               * problem.pix_xy.shape[0]).astype(jnp.int32)
+    counts = (num_res, hard["num_valid"], hard["num_out_of_bounds"],
+              hard["num_invalid_depth"], hard["num_label_mismatch"])
+    if opt.axis_name is not None:
+        counts = jax.lax.psum(counts, opt.axis_name)
+    num_res, n_valid, n_oob, n_bad_depth, n_mismatch = counts
     summary = SBASummary(
         initial_cost=cost0, final_cost=cost, num_iterations=it,
-        num_residuals=(jnp.sum(problem.pair_mask) * problem.pix_xy.shape[0]).astype(jnp.int32),
+        num_residuals=num_res,
         cost_trace=trace,
-        num_valid=hard["num_valid"], num_out_of_bounds=hard["num_out_of_bounds"],
-        num_invalid_depth=hard["num_invalid_depth"],
-        num_label_mismatch=hard["num_label_mismatch"])
+        num_valid=n_valid, num_out_of_bounds=n_oob,
+        num_invalid_depth=n_bad_depth,
+        num_label_mismatch=n_mismatch)
     return out, summary
+
+
+_sba_impl = functools.partial(jax.jit, static_argnames=("opt",))(_sba_solve)
 
 
 def semantic_bundle_adjust(problem: SBAProblem, options: Optional[SBAOptions] = None):
