@@ -256,6 +256,89 @@ def bench_e2e_quality():
           d["registered_frac"])
 
 
+def bench_patch_match():
+    """PatchMatch stereo sweep throughput on the chip: 320x240 ref view
+    vs 4 sources, red-black checkerboard iterations. Value = megapixel
+    hypothesis-sweeps per second (H*W*delta_iters/delta_time). Proxy:
+    the reference's CUDA PatchMatch (mvs/patch_match_cuda.cu:765-858)
+    sustains order 2 Mpix sweeps/s on a GTX-1080-class desktop GPU at
+    comparable window settings (order-of-magnitude folklore estimate —
+    the reference publishes no numbers, BASELINE.md)."""
+    import numpy as np
+
+    from sba_tpu.mvs import PatchMatchOptions, patch_match_stereo
+    from sba_tpu.mvs.patch_match import relative_pose
+    from sba_tpu.utils.synthetic import _lookat_pose  # noqa: F401
+
+    H, W = 240, 320
+    S = 4
+    rng = np.random.default_rng(0)
+    ref = jnp.asarray(rng.random((H, W), np.float32))
+    srcs = jnp.asarray(rng.random((S, H, W), np.float32))
+    f = 300.0
+    K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1.0]])
+    Rs = np.stack([np.eye(3)] * S)
+    ts = rng.normal(scale=0.2, size=(S, 3))
+
+    def solve(n_it):
+        opt = PatchMatchOptions(depth_min=2.0, depth_max=10.0,
+                                num_iterations=n_it,
+                                geom_consistency=False)
+
+        def run():
+            res = patch_match_stereo(
+                ref, srcs, jnp.asarray(K),
+                jnp.asarray(np.stack([K] * S)), jnp.asarray(Rs),
+                jnp.asarray(ts), options=opt)
+            jax.block_until_ready(res.depth)
+        return run
+
+    r4, r12 = solve(4), solve(12)
+    r4(); r12()
+    b4 = b12 = float("inf")
+    for _ in range(4):
+        t0 = time.perf_counter(); r4(); b4 = min(b4, time.perf_counter() - t0)
+        t0 = time.perf_counter(); r12(); b12 = min(b12, time.perf_counter() - t0)
+    delta = max(b12 - b4, 1e-9)
+    mpix = H * W * 8 / delta / 1e6
+    _emit("patch_match_mpix_per_sec", mpix, "Mpix/s", mpix / 2.0)
+
+
+def bench_gsba_forest():
+    """K-cylinder GSBA at production resolution: 16 cylinders x 32
+    close-up 640x480 masks. Verifies the 14-shared-tangent local-block
+    linearization's K-independence claim in measured throughput. Proxy:
+    reference numeric central differences = 2*(6N+8K) full CPU
+    rasterizations per residual per iteration, order 0.05 it/s here."""
+    import numpy as np
+
+    from sba_tpu.optim.gsba import (GSBAOptions, build_gsba_problem,
+                                    geometric_semantic_bundle_adjust)
+    from sba_tpu.utils.synthetic import make_gsba_forest_scene
+
+    q, t, cam, sem, cyls, q0, t0v, cyls0 = make_gsba_forest_scene(
+        num_cylinders=16, cameras_per_cylinder=2,
+        image_size=(640, 480), focal=700.0, pose_noise=0.005,
+        cylinder_noise=0.03, seed=0)
+
+    def solve(n_it):
+        opt = GSBAOptions(mode="soft", max_iterations=n_it,
+                          function_tolerance=0.0, gradient_tolerance=0.0,
+                          parameter_tolerance=0.0)
+        problem = build_gsba_problem(np.asarray(q0), np.asarray(t0v),
+                                     cam, sem, cyls0, opt,
+                                     dtype=jnp.float32)
+
+        def run():
+            out, summary = geometric_semantic_bundle_adjust(problem, opt)
+            jax.block_until_ready(summary.final_cost)
+        return run
+
+    rate = _delta_rate(solve, reps=3)
+    _emit("gsba_lm_iters_per_sec_32img_16cyl_640x480", rate, "iter/s",
+          rate / 0.05)
+
+
 def bench_sift():
     """Front-end extraction throughput on the chip: batched SIFT over
     640x480 frames (the pipeline is shape-static, so content does not
@@ -398,7 +481,8 @@ def main():
     # throughput metric with a meaningful vs_baseline, never the
     # quality ratio.
     for fn in (bench_e2e_quality, bench_sba, bench_gsba,
-               bench_pose_graph, bench_sift, bench_match,
+               bench_gsba_forest, bench_pose_graph, bench_sift,
+               bench_match, bench_patch_match,
                bench_ba_large, bench_ba_10k):
         try:
             fn()

@@ -1,0 +1,94 @@
+"""Mapper scale study: render an N-image ring scene, run the full
+pipeline (extract -> exhaustive match -> incremental mapper), report
+per-phase wall time + registration/ATE quality as one JSON line.
+
+Usage: python benchmarks/mapper_scale.py [N]
+
+VERDICT r3 weak #5: all e2e scenes were 4-8 images; the reference
+routinely maps hundreds (ref doc/tutorial.rst:354). This harness is the
+measurement tool for the 50-100 image regime; numbers live in
+BASELINE.md. Runs on the CPU backend (the mapper is a host-driven loop;
+the axon tunnel's per-sync tax would swamp it, and registration quality
+is platform-independent).
+"""
+
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+from sba_tpu.utils.host import machine_cache_dir  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", machine_cache_dir(
+    os.path.join(_REPO, "tests", ".jax_cache")))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import numpy as np  # noqa: E402
+
+
+def main(num_images=64):
+    import tempfile
+
+    from sba_tpu.cli import _align_models, main as cli
+    from sba_tpu.models.reconstruction import Reconstruction
+    from sba_tpu.utils.render import (gt_reconstruction, render_scene,
+                                      write_scene_images)
+
+    RING_RADIUS = 1.8
+    phases = {}
+    with tempfile.TemporaryDirectory() as td:
+        t0 = time.perf_counter()
+        scene = render_scene(num_images=num_images, image_size=(320, 240),
+                             ring_radius=RING_RADIUS, jitter=0.06, seed=0)
+        img_dir = os.path.join(td, "images")
+        names = write_scene_images(scene, img_dir)
+        gt = gt_reconstruction(scene, names)
+        phases["render_s"] = round(time.perf_counter() - t0, 1)
+
+        db = os.path.join(td, "db.db")
+        assert cli(["database_creator", "--database_path", db]) == 0
+        t0 = time.perf_counter()
+        assert cli(["feature_extractor", "--database_path", db,
+                    "--image_path", img_dir,
+                    "--ImageReader.camera_model", "SIMPLE_PINHOLE",
+                    "--ImageReader.single_camera", "1",
+                    "--SiftExtraction.max_num_features", "2048"]) == 0
+        phases["extract_s"] = round(time.perf_counter() - t0, 1)
+
+        t0 = time.perf_counter()
+        assert cli(["exhaustive_matcher", "--database_path", db]) == 0
+        phases["match_s"] = round(time.perf_counter() - t0, 1)
+
+        sparse = os.path.join(td, "sparse")
+        t0 = time.perf_counter()
+        assert cli(["mapper", "--database_path", db,
+                    "--image_path", img_dir,
+                    "--output_path", sparse]) == 0
+        phases["mapper_s"] = round(time.perf_counter() - t0, 1)
+
+        rec = Reconstruction.read(os.path.join(sparse, "0"))
+        s, R, t, common, src, dst = _align_models(rec, gt)
+        err = np.linalg.norm((s * (src @ R.T)) + t - dst, axis=-1)
+        n_reg = rec.num_registered_images()
+        out = dict(
+            num_images=num_images,
+            registered=n_reg,
+            ate_frac=round(float(err.mean() / RING_RADIUS), 4),
+            mean_reproj_px=round(
+                float(rec.compute_mean_reprojection_error()), 3),
+            num_points=rec.num_points3d(),
+            registrations_per_min=round(
+                60.0 * n_reg / phases["mapper_s"], 1),
+            **phases)
+        print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 64)

@@ -212,6 +212,7 @@ def render_scene(
 
     rng = np.random.default_rng(seed + 5)
     images = np.zeros((num_images, h, w), np.uint8)
+    depths = np.zeros((num_images, h, w), np.float32)
     light = np.array([0.4, 0.25, -0.88])
     light /= np.linalg.norm(light)
     for i in range(num_images):
@@ -236,10 +237,13 @@ def render_scene(
         img = img + rng.normal(scale=noise_std, size=img.shape)
         images[i] = np.clip(img.reshape(h, w) * 255.0, 0, 255).astype(
             np.uint8)
+        # Ground-truth depth: p_cam = s * (u, v, 1) so z_cam == s. The
+        # MVS accuracy tests compare PatchMatch output against this.
+        depths[i] = s.reshape(h, w).astype(np.float32)
 
     camera = dict(model=model_name, width=w, height=h, params=params)
-    return dict(images=images, qvecs=qvecs, tvecs=tvecs, camera=camera,
-                centers=centers)
+    return dict(images=images, depths=depths, qvecs=qvecs, tvecs=tvecs,
+                camera=camera, centers=centers)
 
 
 def write_scene_images(scene: dict, image_dir: str, prefix: str = "view"):

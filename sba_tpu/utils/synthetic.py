@@ -425,6 +425,115 @@ def make_gsba_scene(
     return qvecs, tvecs, cam_params, semantic, cyl, q0, t0, cyl0
 
 
+def make_gsba_forest_scene(
+    num_cylinders: int = 16,
+    cameras_per_cylinder: int = 2,
+    image_size=(96, 72),
+    focal: float = 100.0,
+    radius: float = 0.35,
+    height: float = 4.0,
+    spacing: float = 4.0,
+    cam_dist_factor: float = 0.6,
+    trunk_class: float = 250.0,
+    pose_noise: float = 0.0,
+    cylinder_noise: float = 0.0,
+    seed: int = 0,
+):
+    """Forest-of-trunks scene for K-cylinder GSBA: vertical cylinders on
+    a jittered grid, `cameras_per_cylinder` close-up cameras per trunk
+    (each mask dominated by its own trunk), masks = UNION of all
+    silhouettes — matching the reference workload, which reads one
+    boolean trunk mask per image and a cylinder LIST
+    (ref: src/optim/geometric_semantic_bundle_adjustment.cc:805,
+    :1283-1338). Close-up framing matters: the 1-IoU-vs-union cost is
+    DEGENERATE for whole-forest views (a quad covering every trunk
+    scores TP against the whole union, so the global optimum is one fat
+    cylinder over the forest) — the formulation, inherited from the
+    reference, presumes per-trunk imagery. Returns (qvecs_gt, tvecs_gt,
+    cam_params, semantic, cylinders_gt, q0, t0, cylinders_init)."""
+    from sba_tpu.models.cylinder import (
+        Cylinder, project_quadrilateral, quadrilateral_mask)
+    from sba_tpu.utils.host import on_host
+
+    rng = np.random.default_rng(seed)
+    w, h = image_size
+    cam = np.array([focal, w / 2.0, h / 2.0])
+
+    side = int(np.ceil(np.sqrt(num_cylinders)))
+    cyls = []
+    for k in range(num_cylinders):
+        gx = (k % side - (side - 1) / 2.0) * spacing
+        gy = (k // side - (side - 1) / 2.0) * spacing
+        cx = gx + rng.uniform(-0.3, 0.3) * spacing
+        cy = gy + rng.uniform(-0.3, 0.3) * spacing
+        cyls.append(Cylinder(
+            qvec=[1.0, 0, 0, 0], tvec=[cx, cy, -height / 2],
+            radius=radius * float(np.exp(rng.uniform(-0.2, 0.2))),
+            height=height))
+
+    num_images = num_cylinders * cameras_per_cylinder
+    cam_dist = cam_dist_factor * spacing
+    qvecs = np.zeros((num_images, 4))
+    tvecs = np.zeros((num_images, 3))
+    i = 0
+    for k, c in enumerate(cyls):
+        for j in range(cameras_per_cylinder):
+            ang = (2 * np.pi * (j + 0.37 * k)) / cameras_per_cylinder \
+                + rng.uniform(-0.2, 0.2)
+            center = np.array([
+                c.tvec[0] + cam_dist * np.cos(ang),
+                c.tvec[1] + cam_dist * np.sin(ang),
+                rng.uniform(-0.3, 0.3)])
+            qvecs[i], tvecs[i] = _lookat_pose(
+                center, [c.tvec[0], c.tvec[1], 0.0])
+            i += 1
+
+    K = num_cylinders
+    with on_host():
+        union = np.zeros((num_images, h, w))
+        for c in cyls:
+            quad, valid = project_quadrilateral(
+                jnp.asarray(np.tile(c.qvec, (num_images, 1))),
+                jnp.asarray(np.tile(c.tvec, (num_images, 1))),
+                jnp.asarray(np.full(num_images, c.radius)),
+                jnp.asarray(np.full(num_images, c.height)),
+                jnp.asarray(qvecs), jnp.asarray(tvecs),
+                jnp.asarray(np.tile(cam, (num_images, 1))))
+            m = np.array(quadrilateral_mask(quad, h, w, hard=True))
+            m = m * np.asarray(valid, np.float64)[:, None, None]
+            union = np.maximum(union, m)
+    semantic = np.where(union > 0.5, trunk_class, 0.0)
+
+    q0 = qvecs.copy()
+    t0 = tvecs.copy()
+    if pose_noise > 0:
+        q0 = q0 + rng.normal(scale=pose_noise, size=q0.shape)
+        q0 = q0 / np.maximum(np.linalg.norm(q0, axis=-1, keepdims=True),
+                             1e-12)
+        t0 = t0 + rng.normal(scale=pose_noise, size=t0.shape)
+        q0[0], t0[0] = qvecs[0], tvecs[0]
+        if num_images > 1:
+            t0[1, 0] = tvecs[1, 0]
+
+    cyls0 = []
+    for c in cyls:
+        if cylinder_noise > 0:
+            q = np.asarray(c.qvec) + rng.normal(scale=cylinder_noise,
+                                                size=4)
+            cyls0.append(Cylinder(
+                qvec=q / np.linalg.norm(q),
+                tvec=np.asarray(c.tvec) + rng.normal(
+                    scale=cylinder_noise, size=3),
+                radius=c.radius * float(np.exp(rng.normal(
+                    scale=cylinder_noise))),
+                height=c.height * float(np.exp(rng.normal(
+                    scale=cylinder_noise)))))
+        else:
+            cyls0.append(c)
+    cam_params = np.tile(cam, (num_images, 1))
+    return qvecs, tvecs, cam_params, semantic, cyls, q0, t0, cyls0
+
+
 def make_synthetic_reconstruction(num_images: int = 8, num_points: int = 120,
                                   seed: int = 0, image_size=(640, 480),
                                   focal: float = 500.0):

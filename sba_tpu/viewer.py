@@ -25,12 +25,15 @@ _TEMPLATE = """<!DOCTYPE html>
 <body>
 <div id="hud">{title} — {num_points} points, {num_cameras} cameras<br>
 drag: rotate &nbsp; wheel: zoom &nbsp; shift-drag: pan &nbsp;
-r: orbit movie</div>
+r: orbit movie &nbsp; click: pick camera/point<br>
+<span id="pick"></span></div>
 <canvas id="c"></canvas>
 <script>
 const PTS = {points_json};
 const COL = {colors_json};
+const IDS = {point_ids_json};
 const CAMS = {cameras_json};
+const CAM_NAMES = {camera_names_json};
 const canvas = document.getElementById('c');
 const ctx = canvas.getContext('2d');
 let yaw = 0.5, pitch = -0.4, dist = {initial_dist}, panX = 0, panY = 0;
@@ -41,14 +44,53 @@ function resize() {{
   canvas.width = innerWidth; canvas.height = innerHeight; draw();
 }}
 addEventListener('resize', resize);
-let dragging = false, panning = false, lx = 0, ly = 0;
+let dragging = false, panning = false, lx = 0, ly = 0, moved = 0;
+let selCam = -1, selPt = -1;
 canvas.onmousedown = e => {{
   dragging = true; panning = e.shiftKey; lx = e.clientX; ly = e.clientY;
+  moved = 0;
 }};
-addEventListener('mouseup', () => dragging = false);
+addEventListener('mouseup', e => {{
+  dragging = false;
+  if (moved < 4) pick(e.clientX, e.clientY);
+}});
+// Click picking: nearest camera apex within 10 px wins, else the
+// nearest projected point within 6 px (the ui/ click-to-select
+// capability of the reference's Qt viewer, headless).
+function pick(mx, my) {{
+  const hud = document.getElementById('pick');
+  selCam = -1; selPt = -1;
+  let best = 10 * 10;
+  for (let i = 0; i < CAMS.length; i++) {{
+    const a = project(CAMS[i][0]);
+    if (!a) continue;
+    const d = (a[0] - mx) ** 2 + (a[1] - my) ** 2;
+    if (d < best) {{ best = d; selCam = i; }}
+  }}
+  if (selCam >= 0) {{
+    const c = CAMS[selCam][0];
+    hud.textContent = 'image ' + CAM_NAMES[selCam] + '  center (' +
+      c.map(v => v.toFixed(2)).join(', ') + ')';
+    draw(); return;
+  }}
+  best = 6 * 6;
+  for (let i = 0; i < PTS.length; i++) {{
+    const s = project(PTS[i]);
+    if (!s) continue;
+    const d = (s[0] - mx) ** 2 + (s[1] - my) ** 2;
+    if (d < best) {{ best = d; selPt = i; }}
+  }}
+  if (selPt >= 0) {{
+    const p = PTS[selPt];
+    hud.textContent = 'point3D ' + IDS[selPt] + '  (' +
+      p.map(v => v.toFixed(3)).join(', ') + ')';
+  }} else hud.textContent = '';
+  draw();
+}}
 addEventListener('mousemove', e => {{
   if (!dragging) return;
   const dx = e.clientX - lx, dy = e.clientY - ly;
+  moved += Math.abs(dx) + Math.abs(dy);
   if (panning) {{ panX += dx; panY += dy; }}
   else {{ yaw += dx * 0.008; pitch += dy * 0.008; }}
   lx = e.clientX; ly = e.clientY; draw();
@@ -86,8 +128,9 @@ function draw() {{
     const r = Math.max(1, PS / Math.sqrt(s[2]));
     ctx.fillRect(s[0], s[1], r, r);
   }}
-  ctx.strokeStyle = '#e33';
-  for (const cam of CAMS) {{
+  for (let ci = 0; ci < CAMS.length; ci++) {{
+    const cam = CAMS[ci];
+    ctx.strokeStyle = ci === selCam ? '#ff0' : '#e33';
     const apex = project(cam[0]);
     if (!apex) continue;
     for (let k = 1; k < 5; k++) {{
@@ -130,8 +173,10 @@ def export_html_viewer(reconstruction, path: str,
 
     pts = []
     cols = []
-    for p in reconstruction.points3D.values():
+    pids = []
+    for pid, p in reconstruction.points3D.items():
         pts.append(p.xyz)
+        pids.append(int(pid))
         c = np.asarray(p.rgb, float)
         if c.max() <= 0:
             c = np.array([200.0, 200.0, 200.0])
@@ -150,8 +195,10 @@ def export_html_viewer(reconstruction, path: str,
                                               replace=False)
         pts = pts[sel]
         cols = [cols[i] for i in sel]
+        pids = [pids[i] for i in sel]
 
     cams = []
+    cam_names = []
     for iid in reconstruction.images:
         if not reconstruction.is_registered(iid):
             continue
@@ -162,6 +209,7 @@ def export_html_viewer(reconstruction, path: str,
         corners = [C + R.T @ np.array([sx * s, sy * s, 2 * s])
                    for (sx, sy) in ((-1, -1), (1, -1), (1, 1), (-1, 1))]
         cams.append([C.tolist()] + [c.tolist() for c in corners])
+        cam_names.append(getattr(img, "name", str(iid)) or str(iid))
 
     if len(pts):
         center = pts.mean(0)
@@ -177,7 +225,9 @@ def export_html_viewer(reconstruction, path: str,
         num_cameras=len(cams),
         points_json=json.dumps(np.round(pts, 4).tolist()),
         colors_json=json.dumps(cols),
+        point_ids_json=json.dumps(pids),
         cameras_json=json.dumps(cams),
+        camera_names_json=json.dumps(cam_names),
         center_json=json.dumps([round(float(v), 4) for v in center]),
         initial_dist=round(spread, 3),
         point_size=point_size,

@@ -214,3 +214,35 @@ def test_local_block_linearization_matches_full_jacfwd():
                 J_blocks[row, N * 6 + k * kdim: N * 6 + (k + 1) * kdim] = \
                     Jl[n, k, 6:]
         np.testing.assert_allclose(J_full, J_blocks, rtol=0, atol=1e-12)
+
+
+def test_gsba_forest_multi_cylinder_recovery():
+    """K=16 cylinders x 32 close-up images (the reference's production
+    workload is a forest of trunks photographed per-trunk, ref .cc:805
+    reads a cylinder LIST): perturbed cylinder states must recover
+    toward ground truth with poses held fixed."""
+    import numpy as np
+    from sba_tpu.utils.synthetic import make_gsba_forest_scene
+
+    qg, tg, cam, sem, cyls_gt, q0, t0v, cyls0 = make_gsba_forest_scene(
+        num_cylinders=16, cameras_per_cylinder=2, image_size=(96, 72),
+        pose_noise=0.0, cylinder_noise=0.04, seed=0)
+    opt = GSBAOptions(mode="soft", max_iterations=25,
+                      refine_extrinsics=False)
+    prob = build_gsba_problem(np.asarray(q0), np.asarray(t0v), cam, sem,
+                              cyls0, opt, dtype=jnp.float32)
+    out, summary = geometric_semantic_bundle_adjust(prob, opt)
+    assert float(summary.final_cost) < float(summary.initial_cost)
+
+    t_gt = np.stack([c.tvec for c in cyls_gt])
+    t_init = np.asarray([c.tvec for c in cyls0])
+    t_out = np.asarray(out.cyl_tvec)
+    err0 = np.linalg.norm((t_init - t_gt)[:, :2], axis=1)
+    err1 = np.linalg.norm((t_out - t_gt)[:, :2], axis=1)
+    # Every cylinder moves toward its trunk; mean error at least halved.
+    assert np.mean(err1) < 0.5 * np.mean(err0), (err0.mean(), err1.mean())
+    assert np.max(err1) < 0.25, err1.max()
+    # Radii recovered within 20% for the median cylinder.
+    r_gt = np.array([c.radius for c in cyls_gt])
+    r_out = np.exp(np.asarray(out.cyl_log_radius))
+    assert np.median(np.abs(r_out / r_gt - 1.0)) < 0.2

@@ -308,3 +308,60 @@ def test_fusion_emits_visibility_lists():
     np.testing.assert_array_equal(cloud.vis_counts,
                                   np.asarray(cloud.num_views, np.uint32))
     assert cloud.vis_idxs.max() < N
+
+
+def test_patch_match_depth_rmse_vs_rendered_gt():
+    """Quantitative accuracy on the ray-traced renderer's TRUE
+    heightfield depth (utils/render.py now emits it): PatchMatch depth
+    RMSE on valid (filter-surviving) pixels must be under 2% of the
+    scene depth range. This is the check the reference's CUDA PatchMatch
+    never had (ref: mvs/patch_match_cuda.cu:765-858)."""
+    from sba_tpu.utils.render import render_scene
+
+    scene = render_scene(num_images=5, image_size=(160, 120),
+                         ring_radius=1.0, jitter=0.05, seed=3)
+    K = np.array([[scene["camera"]["params"][0], 0,
+                   scene["camera"]["params"][1]],
+                  [0, scene["camera"]["params"][0],
+                   scene["camera"]["params"][2]],
+                  [0, 0, 1.0]])
+    ref = 2
+    srcs = [0, 1, 3, 4]
+    imgs = scene["images"].astype(np.float32) / 255.0
+    Rs, ts = [], []
+    for s in srcs:
+        R, t = relative_pose(scene["qvecs"][ref], scene["tvecs"][ref],
+                             scene["qvecs"][s], scene["tvecs"][s])
+        Rs.append(R)
+        ts.append(t)
+    gt = scene["depths"][ref]
+    d_lo, d_hi = float(gt.min()), float(gt.max())
+    opt = PatchMatchOptions(depth_min=0.5 * d_lo, depth_max=2.0 * d_hi,
+                            num_iterations=10, geom_consistency=False,
+                            filter_min_num_consistent=2)
+    res = patch_match_stereo(
+        jnp.asarray(imgs[ref]), jnp.asarray(imgs[srcs]),
+        jnp.asarray(K), jnp.asarray(np.stack([K] * len(srcs))),
+        jnp.asarray(np.stack(Rs)), jnp.asarray(np.stack(ts)),
+        options=opt)
+    depth = np.asarray(res.depth)
+    # Validity by matching cost (1 - NCC): well-matched pixels.
+    valid = (np.asarray(res.cost) < 0.6) & (depth > 0)
+    # Exclude the image border (window radius) from the metric.
+    b = 4
+    inner = np.zeros_like(valid)
+    inner[b:-b, b:-b] = True
+    m = valid & inner
+    assert m.mean() > 0.5, f"only {m.mean():.0%} valid pixels"
+    # Per-depth relative error (the standard MVS accuracy measure —
+    # the renderer's relief RANGE is ~1.1 over a ~5 m scene depth, so a
+    # range-relative threshold would measure triangulation geometry,
+    # not matching quality). Robust quantiles: the photometric-only
+    # pass keeps occlusion outliers that the production pipeline's
+    # geometric-consistency pass and fusion reject.
+    err = np.abs(depth[m] - gt[m])
+    med_depth = float(np.median(gt[m]))
+    med = float(np.median(err))
+    p80 = float(np.quantile(err, 0.8))
+    assert med < 0.01 * med_depth, f"median {med:.4f} @ depth {med_depth:.2f}"
+    assert p80 < 0.03 * med_depth, f"p80 {p80:.4f} @ depth {med_depth:.2f}"
