@@ -399,7 +399,15 @@ def _gsba_solve(problem: GSBAProblem, opt: GSBAOptions):
             # (dim = 6N + kdim*K + 3P); the rasterization work stays local.
             g = jax.lax.psum(g, opt.axis_name)
             H = jax.lax.psum(H, opt.axis_name)
-        d = jnp.clip(jnp.diag(H), 1e-8, 1e32)
+        # RELATIVE diagonal floor: near-unobservable directions (e.g. a
+        # trunk's height when it extends past every frame) have ~zero
+        # curvature AND ~zero gradient; an absolute floor lets the
+        # damped solve take wild steps along them, and LM then rejects
+        # every step (observed: 6+ consecutive rejections on the forest
+        # scene). Flooring at 1e-6 of the largest curvature pins those
+        # directions without touching observable ones.
+        diag = jnp.diag(H)
+        d = jnp.clip(diag, 1e-6 * jnp.max(diag) + 1e-30, 1e32)
         delta = -jax.scipy.linalg.solve(
             H + jnp.diag(lam * d + (1.0 - free)), g, assume_a="pos")
         delta = delta * free

@@ -178,6 +178,58 @@ def load_colmap_vocab_tree(path: str) -> VocabTree:
                      branching=int(rows), depth=1)
 
 
+def save_colmap_vocab_tree(tree: VocabTree, path: str, seed: int = 0):
+    """Export in the reference's on-disk vocab-tree format so trees
+    built here can be consumed by stock COLMAP
+    (ref: src/retrieval/visual_index.h:590-621 VisualIndex::Write).
+
+    Layout written:
+    1. visual words: uint64 rows, uint64 cols=128, rows*cols uint8
+       (this framework's L2-normalized f32 leaf centers rescaled by the
+       SIFT uint8 norm 512 — re-import recovers the same directions to
+       quantization error);
+    2. the FLANN search-index blob that COLMAP's
+       `visual_word_index_.loadIndex` reads directly (no FLANN file
+       header): int32 algorithm + int32 checks. We emit
+       FLANN_INDEX_LINEAR (0) whose index blob is empty in FLANN 1.8.x
+       — brute force, always correct; COLMAP rebuilds the dataset
+       matrix from block 1. (FLANN's AutotunedIndex::saveIndex =
+       save(best type) + best.saveIndex + save(checks); layout verified
+       against FLANN 1.8.4, the version COLMAP 3.8 builds against.)
+    3. the inverted index (ref: src/retrieval/inverted_index.h:385-411
+       Write): int32 num_words, int32 embedding dim 64, the 64x128 f32
+       Hamming-embedding projection (fresh Gaussian, as an untrained
+       reference index would hold), one EMPTY inverted file per word
+       (uint8 status 0, f32 idf 0, 64 f32 thresholds, uint32 0
+       entries; ref: src/retrieval/inverted_file.h:396-412), and
+       int32 0 images — i.e. a quantizer-only tree, exactly what the
+       distributed flickr100k trees contain.
+    """
+    import struct
+
+    leaf = np.asarray(tree.centers[-1], np.float32).reshape(-1, 128)
+    words = np.clip(np.round(leaf * 512.0), 0, 255).astype(np.uint8)
+    rows, cols = words.shape
+    rng = np.random.default_rng(seed)
+    proj = rng.standard_normal((64, 128)).astype(np.float32)
+
+    with open(path, "wb") as f:
+        f.write(struct.pack("<QQ", rows, cols))
+        f.write(words.tobytes())
+        # FLANN AutotunedIndex blob: FLANN_INDEX_LINEAR + checks.
+        f.write(struct.pack("<ii", 0, 32))
+        # Inverted index.
+        f.write(struct.pack("<ii", rows, 64))
+        f.write(proj.tobytes())
+        empty_file = struct.pack("<Bf", 0, 0.0) \
+            + struct.pack("<64f", *([0.0] * 64)) \
+            + struct.pack("<I", 0)
+        for _ in range(rows):
+            f.write(empty_file)
+        f.write(struct.pack("<i", 0))
+    return path
+
+
 def load_any_vocab_tree(path: str) -> VocabTree:
     """Load either this framework's .npz trees or COLMAP .bin trees."""
     import struct

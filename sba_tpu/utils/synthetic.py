@@ -459,13 +459,23 @@ def make_gsba_forest_scene(
     w, h = image_size
     cam = np.array([focal, w / 2.0, h / 2.0])
 
-    side = int(np.ceil(np.sqrt(num_cylinders)))
+    # Trunks on a LINE, cameras on one side at +-35 deg around the
+    # perpendicular. Scene-design constraint learned the hard way: the
+    # cost reads ONE union mask per image (as the reference does,
+    # ref .cc:1283-1338), so any OTHER trunk inside a camera's frustum
+    # biases that image's IoU optimum — laterally visible neighbors
+    # drag positions, and trunks directly BEHIND the viewed trunk are
+    # worse (the occluder's wider silhouette rewards radius growth: TP
+    # gained with no FP until the quad fills the occluder). With a line
+    # layout and near-perpendicular viewing, every other trunk is
+    # behind the camera or far outside a ~22 deg half-FOV for any K;
+    # the two views are 70 deg apart, which triangulates both lateral
+    # axes (diametrically opposite views would leave the view-axis
+    # position silhouette-unobservable).
     cyls = []
     for k in range(num_cylinders):
-        gx = (k % side - (side - 1) / 2.0) * spacing
-        gy = (k // side - (side - 1) / 2.0) * spacing
-        cx = gx + rng.uniform(-0.3, 0.3) * spacing
-        cy = gy + rng.uniform(-0.3, 0.3) * spacing
+        cx = (k - (num_cylinders - 1) / 2.0) * spacing
+        cy = rng.uniform(-0.1, 0.1) * spacing
         cyls.append(Cylinder(
             qvec=[1.0, 0, 0, 0], tvec=[cx, cy, -height / 2],
             radius=radius * float(np.exp(rng.uniform(-0.2, 0.2))),
@@ -478,12 +488,23 @@ def make_gsba_forest_scene(
     i = 0
     for k, c in enumerate(cyls):
         for j in range(cameras_per_cylinder):
-            ang = (2 * np.pi * (j + 0.37 * k)) / cameras_per_cylinder \
-                + rng.uniform(-0.2, 0.2)
+            # Camera azimuths from a fixed palette inside the clean-view
+            # cones (+-35 deg around each perpendicular; wider and a
+            # view looks along the line into the other trunks). The
+            # first two are 70 deg apart on the SAME side — never
+            # diametric (opposite silhouette views constrain the same
+            # lateral axis, leaving the view-axis position
+            # unobservable). More views per trunk also matters for
+            # rank: the residual is ONE scalar (1 - IoU) per image —
+            # inherited from the reference's cost — so the GN Hessian
+            # rank per cylinder is at most its image count.
+            palette = [55.0, 125.0, 235.0, 305.0, 90.0, 270.0]
+            ang = palette[j % len(palette)] / 180.0 * np.pi \
+                + rng.uniform(-0.03, 0.03)
             center = np.array([
                 c.tvec[0] + cam_dist * np.cos(ang),
                 c.tvec[1] + cam_dist * np.sin(ang),
-                rng.uniform(-0.3, 0.3)])
+                rng.uniform(-0.2, 0.2)])
             qvecs[i], tvecs[i] = _lookat_pose(
                 center, [c.tvec[0], c.tvec[1], 0.0])
             i += 1

@@ -297,3 +297,44 @@ def test_hamming_embedding_separates_same_word_candidates():
     rer = index.query(dq, num_images=2, num_verifications=4,
                       hamming_rerank=True)
     assert rer[0][0] == 1, f"hamming rerank failed: {rer}"
+
+
+def test_colmap_vocab_tree_write_read_roundtrip(tmp_path):
+    """Trees built here export in the reference's binary format
+    (ref: visual_index.h:590-621 Write) and re-import through the
+    COLMAP-format loader with matching word directions."""
+    import numpy as np
+    import struct
+    from sba_tpu.retrieval.vocab_tree import (
+        build_vocab_tree, load_colmap_vocab_tree, quantize_descriptors,
+        save_colmap_vocab_tree)
+
+    rng = np.random.default_rng(0)
+    desc = rng.random((600, 128)).astype(np.float32)
+    desc /= np.linalg.norm(desc, axis=1, keepdims=True)
+    tree = build_vocab_tree(desc, branching=8, depth=2, seed=0)
+    path = str(tmp_path / "tree.bin")
+    save_colmap_vocab_tree(tree, path)
+
+    # Binary layout: words block + FLANN linear blob + inverted index.
+    raw = open(path, "rb").read()
+    rows, cols = struct.unpack_from("<QQ", raw, 0)
+    assert (rows, cols) == (64, 128)
+    off = 16 + rows * cols
+    algo, checks = struct.unpack_from("<ii", raw, off)
+    assert algo == 0  # FLANN_INDEX_LINEAR
+    nw, emb = struct.unpack_from("<ii", raw, off + 8)
+    assert (nw, emb) == (64, 64)
+    # total size: words + flann + inverted header + proj + files + imgs
+    expect = off + 8 + 8 + 64 * 128 * 4 + 64 * (1 + 4 + 64 * 4 + 4) + 4
+    assert len(raw) == expect
+
+    # Re-import: flat 64-word tree; quantization must agree with the
+    # exported leaf level for nearly all descriptors (u8 rounding).
+    tree2 = load_colmap_vocab_tree(path)
+    assert tree2.num_words == 64
+    w1 = np.asarray(quantize_descriptors(tree, desc))
+    # map depth-2 leaf ids -> flat leaf ids: identical ordering
+    w2 = np.asarray(quantize_descriptors(tree2, desc))
+    agree = (w1 == w2).mean()
+    assert agree > 0.95, agree
