@@ -140,17 +140,29 @@ def to_point_major(problem: "BAProblem") -> "BAProblem":
     track distributions (bucketing is the escape hatch if not).
     """
     op = np.asarray(problem.obs_point)
+    om = np.asarray(problem.obs_mask)
     P = problem.points.shape[0]
+    # MASKED observations are dropped before the layout: they carry no
+    # residual, and counting them once inflated K catastrophically —
+    # pad_problem_pow2 used to stack every padding row on point 0, so a
+    # 16k-obs local-BA problem became a 6M-row point-major program
+    # (~400x; the observed 13-39 s per mapper local-BA call on CPU).
+    keep = np.nonzero(om > 0)[0]
+    op = op[keep]
     O = len(op)
     counts = np.bincount(op, minlength=P) if O else np.zeros(P, int)
-    K = max(int(counts.max()), 1) if O else 1
+    kmax = max(int(counts.max()), 1) if O else 1
+    # Round K up to a power of two: K is data-dependent (max track
+    # length), and the mapper's repeated solves should reuse compiled
+    # programs as tracks grow.
+    K = 1 << int(np.ceil(np.log2(kmax)))
     order = np.argsort(op, kind="stable")
     offs = np.concatenate([[0], np.cumsum(counts)])
     slot = np.arange(O) - offs[op[order]]
     rows = op[order] * K + slot                    # destination rows
 
     def place(v, fill=0):
-        v = np.asarray(v)
+        v = np.asarray(v)[keep]
         out = np.full((P * K,) + v.shape[1:], fill, v.dtype)
         out[rows] = v[order]
         return out
@@ -198,12 +210,20 @@ def pad_problem_pow2(problem: "BAProblem", min_images: int = 8,
         return np.concatenate([a, np.full(pad_shape, fill, a.dtype)])
 
     qpad = np.tile(np.asarray([1.0, 0, 0, 0], dtype), (Np - N, 1))
+    # Padding observations spread round-robin over all padded points
+    # (NOT stacked on index 0 — see to_point_major: the point-major
+    # layout sizes itself by the max per-point count, and a point-0
+    # pile-up inflated it ~400x). All padding rows carry obs_mask 0.
+    pad_op = (np.arange(Op - O) % Pp).astype(
+        np.asarray(problem.obs_point).dtype) if Op > O else None
     problem = problem._replace(
         qvecs=np.concatenate([np.asarray(problem.qvecs), qpad]),
         tvecs=padv(problem.tvecs, Np),
         points=padv(problem.points, Pp),
         obs_image=padv(problem.obs_image, Op),
-        obs_point=padv(problem.obs_point, Op),
+        obs_point=(np.concatenate([np.asarray(problem.obs_point), pad_op])
+                   if pad_op is not None
+                   else np.asarray(problem.obs_point)),
         obs_cam=padv(problem.obs_cam, Op),
         obs_xy=padv(problem.obs_xy, Op),
         obs_mask=padv(problem.obs_mask, Op),
