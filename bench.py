@@ -353,7 +353,15 @@ def bench_sift():
     rng = np.random.default_rng(0)
     imgs = jnp.asarray(rng.random((B, 480, 640), np.float32))
     opt = SiftExtractionOptions(max_num_features=2048)
-    f = jax.jit(jax.vmap(lambda im: extract_sift(im, opt).response.sum()))
+
+    def one(im):
+        # Consume keypoints AND descriptors — reducing only the
+        # response lets XLA dead-code-eliminate the descriptor stage.
+        ft = extract_sift(im, opt)
+        return ft.response.sum() + ft.descriptors.sum() \
+            + ft.keypoints.sum()
+
+    f = jax.jit(jax.vmap(one))
 
     def run(n):
         def go():

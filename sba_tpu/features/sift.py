@@ -265,6 +265,65 @@ def _gradients(img):
     return mag, ang
 
 
+def _pack_mag_ang(mags, angs):
+    """Pack gradient (magnitude, angle) level stacks into ONE u32 map:
+    bf16(mag) in the low half, bf16(ang) in the high half. Halves the
+    descriptor/orientation sampling gathers (the dominant extraction
+    cost: 8 flat takes per sample -> 4 packed takes); bf16 is ample for
+    10-degree orientation bins and gaussian-weighted magnitudes."""
+    mb = jax.lax.bitcast_convert_type(
+        mags.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+    ab = jax.lax.bitcast_convert_type(
+        angs.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+    return mb | (ab << 16)
+
+
+def _bilinear_gather_ma(packed, ys, xs, base=0):
+    """Bilinear (mag, ang-weights) sampling from a `_pack_mag_ang`
+    stack. Angles are NOT interpolated (interpolating across the +-pi
+    wrap is wrong anyway); each tap contributes its own angle with its
+    bilinear weight — callers receive the four (weighted magnitude,
+    angle) taps to bin separately, matching how VLFeat accumulates
+    per-tap contributions. Returns (wm [4, ...], ang [4, ...]).
+
+    Uses the rowsel gather (ops/interpolation._take_u32_rowsel, 6.2
+    ns/elem vs 11.8 flat) with optimization_barriers between the four
+    tap streams (two gathers in one XLA fusion lose the gather-select
+    fusion; benchmarks/gather_micro4.py)."""
+    from sba_tpu.ops.interpolation import _take_u32_rowsel
+
+    H, W = packed.shape[-2:]
+    flat = packed.reshape(-1)
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    fy = (ys - y0).astype(jnp.float32)
+    fx = (xs - x0).astype(jnp.float32)
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+
+    wms = []
+    angs = []
+    for dy, dx, w in ((0, 0, (1 - fy) * (1 - fx)),
+                      (0, 1, (1 - fy) * fx),
+                      (1, 0, fy * (1 - fx)),
+                      (1, 1, fy * fx)):
+        yi = y0i + dy
+        xi = x0i + dx
+        ok = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
+        idx = base + jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)
+        idx = jax.lax.optimization_barrier(idx)
+        u = _take_u32_rowsel(flat, idx)
+        m = jax.lax.bitcast_convert_type(
+            (u & 0xFFFF).astype(jnp.uint16), jnp.bfloat16).astype(
+                jnp.float32)
+        a = jax.lax.bitcast_convert_type(
+            (u >> 16).astype(jnp.uint16), jnp.bfloat16).astype(
+                jnp.float32)
+        wms.append(jnp.where(ok, m, 0.0) * w)
+        angs.append(a)
+    return jnp.stack(wms), jnp.stack(angs)
+
+
 def _bilinear_gather(img, ys, xs, base=0):
     """Sample at float (ys, xs) [...], zeros outside. `img` may be a
     LEVEL STACK [L, H, W] with `base` = level * H * W selecting the
@@ -295,15 +354,18 @@ def _bilinear_gather(img, ys, xs, base=0):
 _N_ORI_BINS = 36
 
 
-def _orientation_histograms(mag, ang, kx, ky, ksigma, base):
+def _orientation_histograms(packed, kx, ky, ksigma, base):
     """36-bin gaussian-weighted orientation histograms for all keypoints.
-    mag/ang are LEVEL STACKS [L, H, W]; `base` [K] = level*H*W selects
-    each keypoint's own level. kx/ky in level pixels, ksigma =
-    level-relative scale. Returns [K, 36] smoothed histograms.
+    `packed` is a `_pack_mag_ang` LEVEL STACK [L, H, W]; `base` [K] =
+    level*H*W selects each keypoint's own level. kx/ky in level pixels,
+    ksigma = level-relative scale. Returns [K, 36] smoothed histograms.
 
     Ref behavior: VLFeat vl_sift_calc_keypoint_orientations
     (lib/VLFeat/sift.c) — window radius 3*1.5*sigma, gaussian weight
-    sigma_w = 1.5*sigma, 36 bins, 6 box-smoothing passes.
+    sigma_w = 1.5*sigma, 36 bins, 6 box-smoothing passes. Each bilinear
+    TAP contributes its own (weighted magnitude, angle) — per-tap
+    binning, like VLFeat's pixel-wise accumulation (interpolating the
+    angle map across the +-pi wrap would be wrong).
     """
     P = 16  # fixed sample grid per keypoint (static shape)
     # Sample offsets cover radius 3 * 1.5 * sigma.
@@ -316,8 +378,7 @@ def _orientation_histograms(mag, ang, kx, ky, ksigma, base):
         rad = 3.0 * 1.5 * sig
         ys = kyi + oy * rad
         xs = kxi + ox * rad
-        m = _bilinear_gather(mag, ys, xs, b)
-        a = _bilinear_gather(ang, ys, xs, b)
+        wm, a = _bilinear_gather_ma(packed, ys, xs, b)   # [4, S]
         w = jnp.exp(-0.5 * ((oy * rad) ** 2 + (ox * rad) ** 2)
                     / (1.5 * sig + 1e-9) ** 2)
         # Soft binning into 36 bins (linear interp between adjacent bins).
@@ -326,13 +387,19 @@ def _orientation_histograms(mag, ang, kx, ky, ksigma, base):
         fb = binf - b0
         b0i = b0.astype(jnp.int32) % _N_ORI_BINS
         b1i = (b0i + 1) % _N_ORI_BINS
-        wm = (w * m).astype(mag.dtype)
-        hist = (jnp.zeros(_N_ORI_BINS, mag.dtype)
-                .at[b0i].add((wm * (1 - fb)).astype(mag.dtype))
-                .at[b1i].add((wm * fb).astype(mag.dtype)))
-        return hist
+        wm = (w[None] * wm)
+        return wm * (1 - fb), b0i, wm * fb, b1i
 
-    hists = jax.vmap(one)(kx, ky, ksigma, base)
+    w0, b0i, w1, b1i = jax.vmap(one)(kx, ky, ksigma, base)  # [K, 4, S]
+    # Histogram via 36 masked reductions, NOT scatter-add: the vmapped
+    # [K] x .at[bins].add scatter measured 1.56 s of the 1.93 s 8-image
+    # 640x480 extraction (TPU scatters serialize); the compare-mask
+    # sums are plain VPU reductions.
+    bins = jnp.arange(_N_ORI_BINS, dtype=jnp.int32)
+    hists = sum(
+        jnp.where(bi[..., None] == bins[None, None, None, :],
+                  wi[..., None], 0.0).sum(axis=(1, 2))
+        for bi, wi in ((b0i, w0), (b1i, w1)))  # [K, 36]
     # 6 circular box-smoothing passes (VLFeat behavior).
     for _ in range(6):
         hists = (jnp.roll(hists, 1, axis=-1) + hists
@@ -368,9 +435,10 @@ _D_ORI = 8       # 8 orientation bins
 _D_GRID = 16     # 16x16 sample grid
 
 
-def _descriptors(mag, ang, kx, ky, ksigma, korient, base, opt=None):
-    """128-D SIFT descriptors for all keypoints (mag/ang level stacks
-    [L, H, W], `base` [K] per-keypoint level offsets).
+def _descriptors(packed, kx, ky, ksigma, korient, base, opt=None):
+    """128-D SIFT descriptors for all keypoints (`packed` =
+    `_pack_mag_ang` level stack [L, H, W], `base` [K] per-keypoint
+    level offsets).
 
     Each keypoint samples a rotated 16x16 grid spanning the standard
     window (width = 3*sigma per spatial bin * 4 bins), then trilinear
@@ -393,37 +461,40 @@ def _descriptors(mag, ang, kx, ky, ksigma, korient, base, opt=None):
         # Rotate descriptor frame into image frame.
         xs = kxi + (ca * bx - sa * by) * spb
         ys = kyi + (sa * bx + ca * by) * spb
-        m = _bilinear_gather(mag, ys, xs, b)
-        a = _bilinear_gather(ang, ys, xs, b) - ori
-        w = jnp.exp(-(bx * bx + by * by) / (2 * (2.0 ** 2)))  # gaussian over window
-        wm = m * w  # [256]
+        wm_t, a_t = _bilinear_gather_ma(packed, ys, xs, b)  # [4, 256]
+        a_t = a_t - ori
+        w = jnp.exp(-(bx * bx + by * by) / (2 * (2.0 ** 2)))  # gaussian
+        wm_t = wm_t * w[None]  # [4, 256]
 
         # Trilinear weights: spatial (y bin, x bin) and orientation bin.
-        def spatial_onehot(b):
-            # b in bin units [-2, 2); histogram centers at -1.5,-0.5,.5,1.5.
+        def spatial_onehot(v):
+            # v in bin units [-2, 2); centers at -1.5,-0.5,.5,1.5.
             centers = jnp.arange(_D_SPATIAL) - 1.5
-            d = 1.0 - jnp.abs(b[:, None] - centers[None, :])
+            d = 1.0 - jnp.abs(v[:, None] - centers[None, :])
             return jnp.maximum(d, 0.0)  # [256, 4]
 
         wy = spatial_onehot(by)
         wx = spatial_onehot(bx)
-        binf = (a % (2 * jnp.pi)) / (2 * jnp.pi) * _D_ORI
+        wyx = jnp.einsum("sy,sx->syx", wy, wx).reshape(256, 16)
+        binf = (a_t % (2 * jnp.pi)) / (2 * jnp.pi) * _D_ORI
         b0 = jnp.floor(binf)
         fb = binf - b0
         b0i = b0.astype(jnp.int32) % _D_ORI
-        onehot0 = jax.nn.one_hot(b0i, _D_ORI, dtype=mag.dtype)
-        onehot1 = jax.nn.one_hot((b0i + 1) % _D_ORI, _D_ORI, dtype=mag.dtype)
-        wo = onehot0 * (1 - fb)[:, None] + onehot1 * fb[:, None]  # [256, 8]
-
-        # desc[y, x, o] = sum_s wm wy wx wo — einsum contracts on MXU.
-        desc = jnp.einsum("s,sy,sx,so->yxo", wm, wy, wx, wo)
+        onehot0 = jax.nn.one_hot(b0i, _D_ORI, dtype=jnp.float32)
+        onehot1 = jax.nn.one_hot((b0i + 1) % _D_ORI, _D_ORI,
+                                 dtype=jnp.float32)
+        wo = (onehot0 * (1 - fb)[..., None]
+              + onehot1 * fb[..., None])                 # [4, 256, 8]
+        # desc[yx, o] = sum_{t,s} wm wyx wo (per-tap orientation bins).
+        desc = jnp.einsum("tso,sk,ts->ko",
+                          wo, wyx, wm_t)                 # [16, 8]
         return desc.reshape(-1)
 
     if opt is not None and opt.domain_size_pooling:
         # DSP-SIFT: mean descriptor over pooled domain sizes
         # (ref: src/feature/sift.h:97-100; VLFeat dsp implementation).
         scales = jnp.linspace(opt.dsp_min_scale, opt.dsp_max_scale,
-                              opt.dsp_num_scales, dtype=mag.dtype)
+                              opt.dsp_num_scales, dtype=jnp.float32)
 
         def pooled(kxi, kyi, sig, ori, b):
             d = jax.vmap(lambda s: one(kxi, kyi, sig * s, ori, b))(scales)
@@ -519,11 +590,11 @@ def _extract_octave(base, octave_idx: int, opt: SiftExtractionOptions,
     # — 3x the gathers and bin math).
     inner_levels = list(range(1, S + 1))
     grads = [_gradients(gauss[s]) for s in inner_levels]
-    mags = jnp.stack([g[0] for g in grads])
-    angs = jnp.stack([g[1] for g in grads])
+    packed = _pack_mag_ang(jnp.stack([g[0] for g in grads]),
+                           jnp.stack([g[1] for g in grads]))
     lvl_base = (lvl - 1) * (H * W)
 
-    hists = _orientation_histograms(mags, angs, fx, fy, sigma_level,
+    hists = _orientation_histograms(packed, fx, fy, sigma_level,
                                     lvl_base)
 
     if opt.upright:
@@ -539,7 +610,7 @@ def _extract_octave(base, octave_idx: int, opt: SiftExtractionOptions,
     ko_flat = orients.reshape(-1)
     base_flat = jnp.repeat(lvl_base[:, None], n_ori, 1).reshape(-1)
 
-    descs = _descriptors(mags, angs, kx_flat, ky_flat, ks_flat, ko_flat,
+    descs = _descriptors(packed, kx_flat, ky_flat, ks_flat, ko_flat,
                          base_flat, opt)
     descs = descs.reshape(C, n_ori, 128)
 
