@@ -63,7 +63,15 @@ def main(num_images=64):
         phases["extract_s"] = round(time.perf_counter() - t0, 1)
 
         t0 = time.perf_counter()
-        assert cli(["exhaustive_matcher", "--database_path", db]) == 0
+        # Ring scenes are ordered captures: sequential matching with a
+        # generous overlap is the reference's recommended mode for
+        # sequences (exhaustive's O(N^2) pair verification dominates
+        # wall time past ~32 images).
+        if num_images > 32:
+            assert cli(["sequential_matcher", "--database_path", db,
+                        "--SequentialMatching.overlap", "16"]) == 0
+        else:
+            assert cli(["exhaustive_matcher", "--database_path", db]) == 0
         phases["match_s"] = round(time.perf_counter() - t0, 1)
 
         sparse = os.path.join(td, "sparse")
