@@ -492,21 +492,41 @@ class IncrementalMapper:
         return n
 
     def _filter_small_angle_points(self, min_angle_deg: float) -> int:
-        removed = 0
-        for pid in list(self.rec.points3D):
+        """Vectorized max-pairwise-triangulation-angle filter: the
+        per-point Python double loop cost grew linearly with map size
+        PER REGISTRATION (called after every local BA) and dominated
+        the host loop at 50+ images."""
+        pids = list(self.rec.points3D)
+        if not pids:
+            return 0
+        # Camera centers once per call.
+        centers = {iid: _projection_center(img.qvec, img.tvec)
+                   for iid, img in self.rec.images.items()
+                   if self.rec.is_registered(iid)}
+        K = max(len(self.rec.points3D[p].image_ids) for p in pids)
+        P = len(pids)
+        dirs = np.zeros((P, K, 3))
+        valid = np.zeros((P, K), bool)
+        xyz = np.zeros((P, 3))
+        for r, pid in enumerate(pids):
             pt = self.rec.points3D[pid]
-            centers = []
-            for im in pt.image_ids:
-                image = self.rec.images[int(im)]
-                centers.append(_projection_center(image.qvec, image.tvec))
-            max_ang = 0.0
-            for i in range(len(centers)):
-                for j in range(i + 1, len(centers)):
-                    max_ang = max(max_ang, _tri_angle(
-                        centers[i], centers[j], pt.xyz))
-                if max_ang >= min_angle_deg:
-                    break
-            if max_ang < min_angle_deg:
+            xyz[r] = pt.xyz
+            for c, im in enumerate(pt.image_ids):
+                ctr = centers.get(int(im))
+                if ctr is None:
+                    continue
+                dirs[r, c] = ctr
+                valid[r, c] = True
+        d = dirs - xyz[:, None, :]
+        n = np.linalg.norm(d, axis=-1)
+        d = d / np.maximum(n, 1e-12)[..., None]
+        cosang = np.einsum("pkc,plc->pkl", d, d)
+        pair_ok = valid[:, :, None] & valid[:, None, :]
+        cosang = np.where(pair_ok, np.clip(cosang, -1.0, 1.0), 1.0)
+        max_ang = np.degrees(np.arccos(cosang.min(axis=(1, 2))))
+        removed = 0
+        for r, pid in enumerate(pids):
+            if max_ang[r] < min_angle_deg:
                 self.rec.delete_point3d(pid)
                 removed += 1
         return removed
