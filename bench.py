@@ -109,7 +109,11 @@ def bench_sba():
 
         def run():
             out, summary = semantic_bundle_adjust(problem, opt)
-            jax.block_until_ready(summary.final_cost)
+            # A REAL device->host read: on this runtime an async-mode
+            # block_until_ready can return before the work is done
+            # (BASELINE.md) and the delta collapses to fake ~2 ms
+            # timings; float() cannot complete without the value.
+            float(summary.final_cost)
 
         return run
 
@@ -139,7 +143,7 @@ def bench_gsba():
 
         def run():
             out, summary = geometric_semantic_bundle_adjust(problem, opt)
-            jax.block_until_ready(summary.final_cost)
+            float(summary.final_cost)
 
         return run
 
@@ -179,7 +183,7 @@ def bench_pose_graph():
 
         def run():
             out, summary = optimize_pose_graph(problem, opt)
-            jax.block_until_ready(summary.final_cost)
+            float(summary.final_cost)
 
         return run
 
@@ -206,7 +210,7 @@ def bench_ba_large():
 
         def run():
             out, summary = ba_fused.solve_prepared(ctx)
-            jax.block_until_ready(summary.final_cost)
+            float(summary.final_cost)
 
         return run
 
@@ -235,7 +239,7 @@ def bench_ba_10k():
 
         def run():
             out, summary = ba_fused.solve_prepared(ctx)
-            jax.block_until_ready(summary.final_cost)
+            float(summary.final_cost)
 
         return run
 
@@ -297,7 +301,7 @@ def bench_patch_match():
                 ref, srcs, jnp.asarray(K),
                 jnp.asarray(np.stack([K] * S)), jnp.asarray(Rs),
                 jnp.asarray(ts), options=opt)
-            jax.block_until_ready(res.depth)
+            float(res.depth[0, 0])
         return run
 
     r2, r6 = solve(2), solve(6)
@@ -338,7 +342,7 @@ def bench_gsba_forest():
 
         def run():
             out, summary = geometric_semantic_bundle_adjust(problem, opt)
-            jax.block_until_ready(summary.final_cost)
+            float(summary.final_cost)
         return run
 
     rate = _delta_rate(solve, reps=3)
@@ -375,7 +379,7 @@ def bench_sift():
             out = None
             for _ in range(n):
                 out = f(imgs)
-            jax.block_until_ready(out)
+            float(out[0])
         return go
 
     r2, r8 = run(2), run(8)
@@ -431,7 +435,7 @@ def bench_match():
             out = None
             for _ in range(n):
                 out = f(d1, d2)
-            jax.block_until_ready(out)
+            float(out[0])
         return go
 
     r2, r8 = run(2), run(8)
@@ -476,7 +480,7 @@ def bench_headline():
 
         def run():
             out, summary = ba_fused.solve_prepared(ctx)
-            jax.block_until_ready(summary.final_cost)
+            float(summary.final_cost)
 
         return run
 
