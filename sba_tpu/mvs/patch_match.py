@@ -107,9 +107,28 @@ def _bilinear(img, xy):
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
 
+    flat = img.reshape(-1)
+    rowsel = flat.shape[0] % 128 == 0
+    if rowsel:
+        t2 = flat.reshape(-1, 128)
+
     def tap(yi, xi, w):
+        # Flat 1-D take: multi-dim advanced indexing lowers to slow (or
+        # under vmap catastrophic) gathers on TPU. When the image tiles
+        # evenly, use the row-gather + one-hot lane select pattern (6.2
+        # vs 11.8 ns/elem; see ops/interpolation._take_u32_rowsel) with
+        # an optimization_barrier per tap stream.
         ok = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
-        v = img[jnp.clip(yi, 0, H - 1), jnp.clip(xi, 0, W - 1)]
+        fi = jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)
+        if rowsel:
+            fi = jax.lax.optimization_barrier(fi)
+            rows = jnp.take(t2, fi // 128, axis=0)
+            lane = jax.lax.broadcasted_iota(jnp.int32, rows.shape,
+                                            rows.ndim - 1)
+            v = jnp.where(lane == (fi % 128)[..., None], rows,
+                          jnp.zeros_like(rows)).sum(axis=-1)
+        else:
+            v = jnp.take(flat, fi)
         return jnp.where(ok, v, 0.0) * w, ok & (w > 0)
 
     v00, m00 = tap(y0i, x0i, (1 - fy) * (1 - fx))
@@ -181,6 +200,20 @@ def _cost_for_hypothesis(ref_img, src_imgs, K_ref_inv, K_srcs, Rs, ts,
 
     Bilateral-weighted NCC per window (ref: patch_match_cuda.cu
     ComputeNCCCostsOfPixelWindow); cost = 1 - NCC in [0, 2].
+
+    TPU redesign (cost-volume filtering): the reference's CUDA kernel
+    re-samples the source at every window tap through the CENTER
+    pixel's homography — ~200 texture fetches per pixel per view,
+    essentially free on a GPU texture unit but ~400 gather descriptors
+    per pixel on TPU (measured 0.012 Mpix/s, ~1000x below target).
+    Instead each pixel is warped ONCE through its OWN hypothesis
+    (one bilinear gather), and the window NCC moments are accumulated
+    over STATIC SHIFTS of the warped image — plain VPU rolls, no
+    gathers. On coplanar neighborhoods (what propagation converges to)
+    the two formulations agree exactly; at depth edges the bilateral
+    color weights suppress the difference. Validated by the
+    slanted-plane recovery test and the depth-RMSE-vs-rendered-GT test
+    (tests/test_mvs.py).
     """
     H, W = ref_img.shape
     yy, xx = jnp.meshgrid(jnp.arange(H, dtype=ref_img.dtype) + 0.5,
@@ -189,49 +222,68 @@ def _cost_for_hypothesis(ref_img, src_imgs, K_ref_inv, K_srcs, Rs, ts,
     xy = jnp.stack([xx, yy], -1)  # [H, W, 2] center coords
 
     offs_np = _window_offsets(opt.window_radius, opt.window_step)
-    offs = jnp.asarray(offs_np, ref_img.dtype)  # [K, 2]
+    w_sp_np = np.exp(-(offs_np[:, 0] ** 2 + offs_np[:, 1] ** 2)
+                     / (2 * opt.sigma_spatial ** 2))
     K = offs_np.shape[0]
 
-    # Reference window values (static shifts -> cheap).
-    ref_w = []
-    for k in range(K):
-        dx = int(offs_np[k, 0])
-        dy = int(offs_np[k, 1])
-        ref_w.append(jnp.roll(jnp.roll(ref_img, -dy, 0), -dx, 1))
-    ref_w = jnp.stack(ref_w, -1)  # [H, W, K]
+    def roll2(a, dy, dx):
+        return jnp.roll(jnp.roll(a, -dy, 0), -dx, 1)
 
-    # Bilateral weights: spatial gaussian x color gaussian vs center.
-    w_sp = jnp.exp(-(offs[:, 0] ** 2 + offs[:, 1] ** 2)
-                   / (2 * opt.sigma_spatial ** 2))
-    w_col = jnp.exp(-((ref_w - ref_img[..., None]) ** 2)
-                    / (2 * opt.sigma_color ** 2))
-    wgt = w_sp[None, None, :] * w_col  # [H, W, K]
+    # Static in-bounds masks per shift (wrap-around rows/cols invalid).
+    iy = jnp.arange(H)
+    ix = jnp.arange(W)
 
-    Hmats = None
+    def shift_valid(dy, dx):
+        vy = (iy + dy >= 0) & (iy + dy < H)
+        vx = (ix + dx >= 0) & (ix + dx < W)
+        return vy[:, None] & vx[None, :]
+
     costs = []
     for s in range(len(src_imgs)):
         Hm = _plane_homographies(K_ref_inv, K_srcs[s], Rs[s], ts[s],
                                  depth, normal, xy)  # [H, W, 3, 3]
-        # Warp all window positions through the SAME homography.
-        pos = xy[..., None, :] + offs[None, None, :, :]  # [H, W, K, 2]
-        ph = jnp.concatenate([pos, jnp.ones_like(pos[..., :1])], -1)
-        warped = jnp.einsum("hwij,hwkj->hwki", Hm, ph)
+        ph = jnp.concatenate([xy, jnp.ones_like(xy[..., :1])], -1)
+        warped = jnp.einsum("hwij,hwj->hwi", Hm, ph)
         src_xy = warped[..., :2] / jnp.where(
             jnp.abs(warped[..., 2:]) > 1e-9, warped[..., 2:], 1e-9)
-        src_v, inb = _bilinear(src_imgs[s], src_xy)  # [H, W, K]
-        w = wgt * inb
-        wsum = jnp.maximum(jnp.sum(w, -1), 1e-9)
-        mr = jnp.sum(w * ref_w, -1) / wsum
-        ms = jnp.sum(w * src_v, -1) / wsum
-        vr = jnp.sum(w * (ref_w - mr[..., None]) ** 2, -1) / wsum
-        vs = jnp.sum(w * (src_v - ms[..., None]) ** 2, -1) / wsum
-        cov = jnp.sum(w * (ref_w - mr[..., None])
-                      * (src_v - ms[..., None]), -1) / wsum
+        v, inb = _bilinear(src_imgs[s], src_xy)      # [H, W] each
+        v = jnp.where(inb, v, 0.0)
+
+        # Window moments by shifted accumulation (6 running sums).
+        z = jnp.zeros_like(ref_img)
+        SW = z
+        SR = z
+        SV = z
+        SRR = z
+        SVV = z
+        SRV = z
+        SIN = z
+        for k in range(K):
+            dx = int(offs_np[k, 0])
+            dy = int(offs_np[k, 1])
+            r_k = roll2(ref_img, dy, dx)
+            v_k = roll2(v, dy, dx)
+            in_k = roll2(inb, dy, dx) & shift_valid(dy, dx)
+            w = w_sp_np[k] * jnp.exp(
+                -((r_k - ref_img) ** 2) / (2 * opt.sigma_color ** 2))
+            w = jnp.where(in_k, w, 0.0)
+            SW = SW + w
+            SR = SR + w * r_k
+            SV = SV + w * v_k
+            SRR = SRR + w * r_k * r_k
+            SVV = SVV + w * v_k * v_k
+            SRV = SRV + w * r_k * v_k
+            SIN = SIN + w_sp_np[k] * in_k
+        wsum = jnp.maximum(SW, 1e-9)
+        mr = SR / wsum
+        ms = SV / wsum
+        vr = SRR / wsum - mr * mr
+        vs = SVV / wsum - ms * ms
+        cov = SRV / wsum - mr * ms
         ncc = cov / jnp.sqrt(jnp.maximum(vr * vs, 1e-10))
         cost = 1.0 - jnp.clip(ncc, -1.0, 1.0)
         # Pixels whose window left the source entirely get max cost.
-        frac_in = jnp.sum(inb * w_sp[None, None, :], -1) \
-            / jnp.sum(w_sp)
+        frac_in = SIN / w_sp_np.sum()
         cost = jnp.where(frac_in > 0.5, cost, 2.0)
         costs.append(cost)
     costs = jnp.stack(costs)  # [S, H, W]
