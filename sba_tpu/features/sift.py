@@ -72,6 +72,12 @@ class SiftExtractionOptions:
     # (per octave, ranked by refined |DoG| response). The global
     # max_num_features top-K selects from n_octaves * this.
     desc_candidates_per_octave: int = 1536
+    # Gradient sampling for the orientation/descriptor windows:
+    # "nearest" (1 gather per sample — classical SIFT bins each PIXEL's
+    # gradient with no interpolation, so nearest-tap is the faithful
+    # analogue and 4x cheaper on the gather-issue-bound TPU path) or
+    # "bilinear" (4 taps, each binned with its bilinear weight).
+    grad_sampling: str = "nearest"
     sigma0: float = 1.6              # base blur of octave 0 level 0
     init_sigma: float = 0.5          # assumed blur of the input image
 
@@ -278,9 +284,12 @@ def _pack_mag_ang(mags, angs):
     return mb | (ab << 16)
 
 
-def _bilinear_gather_ma(packed, ys, xs, base=0):
-    """Bilinear (mag, ang-weights) sampling from a `_pack_mag_ang`
-    stack. Angles are NOT interpolated (interpolating across the +-pi
+def _bilinear_gather_ma(flat, ys, xs, base, H, W):
+    """Bilinear (mag, ang-weights) sampling from a FLAT `_pack_mag_ang`
+    buffer; `base` selects the keypoint's own (octave, level) plane and
+    `H`/`W` are that octave's plane bounds (traced scalars — the flat
+    buffer concatenates every octave, so bounds are per keypoint).
+    Angles are NOT interpolated (interpolating across the +-pi
     wrap is wrong anyway); each tap contributes its own angle with its
     bilinear weight — callers receive the four (weighted magnitude,
     angle) taps to bin separately, matching how VLFeat accumulates
@@ -291,9 +300,6 @@ def _bilinear_gather_ma(packed, ys, xs, base=0):
     tap streams (two gathers in one XLA fusion lose the gather-select
     fusion; benchmarks/gather_micro4.py)."""
     from sba_tpu.ops.interpolation import _take_u32_rowsel
-
-    H, W = packed.shape[-2:]
-    flat = packed.reshape(-1)
     y0 = jnp.floor(ys)
     x0 = jnp.floor(xs)
     fy = (ys - y0).astype(jnp.float32)
@@ -324,41 +330,45 @@ def _bilinear_gather_ma(packed, ys, xs, base=0):
     return jnp.stack(wms), jnp.stack(angs)
 
 
-def _bilinear_gather(img, ys, xs, base=0):
-    """Sample at float (ys, xs) [...], zeros outside. `img` may be a
-    LEVEL STACK [L, H, W] with `base` = level * H * W selecting the
-    keypoint's own pyramid level — one flat gather replaces the old
-    compute-at-every-level-and-select structure (3x the gather+math)."""
-    H, W = img.shape[-2:]
-    y0 = jnp.floor(ys)
-    x0 = jnp.floor(xs)
-    fy = ys - y0
-    fx = xs - x0
-    y0i = y0.astype(jnp.int32)
-    x0i = x0.astype(jnp.int32)
-
-    flat = img.reshape(-1)
-
-    def tap(yi, xi, w):
-        ok = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
-        v = jnp.take(flat, base + jnp.clip(yi, 0, H - 1) * W
-                     + jnp.clip(xi, 0, W - 1))
-        return jnp.where(ok, v, 0.0) * w
-
-    return (tap(y0i, x0i, (1 - fy) * (1 - fx))
-            + tap(y0i, x0i + 1, (1 - fy) * fx)
-            + tap(y0i + 1, x0i, fy * (1 - fx))
-            + tap(y0i + 1, x0i + 1, fy * fx))
-
-
 _N_ORI_BINS = 36
 
 
-def _orientation_histograms(packed, kx, ky, ksigma, base):
+def _nearest_gather_ma(flat, ys, xs, base, H, W):
+    """Nearest-pixel (mag, ang) sampling from a flat `_pack_mag_ang`
+    buffer — the 1-tap counterpart of `_bilinear_gather_ma` (same
+    return shape with a singleton tap axis). Classical SIFT
+    (lib/VLFeat/sift.c, SiftGPU) bins each integer PIXEL's gradient
+    with no resampling, so nearest taps are the faithful analogue; on
+    TPU they also cost 4x fewer gather issues, which is what bounds
+    the orientation/descriptor stages."""
+    from sba_tpu.ops.interpolation import _take_u32_rowsel
+
+    yi = jnp.round(ys).astype(jnp.int32)
+    xi = jnp.round(xs).astype(jnp.int32)
+    ok = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
+    idx = base + jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)
+    u = _take_u32_rowsel(flat, idx)
+    m = jax.lax.bitcast_convert_type(
+        (u & 0xFFFF).astype(jnp.uint16), jnp.bfloat16).astype(jnp.float32)
+    a = jax.lax.bitcast_convert_type(
+        (u >> 16).astype(jnp.uint16), jnp.bfloat16).astype(jnp.float32)
+    return jnp.where(ok, m, 0.0)[None], a[None]
+
+
+def _gather_ma(flat, ys, xs, base, H, W, sampling):
+    if sampling == "nearest":
+        return _nearest_gather_ma(flat, ys, xs, base, H, W)
+    return _bilinear_gather_ma(flat, ys, xs, base, H, W)
+
+
+def _orientation_histograms(flat, kx, ky, ksigma, base, kh, kw,
+                            sampling="nearest"):
     """36-bin gaussian-weighted orientation histograms for all keypoints.
-    `packed` is a `_pack_mag_ang` LEVEL STACK [L, H, W]; `base` [K] =
-    level*H*W selects each keypoint's own level. kx/ky in level pixels,
-    ksigma = level-relative scale. Returns [K, 36] smoothed histograms.
+    `flat` is a flat `_pack_mag_ang` buffer over every octave's level
+    stack; `base` [K] = octave offset + level*H*W selects each
+    keypoint's own plane, `kh`/`kw` [K] its plane bounds. kx/ky in that
+    octave's pixels, ksigma = level-relative scale. Returns [K, 36]
+    smoothed histograms.
 
     Ref behavior: VLFeat vl_sift_calc_keypoint_orientations
     (lib/VLFeat/sift.c) — window radius 3*1.5*sigma, gaussian weight
@@ -374,11 +384,11 @@ def _orientation_histograms(packed, kx, ky, ksigma, base):
     oy = oy.reshape(-1)
     ox = ox.reshape(-1)
 
-    def one(kxi, kyi, sig, b):
+    def one(kxi, kyi, sig, b, ph, pw):
         rad = 3.0 * 1.5 * sig
         ys = kyi + oy * rad
         xs = kxi + ox * rad
-        wm, a = _bilinear_gather_ma(packed, ys, xs, b)   # [4, S]
+        wm, a = _gather_ma(flat, ys, xs, b, ph, pw, sampling)  # [T, S]
         w = jnp.exp(-0.5 * ((oy * rad) ** 2 + (ox * rad) ** 2)
                     / (1.5 * sig + 1e-9) ** 2)
         # Soft binning into 36 bins (linear interp between adjacent bins).
@@ -390,7 +400,7 @@ def _orientation_histograms(packed, kx, ky, ksigma, base):
         wm = (w[None] * wm)
         return wm * (1 - fb), b0i, wm * fb, b1i
 
-    w0, b0i, w1, b1i = jax.vmap(one)(kx, ky, ksigma, base)  # [K, 4, S]
+    w0, b0i, w1, b1i = jax.vmap(one)(kx, ky, ksigma, base, kh, kw)
     # Histogram via 36 masked reductions, NOT scatter-add: the vmapped
     # [K] x .at[bins].add scatter measured 1.56 s of the 1.93 s 8-image
     # 640x480 extraction (TPU scatters serialize); the compare-mask
@@ -435,10 +445,10 @@ _D_ORI = 8       # 8 orientation bins
 _D_GRID = 16     # 16x16 sample grid
 
 
-def _descriptors(packed, kx, ky, ksigma, korient, base, opt=None):
-    """128-D SIFT descriptors for all keypoints (`packed` =
-    `_pack_mag_ang` level stack [L, H, W], `base` [K] per-keypoint
-    level offsets).
+def _descriptors(flat, kx, ky, ksigma, korient, base, kh, kw, opt=None):
+    """128-D SIFT descriptors for all keypoints (`flat` = flat
+    `_pack_mag_ang` buffer over every octave, `base` [K] per-keypoint
+    plane offsets, `kh`/`kw` [K] per-keypoint plane bounds).
 
     Each keypoint samples a rotated 16x16 grid spanning the standard
     window (width = 3*sigma per spatial bin * 4 bins), then trilinear
@@ -447,6 +457,7 @@ def _descriptors(packed, kx, ky, ksigma, korient, base, opt=None):
     Ref math: lib/VLFeat/sift.c vl_sift_calc_keypoint_descriptor /
     SiftGPU descriptor kernels.
     """
+    sampling = getattr(opt, "grad_sampling", "nearest") if opt else "nearest"
     P = _D_GRID
     # Normalized sample coords in descriptor frame: [-2, 2) spatial bins.
     lin = (jnp.arange(P) + 0.5) / P * 4.0 - 2.0  # bin units
@@ -454,14 +465,15 @@ def _descriptors(packed, kx, ky, ksigma, korient, base, opt=None):
     by = by.reshape(-1)
     bx = bx.reshape(-1)  # [256]
 
-    def one(kxi, kyi, sig, ori, b):
+    def one(kxi, kyi, sig, ori, b, ph, pw):
         spb = 3.0 * sig  # pixels per spatial bin
         ca = jnp.cos(ori)
         sa = jnp.sin(ori)
         # Rotate descriptor frame into image frame.
         xs = kxi + (ca * bx - sa * by) * spb
         ys = kyi + (sa * bx + ca * by) * spb
-        wm_t, a_t = _bilinear_gather_ma(packed, ys, xs, b)  # [4, 256]
+        wm_t, a_t = _gather_ma(flat, ys, xs, b, ph, pw,
+                               sampling)  # [T, 256]
         a_t = a_t - ori
         w = jnp.exp(-(bx * bx + by * by) / (2 * (2.0 ** 2)))  # gaussian
         wm_t = wm_t * w[None]  # [4, 256]
@@ -496,13 +508,14 @@ def _descriptors(packed, kx, ky, ksigma, korient, base, opt=None):
         scales = jnp.linspace(opt.dsp_min_scale, opt.dsp_max_scale,
                               opt.dsp_num_scales, dtype=jnp.float32)
 
-        def pooled(kxi, kyi, sig, ori, b):
-            d = jax.vmap(lambda s: one(kxi, kyi, sig * s, ori, b))(scales)
+        def pooled(kxi, kyi, sig, ori, b, ph, pw):
+            d = jax.vmap(
+                lambda s: one(kxi, kyi, sig * s, ori, b, ph, pw))(scales)
             return jnp.mean(d, axis=0)
 
-        return jax.vmap(pooled)(kx, ky, ksigma, korient, base)
+        return jax.vmap(pooled)(kx, ky, ksigma, korient, base, kh, kw)
 
-    return jax.vmap(one)(kx, ky, ksigma, korient, base)
+    return jax.vmap(one)(kx, ky, ksigma, korient, base, kh, kw)
 
 
 def _normalize_descriptors(desc, normalization: str):
@@ -529,10 +542,16 @@ def descriptors_to_uint8(desc):
 # ---------------------------------------------------------------------------
 
 
-def _extract_octave(base, octave_idx: int, opt: SiftExtractionOptions,
-                    octave_scale: float):
-    """Candidates of one octave. Returns dict of [C]-shaped arrays in
-    ORIGINAL image coordinates + per-candidate validity."""
+def _detect_octave(base, opt: SiftExtractionOptions):
+    """Detection stages of ONE octave: pyramid, DoG extrema, quadratic
+    refinement, peak/edge gating, per-octave candidate cut — everything
+    that is cheap and shape-tied to this octave. Returns
+    (cand dict of [C] arrays in OCTAVE pixels, packed_flat gradient
+    buffer [S*H*W] u32, (H, W), next_base). The expensive
+    orientation/descriptor gathers happen ONCE over the global top-K
+    candidates of all octaves (see `extract_sift`) — the global ranking
+    key (refined |DoG|) is already known here, so there is no reason to
+    sample 16x16 windows for candidates the final top-K will drop."""
     S = opt.octave_resolution
     gauss, dog, next_base = build_octave(base, opt)
     L, H, W = dog.shape
@@ -561,12 +580,8 @@ def _extract_octave(base, octave_idx: int, opt: SiftExtractionOptions,
               & (xx >= border) & (xx < W - border))
     valid = cand_valid & peak_ok & edge_ok & inside
 
-    # Cut the candidate list before the expensive orientation +
-    # descriptor stages: keep the top `desc_candidates_per_octave` by
-    # refined response among surviving candidates. The global top-K
-    # across octaves is far smaller than C=4096 anyway; measured 11 s ->
-    # sub-second per 8-image batch at 640x480 together with the
-    # level-indexed gathers below.
+    # Per-octave candidate cut before concatenation: keep the top
+    # `desc_candidates_per_octave` by refined response among survivors.
     D = min(getattr(opt, "desc_candidates_per_octave", 1536), C)
     dscore = jnp.where(valid, jnp.abs(refined), -jnp.inf)
     _, keep = lax.top_k(dscore, D)
@@ -576,58 +591,23 @@ def _extract_octave(base, octave_idx: int, opt: SiftExtractionOptions,
     valid = valid[keep]
     yy = yy[keep]
     xx = xx[keep]
-    C = D
 
     fl = lvl.astype(dog.dtype) + off[:, 0]
     fy = yy.astype(dog.dtype) + off[:, 1]
     fx = xx.astype(dog.dtype) + off[:, 2]
     sigma_level = opt.sigma0 * 2.0 ** (fl / S)  # octave-relative
 
-    # Orientation histograms + descriptors against the gradient maps of
-    # the candidate's own pyramid level: the inner levels are stacked
-    # [S, H, W] and every per-keypoint sample is ONE flat gather with a
-    # level-base offset (the old path computed every level and selected
-    # — 3x the gathers and bin math).
+    # Gradient maps of the inner levels, packed (bf16 mag | bf16 ang)
+    # and flattened: every per-keypoint sample downstream is ONE flat
+    # gather with a (octave offset + level*H*W) base.
     inner_levels = list(range(1, S + 1))
     grads = [_gradients(gauss[s]) for s in inner_levels]
     packed = _pack_mag_ang(jnp.stack([g[0] for g in grads]),
                            jnp.stack([g[1] for g in grads]))
-    lvl_base = (lvl - 1) * (H * W)
-
-    hists = _orientation_histograms(packed, fx, fy, sigma_level,
-                                    lvl_base)
-
-    if opt.upright:
-        orients = jnp.zeros((C, 1), dog.dtype)
-        ovalid = jnp.ones((C, 1), bool)
-    else:
-        orients, ovalid = _histogram_peaks(hists, opt.max_num_orientations)
-
-    n_ori = orients.shape[1]
-    kx_flat = jnp.repeat(fx[:, None], n_ori, 1).reshape(-1)
-    ky_flat = jnp.repeat(fy[:, None], n_ori, 1).reshape(-1)
-    ks_flat = jnp.repeat(sigma_level[:, None], n_ori, 1).reshape(-1)
-    ko_flat = orients.reshape(-1)
-    base_flat = jnp.repeat(lvl_base[:, None], n_ori, 1).reshape(-1)
-
-    descs = _descriptors(packed, kx_flat, ky_flat, ks_flat, ko_flat,
-                         base_flat, opt)
-    descs = descs.reshape(C, n_ori, 128)
-
-    # Expand (candidate x orientation) -> rows; coordinates scaled to the
-    # original image (+0.5 pixel-center as COLMAP keypoints are center-origin).
-    ox = fx * octave_scale + 0.5
-    oy = fy * octave_scale + 0.5
-    oscale = sigma_level * octave_scale
-    kx = jnp.repeat(ox[:, None], n_ori, 1).reshape(-1)
-    ky = jnp.repeat(oy[:, None], n_ori, 1).reshape(-1)
-    ks = jnp.repeat(oscale[:, None], n_ori, 1).reshape(-1)
-    ko = orients.reshape(-1)
-    kv = (jnp.repeat(valid[:, None], n_ori, 1) & ovalid).reshape(-1)
-    kr = jnp.repeat(jnp.abs(refined)[:, None], n_ori, 1).reshape(-1)
-    kd = descs.reshape(-1, 128)
-    return dict(x=kx, y=ky, scale=ks, orient=ko, valid=kv, resp=kr,
-                desc=kd), next_base
+    cand = dict(fx=fx, fy=fy, sigma=sigma_level,
+                resp=jnp.abs(refined), valid=valid,
+                base=(lvl - 1) * (H * W))
+    return cand, packed.reshape(-1), (H, W), next_base
 
 
 def extract_sift(image, options: Optional[SiftExtractionOptions] = None
@@ -638,6 +618,14 @@ def extract_sift(image, options: Optional[SiftExtractionOptions] = None
     same-sized images with `jax.vmap(lambda im: extract_sift(im, opt))`.
     Replaces the reference's producer/consumer thread pipeline
     (ref: feature/extraction.cc:112-177) with device batching.
+
+    Stage split (the TPU cost model drives it): per-octave detection is
+    dense VPU work; the gather-bound orientation/descriptor stages run
+    ONCE over the global top-`max_num_features` candidates of ALL
+    octaves against a single concatenated flat gradient buffer — the
+    ranking key (refined |DoG| response) is known before either stage,
+    so candidates the final top-K would drop are never sampled (3x
+    fewer gathers at the 4-octave default than per-octave processing).
     """
     opt = options or SiftExtractionOptions()
     img = image.astype(jnp.float32)
@@ -658,21 +646,70 @@ def extract_sift(image, options: Optional[SiftExtractionOptions] = None
                 max(1, int(math.floor(math.log2(min(h, w) / 16.0))) + 1))
 
     parts = []
+    flats = []
+    offset = 0
     for o in range(n_oct):
-        part, base = _extract_octave(base, o, opt, octave_scale0 * (2.0 ** o))
-        parts.append(part)
+        cand, pflat, (H, W), base = _detect_octave(base, opt)
+        C = cand["fx"].shape[0]
+        oscale = octave_scale0 * (2.0 ** o)
+        cand["base"] = cand["base"] + offset
+        cand["ph"] = jnp.full((C,), H, jnp.int32)
+        cand["pw"] = jnp.full((C,), W, jnp.int32)
+        cand["oscale"] = jnp.full((C,), oscale, jnp.float32)
+        offset += pflat.shape[0]
+        parts.append(cand)
+        flats.append(pflat)
 
+    flat_all = jnp.concatenate(flats)
+    if flat_all.shape[0] % 128 != 0:  # keep the rowsel gather eligible
+        flat_all = jnp.pad(flat_all,
+                           (0, 128 - flat_all.shape[0] % 128))
     cat = {k: jnp.concatenate([p[k] for p in parts]) for k in parts[0]}
-    # Global top-K by response among valid rows.
+
+    # Global candidate top-K by refined response BEFORE the expensive
+    # stages (response is orientation-independent, so this preserves the
+    # final row ranking exactly).
     K = opt.max_num_features
-    score = jnp.where(cat["valid"], cat["resp"], -jnp.inf)
-    total = score.shape[0]
+    total = cat["resp"].shape[0]
     k_eff = min(K, total)
+    cscore = jnp.where(cat["valid"], cat["resp"], -jnp.inf)
+    _, cidx = lax.top_k(cscore, k_eff)
+    cat = {k: v[cidx] for k, v in cat.items()}
+
+    if opt.upright:
+        orients = jnp.zeros((k_eff, 1), jnp.float32)
+        ovalid = jnp.ones((k_eff, 1), bool)
+    else:
+        hists = _orientation_histograms(flat_all, cat["fx"], cat["fy"],
+                                        cat["sigma"], cat["base"],
+                                        cat["ph"], cat["pw"],
+                                        opt.grad_sampling)
+        orients, ovalid = _histogram_peaks(hists, opt.max_num_orientations)
+
+    # Expand (candidate x orientation) -> rows and run the FINAL row
+    # top-K before the descriptor stage: a candidate carries up to
+    # max_num_orientations rows but only `k_eff` rows survive, so
+    # sampling descriptors first would waste half the gathers on rows
+    # the top-K drops (descriptor computation is row-independent, so
+    # selection order does not change the result).
+    n_ori = orients.shape[1]
+    rep = lambda a: jnp.repeat(a[:, None], n_ori, 1).reshape(-1)
+    kv = (jnp.repeat(cat["valid"][:, None], n_ori, 1) & ovalid).reshape(-1)
+    kr = rep(cat["resp"])
+    score = jnp.where(kv, kr, -jnp.inf)
     vals, idx = lax.top_k(score, k_eff)
-    sel = lambda a: a[idx]
-    keypoints = jnp.stack([sel(cat["x"]), sel(cat["y"]),
-                           sel(cat["scale"]), sel(cat["orient"])], axis=-1)
-    desc = _normalize_descriptors(sel(cat["desc"]), opt.normalization)
+
+    row = {k: rep(cat[k])[idx] for k in
+           ("fx", "fy", "sigma", "base", "ph", "pw", "oscale")}
+    ko = orients.reshape(-1)[idx]
+    descs = _descriptors(flat_all, row["fx"], row["fy"], row["sigma"],
+                         ko, row["base"], row["ph"], row["pw"], opt)
+
+    # ORIGINAL image coordinates (+0.5 pixel-center, COLMAP convention).
+    keypoints = jnp.stack([row["fx"] * row["oscale"] + 0.5,
+                           row["fy"] * row["oscale"] + 0.5,
+                           row["sigma"] * row["oscale"], ko], axis=-1)
+    desc = _normalize_descriptors(descs, opt.normalization)
     mask = jnp.isfinite(vals)
     if k_eff < K:  # pad to the static budget
         pad = K - k_eff
