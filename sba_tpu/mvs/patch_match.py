@@ -206,12 +206,38 @@ def _cost_for_hypothesis(ref_img, src_imgs, K_ref_inv, K_srcs, Rs, ts,
     pixel's homography — ~200 texture fetches per pixel per view,
     essentially free on a GPU texture unit but ~400 gather descriptors
     per pixel on TPU (measured 0.012 Mpix/s, ~1000x below target).
-    Instead each pixel is warped ONCE through its OWN hypothesis
-    (one bilinear gather), and the window NCC moments are accumulated
-    over STATIC SHIFTS of the warped image — plain VPU rolls, no
-    gathers. On coplanar neighborhoods (what propagation converges to)
-    the two formulations agree exactly; at depth edges the bilateral
-    color weights suppress the difference. Validated by the
+    Instead each pixel is warped ONCE through its OWN hypothesis,
+    and the window NCC moments are accumulated over STATIC SHIFTS of
+    the warped image — plain VPU rolls, no gathers. On coplanar
+    neighborhoods (what propagation converges to) the two formulations
+    agree exactly; at depth edges the bilateral color weights suppress
+    the difference.
+
+    Two further algebraic reductions keep the per-hypothesis work to
+    the minimum the formulation admits:
+
+    - The plane-induced homography of a pixel through a plane anchored
+      at its OWN backprojection collapses exactly: with X = d K^-1 xh
+      on the plane, H xh = (K_s R K^-1) xh + K_s t (n.ray)/(n.X)
+      = A xh + b / d — the normal cancels. So the warp is one FMA
+      `d * Axh + b` with A xh precomputed per view, not a per-pixel
+      3x3 homography build + matvec. (Normals still steer the search:
+      propagation evaluates the NEIGHBOR's plane at the pixel, see
+      `patch_match_stereo`.)
+    - The bilateral weights and the three reference-side moments
+      (sum w, sum w*ref, sum w*ref^2) depend only on the reference
+      image, not on the hypothesis or view; they are expressed as
+      hypothesis-independent subgraphs that XLA CSE evaluates once per
+      compiled program, however many candidate evaluations reference
+      them. Per hypothesis per view only the three source-side moment
+      streams (sum w*v, w*v^2, w*ref*v) accumulate over the window
+      shifts, and the in-bounds fraction uses the spatial-only weights,
+      which are a separable Gaussian (two 1-D passes).
+
+    Out-of-source window taps contribute v = 0 with full weight (the
+    reference drops them): this biases NCC toward 0 — i.e. HIGHER cost
+    — for partially-visible windows, and windows more than half
+    outside are hard-gated to max cost as before. Validated by the
     slanted-plane recovery test and the depth-RMSE-vs-rendered-GT test
     (tests/test_mvs.py).
     """
@@ -219,12 +245,15 @@ def _cost_for_hypothesis(ref_img, src_imgs, K_ref_inv, K_srcs, Rs, ts,
     yy, xx = jnp.meshgrid(jnp.arange(H, dtype=ref_img.dtype) + 0.5,
                           jnp.arange(W, dtype=ref_img.dtype) + 0.5,
                           indexing="ij")
-    xy = jnp.stack([xx, yy], -1)  # [H, W, 2] center coords
+    xh = jnp.stack([xx, yy, jnp.ones_like(xx)], -1)  # [H, W, 3]
 
     offs_np = _window_offsets(opt.window_radius, opt.window_step)
     w_sp_np = np.exp(-(offs_np[:, 0] ** 2 + offs_np[:, 1] ** 2)
                      / (2 * opt.sigma_spatial ** 2))
     K = offs_np.shape[0]
+    r1d = np.arange(-opt.window_radius, opt.window_radius + 1,
+                    opt.window_step)
+    w1d = np.exp(-(r1d ** 2) / (2 * opt.sigma_spatial ** 2))
 
     def roll2(a, dy, dx):
         return jnp.roll(jnp.roll(a, -dy, 0), -dx, 1)
@@ -238,52 +267,71 @@ def _cost_for_hypothesis(ref_img, src_imgs, K_ref_inv, K_srcs, Rs, ts,
         vx = (ix + dx >= 0) & (ix + dx < W)
         return vy[:, None] & vx[None, :]
 
+    def sep_spatial(a):
+        """Separable spatial-Gaussian window sum with zero fill."""
+        rows = jnp.zeros_like(a)
+        for i, dy in enumerate(r1d):
+            sh = jnp.roll(a, -int(dy), 0)
+            vy = (iy + int(dy) >= 0) & (iy + int(dy) < H)
+            rows = rows + w1d[i] * jnp.where(vy[:, None], sh, 0.0)
+        out = jnp.zeros_like(a)
+        for i, dx in enumerate(r1d):
+            sh = jnp.roll(rows, -int(dx), 1)
+            vx = (ix + int(dx) >= 0) & (ix + int(dx) < W)
+            out = out + w1d[i] * jnp.where(vx[None, :], sh, 0.0)
+        return out
+
+    # Reference-side bilateral weights + moments: hypothesis- and
+    # view-independent (XLA CSE shares them across candidate evals).
+    w_pre = []
+    SW = jnp.zeros_like(ref_img)
+    SR = jnp.zeros_like(ref_img)
+    SRR = jnp.zeros_like(ref_img)
+    for k in range(K):
+        dx = int(offs_np[k, 0])
+        dy = int(offs_np[k, 1])
+        r_k = roll2(ref_img, dy, dx)
+        w = w_sp_np[k] * jnp.exp(
+            -((r_k - ref_img) ** 2) / (2 * opt.sigma_color ** 2))
+        w = jnp.where(shift_valid(dy, dx), w, 0.0)
+        w_pre.append((w, w * r_k))
+        SW = SW + w
+        SR = SR + w * r_k
+        SRR = SRR + (w * r_k) * r_k
+    wsum = jnp.maximum(SW, 1e-9)
+    mr = SR / wsum
+    vr = SRR / wsum - mr * mr
+
     costs = []
     for s in range(len(src_imgs)):
-        Hm = _plane_homographies(K_ref_inv, K_srcs[s], Rs[s], ts[s],
-                                 depth, normal, xy)  # [H, W, 3, 3]
-        ph = jnp.concatenate([xy, jnp.ones_like(xy[..., :1])], -1)
-        warped = jnp.einsum("hwij,hwj->hwi", Hm, ph)
-        src_xy = warped[..., :2] / jnp.where(
-            jnp.abs(warped[..., 2:]) > 1e-9, warped[..., 2:], 1e-9)
+        A = K_srcs[s] @ Rs[s] @ K_ref_inv
+        Axh = jnp.einsum("ij,hwj->hwi", A, xh)   # hyp-independent
+        b = K_srcs[s] @ ts[s]
+        wh = depth[..., None] * Axh + b
+        src_xy = wh[..., :2] / jnp.where(
+            jnp.abs(wh[..., 2:]) > 1e-9, wh[..., 2:], 1e-9)
         v, inb = _bilinear(src_imgs[s], src_xy)      # [H, W] each
         v = jnp.where(inb, v, 0.0)
 
-        # Window moments by shifted accumulation (6 running sums).
-        z = jnp.zeros_like(ref_img)
-        SW = z
-        SR = z
-        SV = z
-        SRR = z
-        SVV = z
-        SRV = z
-        SIN = z
+        # Source-side moments: 3 running sums over the window shifts.
+        SV = jnp.zeros_like(ref_img)
+        SVV = jnp.zeros_like(ref_img)
+        SRV = jnp.zeros_like(ref_img)
         for k in range(K):
             dx = int(offs_np[k, 0])
             dy = int(offs_np[k, 1])
-            r_k = roll2(ref_img, dy, dx)
             v_k = roll2(v, dy, dx)
-            in_k = roll2(inb, dy, dx) & shift_valid(dy, dx)
-            w = w_sp_np[k] * jnp.exp(
-                -((r_k - ref_img) ** 2) / (2 * opt.sigma_color ** 2))
-            w = jnp.where(in_k, w, 0.0)
-            SW = SW + w
-            SR = SR + w * r_k
+            w, wr = w_pre[k]
             SV = SV + w * v_k
-            SRR = SRR + w * r_k * r_k
-            SVV = SVV + w * v_k * v_k
-            SRV = SRV + w * r_k * v_k
-            SIN = SIN + w_sp_np[k] * in_k
-        wsum = jnp.maximum(SW, 1e-9)
-        mr = SR / wsum
+            SVV = SVV + (w * v_k) * v_k
+            SRV = SRV + wr * v_k
         ms = SV / wsum
-        vr = SRR / wsum - mr * mr
         vs = SVV / wsum - ms * ms
         cov = SRV / wsum - mr * ms
         ncc = cov / jnp.sqrt(jnp.maximum(vr * vs, 1e-10))
         cost = 1.0 - jnp.clip(ncc, -1.0, 1.0)
         # Pixels whose window left the source entirely get max cost.
-        frac_in = SIN / w_sp_np.sum()
+        frac_in = sep_spatial(inb.astype(ref_img.dtype)) / w_sp_np.sum()
         cost = jnp.where(frac_in > 0.5, cost, 2.0)
         costs.append(cost)
     costs = jnp.stack(costs)  # [S, H, W]
@@ -386,16 +434,32 @@ def patch_match_stereo(
                 jnp.where(better[..., None], n_new, normal),
                 jnp.where(better, c_new, cost))
 
+    yy, xx = jnp.meshgrid(jnp.arange(H, dtype=dtype) + 0.5,
+                          jnp.arange(W, dtype=dtype) + 0.5, indexing="ij")
+    ray = jnp.einsum("ij,hwj->hwi", K_ref_inv,
+                     jnp.stack([xx, yy, jnp.ones_like(xx)], -1)
+                     ).astype(dtype)
+
     def iteration(it, carry):
         depth, normal, cost, key = carry
         for parity in (0, 1):
             mask = _checkerboard_mask(H, W, parity)
-            # Propagation: 4-neighbor hypotheses (jump-flood style: also
-            # distance-2 jumps to speed up information travel).
+            # Propagation: evaluate each neighbor's PLANE at this pixel
+            # (ref semantics: the CUDA sweep tests the neighbor plane's
+            # induced depth, not its raw depth value — this is what
+            # makes normals meaningful and slanted surfaces converge):
+            # plane through X_q = d_q ray_q with normal n_q induces
+            # d_p = (n_q . X_q) / (n_q . ray_p). Jump-flood style: also
+            # distance-3 jumps to speed up information travel.
             for (dy, dx) in ((0, 1), (0, -1), (1, 0), (-1, 0),
                              (0, 3), (0, -3), (3, 0), (-3, 0)):
-                d_n = jnp.roll(jnp.roll(depth, dy, 0), dx, 1)
-                n_n = jnp.roll(jnp.roll(normal, dy, 0), dx, 1)
+                roll = lambda a: jnp.roll(jnp.roll(a, dy, 0), dx, 1)
+                ndX = roll(depth * jnp.sum(normal * ray, -1))
+                n_n = roll(normal)
+                den = jnp.sum(n_n * ray, -1)
+                den = jnp.where(jnp.abs(den) > 1e-6, den,
+                                jnp.where(den < 0, -1e-6, 1e-6))
+                d_n = jnp.clip(ndX / den, opt.depth_min, opt.depth_max)
                 depth, normal, cost = consider(
                     (depth, normal, cost), d_n, n_n, mask)
             # Random refinement: perturb depth multiplicatively + jitter
