@@ -226,6 +226,106 @@ def bilinear_label_agreement_grad(flat_u32, H, W, base, x, y, label,
     return jnp.where(inb, p, fill), ddx, ddy
 
 
+# ---------------------------------------------------------------------------
+# Joint depth+label packing (round 5). The r4 SBA hot path is
+# gather-issue-bound with TWO rowsel gathers per sample (u8 depth patch,
+# u8 label patch; BASELINE.md r4 roofline). Packing BOTH maps' 2x2
+# patches into ONE u32 word halves the gather issues: per corner k in
+# (00, 01, 10, 11), bits [k*5:(k+1)*5] hold the 5-bit quantized depth
+# and bits [20+k*3 : 20+(k+1)*3] a 3-bit label PALETTE code (labels
+# remapped to the <=8 distinct values present in the solve; problems
+# with more classes fall back to the two-gather path). Measured
+# single-gather variants that DON'T pack (element-interleaved tables
+# with two lane selects) are slower — the gather-select fusion only
+# survives with one select per gather (benchmarks/gather_micro5.py).
+# ---------------------------------------------------------------------------
+
+JOINT_DEPTH_BITS = 5
+JOINT_LABEL_BITS = 3
+JOINT_MAX_LABELS = 1 << JOINT_LABEL_BITS
+
+
+def pack_joint_nbhd(depth_map, label_code_map, lo=None, hi=None):
+    """[H, W] f32 depth + [H, W] palette codes (0..7) -> (u32 map, lo, hi)
+    holding the full 2x2 bilinear patch of BOTH maps (edge-clamped).
+    Depth quantization step = range/31 per map — e.g. 6.5 cm over a 2 m
+    depth range, well under the reference's depth_error_threshold gate
+    (default 2.0, ref: src/optim/semantic_bundle_adjustment.h:76).
+    Host-side numpy; done once per solve."""
+    import numpy as np
+
+    D, L = JOINT_DEPTH_BITS, JOINT_LABEL_BITS
+    m = np.asarray(depth_map, np.float32)
+    if lo is None:
+        lo = float(m.min())
+    if hi is None:
+        hi = float(m.max())
+    qmax = (1 << D) - 1
+    scale = qmax / max(hi - lo, 1e-12)
+    q = np.clip(np.round((m - lo) * scale), 0, qmax).astype(np.uint32)
+    c = np.asarray(label_code_map).astype(np.uint32)
+    if c.max(initial=0) >= JOINT_MAX_LABELS:
+        raise ValueError("joint packing requires palette codes < 8")
+    rq = np.pad(q, ((0, 1), (0, 1)), mode="edge")
+    rc = np.pad(c, ((0, 1), (0, 1)), mode="edge")
+    cq = [rq[:-1, :-1], rq[:-1, 1:], rq[1:, :-1], rq[1:, 1:]]
+    cc = [rc[:-1, :-1], rc[:-1, 1:], rc[1:, :-1], rc[1:, 1:]]
+    out = np.zeros_like(q)
+    for k in range(4):
+        out |= cq[k] << np.uint32(k * D)
+        out |= cc[k] << np.uint32(4 * D + k * L)
+    return out, np.float32(lo), np.float32(hi)
+
+
+def bilinear_joint_grad(flat_u32, H, W, base, x, y, src_code, lo, hi,
+                        depth_fill=0.0):
+    """ONE rowsel gather -> (depth2, dD/dx, dD/dy, agree, dA/dx, dA/dy).
+
+    Joint-packed equivalent of bilinear_depth_u8_grad +
+    bilinear_label_agreement_grad; derivative semantics identical
+    (zero outside bounds, zero across the edge clamp)."""
+    D, L = JOINT_DEPTH_BITS, JOINT_LABEL_BITS
+    x0c, y0c, fxe, fye, inb = _bilinear_setup_xy(H, W, x, y)
+    u = _take_u32_rowsel(flat_u32, base + y0c * W + x0c)
+    qmax = (1 << D) - 1
+    dm = jnp.uint32(qmax)
+    lm = jnp.uint32((1 << L) - 1)
+    dq = (hi - lo) / qmax
+    v00 = (u & dm).astype(x.dtype)
+    v01 = ((u >> D) & dm).astype(x.dtype)
+    v10 = ((u >> (2 * D)) & dm).astype(x.dtype)
+    v11 = ((u >> (3 * D)) & dm).astype(x.dtype)
+    code = src_code.astype(jnp.uint32)
+    a00 = (((u >> (4 * D)) & lm) == code).astype(x.dtype)
+    a01 = (((u >> (4 * D + L)) & lm) == code).astype(x.dtype)
+    a10 = (((u >> (4 * D + 2 * L)) & lm) == code).astype(x.dtype)
+    a11 = (((u >> (4 * D + 3 * L)) & lm) == code).astype(x.dtype)
+
+    v = ((1 - fye) * ((1 - fxe) * v00 + fxe * v01)
+         + fye * ((1 - fxe) * v10 + fxe * v11)) * dq + lo
+    p = ((1 - fye) * ((1 - fxe) * a00 + fxe * a01)
+         + fye * ((1 - fxe) * a10 + fxe * a11))
+    dfx = jnp.where(inb & (x0c < W - 1), 1.0, 0.0)
+    dfy = jnp.where(inb & (y0c < H - 1), 1.0, 0.0)
+    dDx = ((1 - fye) * (v01 - v00) + fye * (v11 - v10)) * dfx * dq
+    dDy = ((1 - fxe) * (v10 - v00) + fxe * (v11 - v01)) * dfy * dq
+    dAx = ((1 - fye) * (a01 - a00) + fye * (a11 - a10)) * dfx
+    dAy = ((1 - fxe) * (a10 - a00) + fxe * (a11 - a01)) * dfy
+    depth2 = jnp.where(inb, v, depth_fill)
+    agree = jnp.where(inb, p, 0.0)
+    return depth2, dDx, dDy, agree, dAx, dAy
+
+
+def bilinear_joint_flat(flat_u32, H, W, base, x, y, src_code, lo, hi,
+                        depth_fill=0.0):
+    """Primal-only joint sampler: (depth2, agree) from one gather.
+    The derivative outputs of bilinear_joint_grad are dead-code under
+    jit when unused; this thin wrapper exists for readability."""
+    depth2, _, _, agree, _, _ = bilinear_joint_grad(
+        flat_u32, H, W, base, x, y, src_code, lo, hi, depth_fill)
+    return depth2, agree
+
+
 def bilinear_label_agreement_flat(flat_u32, H, W, base, x, y, label, fill=0.0):
     """`bilinear_label_agreement_packed` against a flattened map stack
     (one flat-index gather; see bilinear_depth_u8_flat)."""

@@ -57,6 +57,9 @@ from sba_tpu.geometry.quaternions import (
     quat_retract,
 )
 from sba_tpu.ops.interpolation import (
+    JOINT_MAX_LABELS,
+    bilinear_joint_flat,
+    bilinear_joint_grad,
     bilinear_label_agreement,
     bilinear_label_agreement_flat,
     bilinear_label_agreement_grad,
@@ -65,6 +68,7 @@ from sba_tpu.ops.interpolation import (
     bilinear_depth_u8_grad,
     nearest_sample2d,
     pack_depth_nbhd_u8,
+    pack_joint_nbhd,
     pack_label_neighborhood,
 )
 from sba_tpu.optim.losses import loss_value, loss_weight
@@ -105,6 +109,15 @@ class SBAProblem(NamedTuple):
     depth_packed: Optional[jnp.ndarray] = None   # [N*H*W] u32 (u8 2x2)
     label_packed: Optional[jnp.ndarray] = None   # [N*H*W] u32
     depth_range: Optional[jnp.ndarray] = None    # [N, 2] dequant (lo, hi)
+    # Round-5 joint packing (ops/interpolation.py pack_joint_nbhd):
+    # BOTH maps' 2x2 patches in one u32 word (5-bit depth + 3-bit label
+    # palette code per corner) -> ONE gather per sample instead of two.
+    # Built when the solve's label palette has <= 8 distinct values
+    # (typical for the reference's tree-trunk workload); otherwise the
+    # two-gather u8 path above is used. src_code holds the palette code
+    # of each source grid pixel.
+    joint_packed: Optional[jnp.ndarray] = None   # [N*H*W] u32
+    src_code: Optional[jnp.ndarray] = None       # [N, S] int32
 
 
 @dataclass(frozen=True)
@@ -223,7 +236,7 @@ def _pair_residual_soft(q_src, t_src, q_dst, t_dst, cam_src, cam_dst,
                         depth_dst, sem_dst, pix_xy, src_depth, src_label,
                         opt: SBAOptions, depth_packed=None,
                         label_packed=None, base=None, depth_lo=None,
-                        depth_hi=None):
+                        depth_hi=None, joint_packed=None, src_code=None):
     """Differentiable residual field for one pair: [S]. With packed
     maps, depth_packed/label_packed are the FLAT [N*H*W] stacks and
     `base` the destination map's offset (pd * H * W)."""
@@ -241,6 +254,16 @@ def _pair_residual_soft(q_src, t_src, q_dst, t_dst, cam_src, cam_dst,
           * jax.nn.sigmoid((H - 1 - y2) / tb))
     # Also require the point in front of the dst camera.
     gb = gb * jax.nn.sigmoid(z2 / 0.01)
+    if joint_packed is not None:
+        depth2, agree = bilinear_joint_flat(joint_packed, H, W, base,
+                                            x2, y2, src_code,
+                                            depth_lo, depth_hi,
+                                            depth_fill=-1e6)
+        derr = jnp.abs(depth2 - z2)
+        gd = jax.nn.sigmoid((opt.depth_error_threshold - derr)
+                            / (opt.tau_depth * opt.depth_error_threshold))
+        valid_src = (src_depth > 0).astype(x2.dtype)
+        return valid_src * (1.0 - gb * gd * agree)
     if depth_packed is not None:
         depth2 = bilinear_depth_u8_flat(depth_packed, H, W, base, x2, y2,
                                         depth_lo, depth_hi, fill=-1e6)
@@ -305,7 +328,8 @@ def _pair_residual_hard(q_src, t_src, q_dst, t_dst, cam_src, cam_dst,
 def _pair_linearize_analytic(q_src, t_src, q_dst, t_dst, cam_src, cam_dst,
                              HW, px, py, src_depth, src_label,
                              opt: SBAOptions, depth_packed, label_packed,
-                             base, depth_lo, depth_hi):
+                             base, depth_lo, depth_hi, joint_packed=None,
+                             src_code=None):
     """One ordered pair's residuals + condensed Jacobian blocks, closed
     form. Returns (r [S], P [9, S]) where P rows are the three 3-vector
     blocks (a, b, G) that generate the full 12-DoF Jacobian:
@@ -358,21 +382,32 @@ def _pair_linearize_analytic(q_src, t_src, q_dst, t_dst, cam_src, cam_dst,
     sd_ = jax.nn.sigmoid((Hm - 1 - y2) / tb)
     sz = jax.nn.sigmoid(z2 / 0.01)
     gb = sa * sb * sc * sd_ * sz
-    depth2, dD_dx, dD_dy = bilinear_depth_u8_grad(
-        depth_packed, Hm, Wm, base, x2, y2, depth_lo, depth_hi,
-        fill=-1e6)
-    delta = depth2 - z2
     thr = opt.depth_error_threshold
     tau = opt.tau_depth * thr
-    gd = jax.nn.sigmoid((thr - jnp.abs(delta)) / tau)
-    # optimization_barrier: two rowsel gathers in ONE fusion lose the
-    # gather-select fusion (2.7x slowdown measured,
-    # benchmarks/gather_micro4.py: 48 ms single / 133 ms fused pair /
-    # 75 ms with barrier). The barrier keeps the label gather in its
-    # own fusion at the cost of recomputing floor/clip setup (~free).
-    x2b, y2b = jax.lax.optimization_barrier((x2, y2))
-    agree, dA_dx, dA_dy = bilinear_label_agreement_grad(
-        label_packed, Hm, Wm, base, x2b, y2b, src_label, fill=0.0)
+    if joint_packed is not None:
+        # Round 5: ONE gather serves both maps (joint 5-bit depth +
+        # 3-bit label-code packing; ops/interpolation.py) — the r4
+        # roofline said the iteration is gather-issue-bound, so halving
+        # the issues is the headroom BASELINE.md named.
+        depth2, dD_dx, dD_dy, agree, dA_dx, dA_dy = bilinear_joint_grad(
+            joint_packed, Hm, Wm, base, x2, y2, src_code,
+            depth_lo, depth_hi, depth_fill=-1e6)
+        delta = depth2 - z2
+        gd = jax.nn.sigmoid((thr - jnp.abs(delta)) / tau)
+    else:
+        depth2, dD_dx, dD_dy = bilinear_depth_u8_grad(
+            depth_packed, Hm, Wm, base, x2, y2, depth_lo, depth_hi,
+            fill=-1e6)
+        delta = depth2 - z2
+        gd = jax.nn.sigmoid((thr - jnp.abs(delta)) / tau)
+        # optimization_barrier: two rowsel gathers in ONE fusion lose the
+        # gather-select fusion (2.7x slowdown measured,
+        # benchmarks/gather_micro4.py: 48 ms single / 133 ms fused pair /
+        # 75 ms with barrier). The barrier keeps the label gather in its
+        # own fusion at the cost of recomputing floor/clip setup (~free).
+        x2b, y2b = jax.lax.optimization_barrier((x2, y2))
+        agree, dA_dx, dA_dy = bilinear_label_agreement_grad(
+            label_packed, Hm, Wm, base, x2b, y2b, src_label, fill=0.0)
     valid = (src_depth > 0).astype(x2.dtype)
     r = valid * (1.0 - gb * gd * agree)
 
@@ -429,7 +464,10 @@ def _pair_blocks_analytic(problem: SBAProblem, opt: SBAOptions,
             problem.pix_xy[:, 0], problem.pix_xy[:, 1],
             problem.src_depth[ps], problem.src_label[ps], opt,
             problem.depth_packed, problem.label_packed, pd * Hm * Wm,
-            problem.depth_range[pd, 0], problem.depth_range[pd, 1])
+            problem.depth_range[pd, 0], problem.depth_range[pd, 1],
+            joint_packed=problem.joint_packed,
+            src_code=None if problem.src_code is None
+            else problem.src_code[ps])
 
     r, P = jax.vmap(one)(pair_src, pair_dst)   # r [Q,S], P [Q,9,S]
     s = r * r
@@ -459,8 +497,9 @@ def _pair_blocks_analytic(problem: SBAProblem, opt: SBAOptions,
 
 def _use_analytic(problem: SBAProblem, opt: SBAOptions) -> bool:
     return (opt.mode == "soft" and opt.linearize == "analytic"
-            and problem.depth_packed is not None
-            and problem.label_packed is not None)
+            and (problem.joint_packed is not None
+                 or (problem.depth_packed is not None
+                     and problem.label_packed is not None)))
 
 
 # ---------------------------------------------------------------------------
@@ -483,7 +522,10 @@ def _all_residuals(qvecs, tvecs, problem: SBAProblem, opt: SBAOptions, soft: boo
                 depth_lo=None if problem.depth_range is None
                 else problem.depth_range[pd, 0],
                 depth_hi=None if problem.depth_range is None
-                else problem.depth_range[pd, 1])
+                else problem.depth_range[pd, 1],
+                joint_packed=problem.joint_packed,
+                src_code=None if problem.src_code is None
+                else problem.src_code[ps])
         return _pair_residual_hard(*args, opt)[0]
 
     r = jax.vmap(one)(problem.pair_src, problem.pair_dst)  # [Q, S]
@@ -560,7 +602,10 @@ def _pair_jacobians(problem: SBAProblem, opt: SBAOptions,
                 depth_lo=None if problem.depth_range is None
                 else problem.depth_range[pd, 0],
                 depth_hi=None if problem.depth_range is None
-                else problem.depth_range[pd, 1])
+                else problem.depth_range[pd, 1],
+                joint_packed=problem.joint_packed,
+                src_code=None if problem.src_code is None
+                else problem.src_code[ps])
         return _pair_residual_hard(*args, opt)[0]
 
     z6 = jnp.zeros(6, problem.tvecs.dtype)
@@ -862,11 +907,26 @@ def build_sba_problem(qvecs, tvecs, cam_params, depth_maps, semantic_maps,
         free_trans[1, 0] = 0.0
 
     # Packed neighborhood maps for the f32 production path (f64 keeps
-    # the exact unpacked gathers for numeric-parity tests).
+    # the exact unpacked gathers for numeric-parity tests). When the
+    # label palette has <= 8 distinct values the JOINT packing (one
+    # gather per sample, round 5) is built instead of the two-gather u8
+    # maps.
     packed_ok = (dtype == jnp.float32 and sem_np.min() >= 0
                  and sem_np.max() <= 255)
     depth_packed = label_packed = depth_range = None
-    if packed_ok:
+    joint_packed = src_code = None
+    palette = np.unique(sem_np)
+    if packed_ok and palette.size <= JOINT_MAX_LABELS:
+        code_maps = np.searchsorted(palette, sem_np)
+        packs = [pack_joint_nbhd(depth_np[i], code_maps[i])
+                 for i in range(N)]
+        joint_packed = jnp.asarray(
+            np.stack([p[0] for p in packs]).reshape(-1))
+        depth_range = jnp.asarray(
+            np.array([[p[1], p[2]] for p in packs], np.float32))
+        src_code = jnp.asarray(
+            code_maps[:, pix[:, 1], pix[:, 0]].astype(np.int32))
+    elif packed_ok:
         packs = [pack_depth_nbhd_u8(depth_np[i]) for i in range(N)]
         depth_packed = jnp.asarray(
             np.stack([p[0] for p in packs]).reshape(-1))
@@ -890,4 +950,5 @@ def build_sba_problem(qvecs, tvecs, cam_params, depth_maps, semantic_maps,
         free_trans=jnp.asarray(free_trans, dtype),
         depth_packed=depth_packed, label_packed=label_packed,
         depth_range=depth_range,
+        joint_packed=joint_packed, src_code=src_code,
     )

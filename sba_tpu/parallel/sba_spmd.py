@@ -74,6 +74,8 @@ def semantic_bundle_adjust_spmd(problem: SBAProblem,
         depth_packed=None if problem.depth_packed is None else P(),
         label_packed=None if problem.label_packed is None else P(),
         depth_range=None if problem.depth_range is None else P(),
+        joint_packed=None if problem.joint_packed is None else P(),
+        src_code=None if problem.src_code is None else P(),
     )
 
     def local(p):

@@ -169,8 +169,9 @@ def test_sba_hard_numeric_mode_recovers_consistency():
 
 
 def test_packed_maps_match_unpacked_soft_residuals():
-    """The packed-neighborhood gather path (f32 production) matches the
-    unpacked bilinear path to f16 depth rounding."""
+    """Both packed gather paths (joint one-gather and two-gather u8)
+    match the unpacked bilinear path to their depth quantization:
+    joint packs 5-bit depth (step = range/31), u8 packs 8-bit."""
     import jax.numpy as jnp
 
     from sba_tpu.optim.sba import (SBAOptions, _all_residuals,
@@ -180,15 +181,38 @@ def test_packed_maps_match_unpacked_soft_residuals():
     qg, tg, cam, depth, sem, qn, tn = make_sba_scene(
         num_images=4, image_size=(64, 48), pose_noise=0.01, seed=3)
     opt = SBAOptions(pixel_step=4)
+    # 5 labels -> joint packing (one gather per sample).
     p32 = build_sba_problem(qn, tn, cam, depth, sem, opt,
                             dtype=jnp.float32)
-    assert p32.depth_packed is not None
-    r_packed = np.asarray(_all_residuals(p32.qvecs, p32.tvecs, p32, opt,
-                                         soft=True))
-    p_plain = p32._replace(depth_packed=None, label_packed=None)
+    assert p32.joint_packed is not None
+    r_joint = np.asarray(_all_residuals(p32.qvecs, p32.tvecs, p32, opt,
+                                        soft=True))
+    p_plain = p32._replace(depth_packed=None, label_packed=None,
+                           joint_packed=None, src_code=None)
     r_plain = np.asarray(_all_residuals(p_plain.qvecs, p_plain.tvecs,
                                         p_plain, opt, soft=True))
-    np.testing.assert_allclose(r_packed, r_plain, atol=2e-3)
+    # 5-bit depth quantization noise through the depth-gate sigmoid:
+    # |dgd| <= (dq/2) * 0.25/tau; scene depth range ~2 -> atol ~0.02.
+    dr = np.asarray(p32.depth_range)
+    dq = float(np.max(dr[:, 1] - dr[:, 0])) / 31.0
+    tau = opt.tau_depth * opt.depth_error_threshold
+    np.testing.assert_allclose(r_joint, r_plain,
+                               atol=2e-3 + 0.3 * dq / tau)
+
+    # >8 labels -> two-gather u8 fallback; tighter depth tolerance.
+    sem16 = sem.copy()
+    for k in range(12):
+        sem16[:, k, k] = 100 + k  # force a 17-label palette
+    p16 = build_sba_problem(qn, tn, cam, depth, sem16, opt,
+                            dtype=jnp.float32)
+    assert p16.joint_packed is None and p16.depth_packed is not None
+    r_packed = np.asarray(_all_residuals(p16.qvecs, p16.tvecs, p16, opt,
+                                         soft=True))
+    p16_plain = p16._replace(depth_packed=None, label_packed=None)
+    r16_plain = np.asarray(_all_residuals(p16_plain.qvecs,
+                                          p16_plain.tvecs,
+                                          p16_plain, opt, soft=True))
+    np.testing.assert_allclose(r_packed, r16_plain, atol=2e-3)
 
 
 def test_analytic_linearization_matches_jacfwd():
