@@ -134,23 +134,27 @@ def _list_images(image_path, image_list_path=None) -> List[str]:
 def run_feature_extractor(flags):
     """Ref: exe/feature.cc:104 RunFeatureExtractor. The reference's
     resizer/extractor/writer thread pipeline (feature/extraction.cc:112)
-    becomes: load on host -> batched device extraction -> DB writes."""
-    import jax.numpy as jnp
-
+    becomes: load on host -> BATCHED device extraction (images grouped
+    by shape, fixed-size batches through one jit(vmap) program on the
+    accelerator, one D2H per batch) -> DB writes. `SiftExtraction.
+    use_gpu 0` (ref flag) forces the CPU backend."""
     from sba_tpu.features.sift import (
         SiftExtractionOptions,
-        descriptors_to_uint8,
-        extract_sift,
+        extract_sift_batch,
         load_image_gray,
     )
     from sba_tpu.geometry import camera_models
     from sba_tpu.io.database import Database
+    from sba_tpu.utils.host import accel_device, host_cpu_device
 
     db_path, image_path = _require(flags, "database_path", "image_path")
     opt = apply_flags(SiftExtractionOptions(), "SiftExtraction", flags)
     camera_model = flags.get("ImageReader.camera_model", "SIMPLE_RADIAL")
     single_camera = flags.get("ImageReader.single_camera", "0") in (
         "1", "true", "True")
+    use_gpu = flags.get("SiftExtraction.use_gpu", "1") not in (
+        "0", "false", "False")
+    batch_size = int(flags.get("SiftExtraction.batch_size", "8"))
     names = _list_images(image_path, flags.get("image_list_path"))
     if not names:
         raise SystemExit(f"no images found under {image_path}")
@@ -162,7 +166,11 @@ def run_feature_extractor(flags):
     spec = camera_models.model_by_name(camera_model)
     reader_opt = ImageReaderOptions(camera_model=camera_model,
                                     single_camera=single_camera)
+    device = (accel_device() if use_gpu else None) or host_cpu_device()
+
+    # Pass 1 (host): register cameras/images, load pixels, group by shape.
     shared_camera_id = None
+    by_shape: Dict[tuple, list] = {}
     for name in names:
         full = os.path.join(image_path, name)
         img = load_image_gray(full, max_size=opt.max_image_size)
@@ -179,43 +187,65 @@ def run_feature_extractor(flags):
         else:
             cam_id = shared_camera_id
         image_id = db.write_image(name, cam_id)
-        feats = extract_sift(jnp.asarray(img), opt)
-        mask = np.asarray(feats.mask)
-        kps = np.asarray(feats.keypoints)[mask]
-        desc = np.asarray(descriptors_to_uint8(feats.descriptors))[mask]
-        db.write_keypoints(image_id, kps)
-        db.write_descriptors(image_id, desc)
-        print(f"  {name}: {mask.sum()} features")
+        by_shape.setdefault(img.shape, []).append((image_id, name, img))
+
+    # Pass 2 (device): fixed-size batches per shape group; the last
+    # batch pads by repetition so every launch hits the jit cache.
+    total = 0
+    for shape, items in by_shape.items():
+        for i0 in range(0, len(items), batch_size):
+            chunk = items[i0:i0 + batch_size]
+            stack = np.stack([c[2] for c in chunk])
+            if len(chunk) < batch_size:
+                pad = batch_size - len(chunk)
+                stack = np.concatenate(
+                    [stack, np.repeat(stack[-1:], pad, axis=0)])
+            kps, desc_u8, mask = extract_sift_batch(stack, opt,
+                                                    device=device)
+            for j, (image_id, name, _img) in enumerate(chunk):
+                m = mask[j]
+                db.write_keypoints(image_id, kps[j][m])
+                db.write_descriptors(image_id, desc_u8[j][m])
+                total += 1
+                print(f"  {name}: {int(m.sum())} features")
     db.commit()
     db.close()
-    print(f"extracted features for {len(names)} images -> {db_path}")
+    print(f"extracted features for {total} images -> {db_path} "
+          f"[{device.platform}]")
 
 
 def _match_and_verify(db, pairs_idx, image_ids, flags):
     """Shared matching + geometric verification core used by all matcher
-    commands (ref: feature/matching.cc SiftFeatureMatcher + verifier)."""
+    commands (ref: feature/matching.cc SiftFeatureMatcher + verifier).
+
+    Round-5 device routing: descriptors upload ONCE as a [I, npad, 128]
+    u8 stack committed to the accelerator; matching and E/F/H
+    verification then run as BATCHED device programs (Bp pairs per
+    launch, one D2H read each) — the host loop only converts matches
+    and writes the DB. `SiftMatching.use_gpu 0` forces the CPU backend."""
+    import jax
     import jax.numpy as jnp
 
     from sba_tpu.estimators.two_view_geometry import (
         TwoViewGeometryOptions,
-        estimate_two_view_geometry,
+        estimate_two_view_geometry_batch,
     )
     from sba_tpu.features.matching import (
         SiftMatchingOptions,
-        match_descriptors,
-        matches_to_pairs,
+        match_pairs_batched,
     )
     from sba_tpu.geometry import camera_models
-
-    import jax
+    from sba_tpu.utils.host import accel_device, host_cpu_device
 
     mopt = apply_flags(SiftMatchingOptions(), "SiftMatching", flags)
     vopt = apply_flags(TwoViewGeometryOptions(), "TwoViewGeometry", flags)
+    use_gpu = flags.get("SiftMatching.use_gpu", "1") not in (
+        "0", "false", "False")
+    Bp = int(flags.get("SiftMatching.batch_size", "32"))
+    device = (accel_device() if use_gpu else None) or host_cpu_device()
 
     cams = db.read_cameras()
     images = db.read_images()
-    desc_cache: Dict[int, np.ndarray] = {}
-    kp_cache: Dict[int, np.ndarray] = {}
 
     # Static-shape discipline: pad every image's descriptors to ONE fixed
     # size so the matcher compiles once for the whole run (a fresh (N1,N2)
@@ -225,23 +255,17 @@ def _match_and_verify(db, pairs_idx, image_ids, flags):
         max_n = max(max_n, db.num_keypoints_for_image(iid))
     npad = max(256, -(-max_n // 256) * 256)
 
-    def get(iid):
-        if iid not in desc_cache:
-            d = db.read_descriptors(iid).astype(np.float32)
-            n = np.linalg.norm(d, axis=-1, keepdims=True)
-            d = d / np.maximum(n, 1e-12)
-            k = db.read_keypoints(iid)
-            nv = len(d)
-            dp = np.zeros((npad, 128), np.float32)
-            dp[:nv] = d
-            mk = np.zeros(npad, bool)
-            mk[:nv] = True
-            desc_cache[iid] = (dp, mk)
-            kp_cache[iid] = k
-        return desc_cache[iid], kp_cache[iid]
-
-    matcher = jax.jit(lambda d1, d2, m1, m2: match_descriptors(
-        d1, d2, mask1=m1, mask2=m2, options=mopt))
+    I = len(image_ids)
+    stack = np.zeros((I, npad, 128), np.uint8)
+    nvalid = np.zeros(I, np.int32)
+    kp_cache = {}
+    for ii, iid in enumerate(image_ids):
+        d = db.read_descriptors(iid)
+        nvalid[ii] = len(d)
+        stack[ii, :len(d)] = d
+        kp_cache[ii] = db.read_keypoints(iid)
+    stack_dev = jax.device_put(stack, device)
+    nvalid_dev = jax.device_put(jnp.asarray(nvalid), device)
 
     def fxycxy(iid):
         cam = cams[images[iid]["camera_id"]]
@@ -251,45 +275,68 @@ def _match_and_verify(db, pairs_idx, image_ids, flags):
         return (p[fi[0]], p[fi[-1]], p[spec.principal_idxs[0]],
                 p[spec.principal_idxs[1]])
 
+    def imsize(iid):
+        cam = cams[images[iid]["camera_id"]]
+        return (cam["width"], cam["height"])
+
     num_verified = 0
-    for (a, b) in pairs_idx:
-        i1, i2 = image_ids[a], image_ids[b]
-        (d1, mk1), k1 = get(i1)
-        (d2, mk2), k2 = get(i2)
-        if not mk1.any() or not mk2.any():
+    pairs_list = list(pairs_idx)
+    for b0 in range(0, len(pairs_list), Bp):
+        batch = pairs_list[b0:b0 + Bp]
+        pidx = np.array(batch + [batch[-1]] * (Bp - len(batch)), np.int32)
+        m_dev, _n_dev = match_pairs_batched(
+            stack_dev, nvalid_dev, jax.device_put(pidx, device), mopt)
+        m_all = np.asarray(m_dev)
+
+        # Host: match rows -> index pairs; queue non-empty for verification.
+        verify = []
+        for j, (a, b) in enumerate(batch):
+            row = m_all[j]
+            i1f = np.nonzero(row >= 0)[0]
+            m = np.stack([i1f, row[i1f]], axis=-1).astype(np.int32)
+            if len(m) == 0:
+                continue
+            i1, i2 = image_ids[a], image_ids[b]
+            db.write_matches(i1, i2, m.astype(np.uint32))
+            verify.append((a, b, m))
+        if not verify:
             continue
-        res = matcher(d1, d2, mk1, mk2)
-        m = matches_to_pairs(res)
-        if len(m) == 0:
-            continue
-        db.write_matches(i1, i2, m.astype(np.uint32))
-        cam1 = cams[images[i1]["camera_id"]]
-        cam2 = cams[images[i2]["camera_id"]]
-        # Bucket the match count to the next power of two: the RANSAC
-        # stack's jax ops then hit the shape cache (few buckets per run
-        # instead of a fresh compile per pair).
-        mcount = len(m)
-        mpad = 1 << max(5, (mcount - 1).bit_length())
-        xy1 = np.zeros((mpad, 2))
-        xy2 = np.zeros((mpad, 2))
-        xy1[:mcount] = k1[m[:, 0], :2]
-        xy2[:mcount] = k2[m[:, 1], :2]
-        vmask = np.zeros(mpad, bool)
-        vmask[:mcount] = True
-        tv = estimate_two_view_geometry(
-            xy1, xy2,
-            fxycxy(i1), fxycxy(i2),
-            image_size1=(cam1["width"], cam1["height"]),
-            image_size2=(cam2["width"], cam2["height"]),
-            options=vopt, mask=vmask)
-        inl = m[tv.inlier_mask[: len(m)]] if tv.num_inliers else m[:0]
-        db.write_two_view_geometry(
-            i1, i2, inl.astype(np.uint32), config=tv.config, F=tv.F,
-            E=tv.E, H=tv.H, qvec=tv.qvec, tvec=tv.tvec)
-        if tv.num_inliers >= vopt.min_num_inliers:
-            num_verified += 1
-        print(f"  pair ({images[i1]['name']}, {images[i2]['name']}): "
-              f"{len(m)} matches, {tv.num_inliers} inliers")
+
+        # Batched E/F/H verification at the batch's pow2 match bucket.
+        mpad = 1 << max(5, (max(len(m) for _, _, m in verify)
+                            - 1).bit_length())
+        Bv = len(verify)
+        xy1 = np.zeros((Bv, mpad, 2))
+        xy2 = np.zeros((Bv, mpad, 2))
+        vmask = np.zeros((Bv, mpad), bool)
+        c1 = np.zeros((Bv, 4))
+        c2 = np.zeros((Bv, 4))
+        sz1 = []
+        sz2 = []
+        for j, (a, b, m) in enumerate(verify):
+            i1, i2 = image_ids[a], image_ids[b]
+            xy1[j, :len(m)] = kp_cache[a][m[:, 0], :2]
+            xy2[j, :len(m)] = kp_cache[b][m[:, 1], :2]
+            vmask[j, :len(m)] = True
+            c1[j] = fxycxy(i1)
+            c2[j] = fxycxy(i2)
+            sz1.append(imsize(i1))
+            sz2.append(imsize(i2))
+        with jax.default_device(device):
+            tvs = estimate_two_view_geometry_batch(
+                xy1, xy2, vmask, c1, c2, sz1, sz2, options=vopt,
+                seed=b0,
+                dtype=jnp.float32 if device.platform != "cpu" else None)
+        for (a, b, m), tv in zip(verify, tvs):
+            i1, i2 = image_ids[a], image_ids[b]
+            inl = m[tv.inlier_mask[: len(m)]] if tv.num_inliers else m[:0]
+            db.write_two_view_geometry(
+                i1, i2, inl.astype(np.uint32), config=tv.config, F=tv.F,
+                E=tv.E, H=tv.H, qvec=tv.qvec, tvec=tv.tvec)
+            if tv.num_inliers >= vopt.min_num_inliers:
+                num_verified += 1
+            print(f"  pair ({images[i1]['name']}, {images[i2]['name']}): "
+                  f"{len(m)} matches, {tv.num_inliers} inliers")
     db.commit()
     return num_verified
 
@@ -1881,7 +1928,31 @@ COMMANDS = {
 }
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache for CLI runs: the batched front-end
+    programs (vmapped extraction, matching, E/F/H verification) cost
+    20-60 s to compile but are shape-stable across runs — without the
+    cache every fresh `feature_extractor`/`*_matcher` process pays them
+    again. Safe to call repeatedly; respects an existing config."""
+    import jax
+
+    if jax.config.jax_compilation_cache_dir:
+        return
+    from sba_tpu.utils.host import machine_cache_dir
+
+    base = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache_cli")
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          machine_cache_dir(base))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
+    except Exception:
+        pass
+
+
 def main(argv: Optional[List[str]] = None) -> int:
+    _enable_compile_cache()
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("-h", "--help", "help"):
         print("sba_tpu — TPU-native COLMAP-compatible SfM\n")

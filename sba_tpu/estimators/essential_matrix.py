@@ -270,13 +270,21 @@ def pose_from_essential(E, xy1, xy2, mask=None):
     cands = [(R1, t), (R1, -t), (R2, t), (R2, -t)]
 
     def count_front(R, tv):
-        q = rotmat_to_quat(R)
-        p1 = pose_matrix(jnp.zeros_like(q).at[..., 0].set(1.0), jnp.zeros_like(tv))
-        p2 = pose_matrix(q, tv)
-        X = triangulate_point(p1[..., None, :, :], p2[..., None, :, :], xy1, xy2)
-        z1 = X[..., 2]
-        Xc2 = jnp.einsum("...ij,...mj->...mi", R, X) + tv[..., None, :]
-        z2 = Xc2[..., 2]
+        # Closed-form two-view depths (no DLT SVD): with rays
+        # f1 = [x1, y1, 1], f2 = [x2, y2, 1] and p2 = R p1 + t,
+        # z1 (R f1 x f2) = -(t x f2)  =>  z1 by least squares on the
+        # cross product; z2 from X2 = z1 R f1 + t. Same sign decisions
+        # as the reference's triangulate-then-check (essential_matrix.cc
+        # CheckCheirality) at a fraction of the cost — the DLT SVD here
+        # measured ~50 ms per pair in the batched matcher loop.
+        f1 = jnp.concatenate([xy1, jnp.ones_like(xy1[..., :1])], -1)
+        f2 = jnp.concatenate([xy2, jnp.ones_like(xy2[..., :1])], -1)
+        Rf1 = jnp.einsum("...ij,...mj->...mi", R, f1)
+        a = jnp.cross(Rf1, f2)                       # [..., M, 3]
+        b = -jnp.cross(jnp.broadcast_to(tv[..., None, :], f2.shape), f2)
+        denom = jnp.sum(a * a, -1)
+        z1 = jnp.sum(a * b, -1) / jnp.where(denom > 1e-20, denom, 1e-20)
+        z2 = z1 * Rf1[..., 2] + tv[..., None, 2]
         # Max-depth guard as the reference (points at infinity rejected).
         ok = (z1 > 0) & (z2 > 0) & (z1 < 1000.0) & (z2 < 1000.0)
         return jnp.sum(ok * mask, -1)

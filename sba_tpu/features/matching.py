@@ -142,6 +142,54 @@ def match_guided(
                        distances=jnp.where(ok, d12, jnp.inf))
 
 
+# ---------------------------------------------------------------------------
+# Batched bulk matching (the CLI front-end device path)
+# ---------------------------------------------------------------------------
+
+_PAIRS_CACHE: dict = {}
+
+
+def match_pairs_batched(desc_u8_stack, nvalid, pair_idx,
+                        options: Optional[SiftMatchingOptions] = None):
+    """Match a BATCH of image pairs against a device-resident descriptor
+    stack in one program: the TPU replacement for the reference's
+    matcher worker threads (ref: feature/matching.cc:680-760).
+
+    desc_u8_stack: [I, N, 128] uint8 (DB-format descriptors, rows
+    beyond nvalid[i] zero), committed to the target device ONCE by the
+    caller. nvalid: [I] int32. pair_idx: [Bp, 2] int32 indices into the
+    stack. Returns (matches12 [Bp, N] int32, num_matches [Bp] int32) as
+    device arrays — the caller reads them back with one D2H per batch.
+    """
+    opt = options or SiftMatchingOptions()
+    key = (desc_u8_stack.shape, pair_idx.shape, opt)
+    fn = _PAIRS_CACHE.get(key)
+    if fn is None:
+        N = desc_u8_stack.shape[1]
+
+        def run(stack, nv, pidx):
+            def one(pi):
+                d1 = stack[pi[0]].astype(jnp.float32)
+                d2 = stack[pi[1]].astype(jnp.float32)
+                d1 = d1 / (jnp.linalg.norm(d1, axis=-1, keepdims=True)
+                           + 1e-12)
+                d2 = d2 / (jnp.linalg.norm(d2, axis=-1, keepdims=True)
+                           + 1e-12)
+                m1 = jnp.arange(N) < nv[pi[0]]
+                m2 = jnp.arange(N) < nv[pi[1]]
+                res = match_descriptors(d1, d2, mask1=m1, mask2=m2,
+                                        options=opt)
+                return res.matches12, res.num_matches
+            return jax.vmap(one)(pidx)
+
+        fn = jax.jit(run)
+        if len(_PAIRS_CACHE) > 64:
+            _PAIRS_CACHE.clear()
+        _PAIRS_CACHE[key] = fn
+    with jax.enable_x64(False):  # f32 even in x64 host processes
+        return fn(desc_u8_stack, nvalid, pair_idx)
+
+
 def matches_to_pairs(result: MatchResult):
     """Host-side: MatchResult -> [M, 2] numpy index pairs (i1, i2)."""
     import numpy as np

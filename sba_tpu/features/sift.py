@@ -135,24 +135,99 @@ def _downsample2(img):
     return img[::2, ::2]
 
 
+# --- banded-matmul blur (round 5) -------------------------------------------
+# The conv-chain pyramid ran ~3 GFLOP/s on v5e (1-channel
+# conv_general_dilated gives the MXU nothing to tile) and was 49% of
+# extraction time (benchmarks/profile_sift.py). Reformulation: blur every
+# level DIRECTLY from the octave base (Gaussian semigroup: sigma_direct =
+# sqrt(sigma_total^2 - sigma_base^2)), so all L levels are independent and
+# the row pass is ONE [H, W] x [W, L*W] matmul against a precomputed
+# edge-clamped banded matrix, the col pass one batched [L, H, H] x
+# [L, H, W] matmul. 6.5x measured at the 8x640x480 bench shape
+# (benchmarks/pyramid_micro.py). Direct kernels truncate at 4 sigma
+# (the incremental chain's repeated 3-sigma truncations compose to a
+# slightly different effective kernel; interior agreement ~0.5%).
+
+_BAND_CACHE: dict = {}
+
+
+def _band_matrix_np(size: int, sigma: float) -> np.ndarray:
+    """[size, size] edge-clamped Gaussian blur operator (columns):
+    out = M @ in. Host numpy, cached."""
+    if sigma < 1e-4:
+        return np.eye(size, dtype=np.float32)
+    r = max(1, int(math.ceil(4.0 * sigma)))
+    k = _gaussian_kernel1d(sigma, r)
+    M = np.zeros((size, size), np.float32)
+    idx = np.arange(size)
+    for t in range(-r, r + 1):
+        j = np.clip(idx + t, 0, size - 1)
+        np.add.at(M, (idx, j), k[t + r])
+    return M
+
+
+def _blur_banks(H: int, W: int, sigmas: tuple):
+    """(rowM [W, L*W], colM [L, H, H]) numpy blur banks, cached."""
+    key = (H, W, sigmas)
+    hit = _BAND_CACHE.get(key)
+    if hit is None:
+        rowM = np.concatenate([_band_matrix_np(W, s).T for s in sigmas],
+                              axis=1)
+        colM = np.stack([_band_matrix_np(H, s) for s in sigmas])
+        if len(_BAND_CACHE) > 64:
+            _BAND_CACHE.clear()
+        hit = _BAND_CACHE[key] = (rowM, colM)
+    return hit
+
+
+def _blur_multi(img, sigmas: tuple):
+    """[H, W] -> [L, H, W]: every sigma applied directly to img via the
+    banded-matmul formulation (MXU)."""
+    H, W = img.shape
+    L = len(sigmas)
+    rowM, colM = _blur_banks(H, W, sigmas)
+    rows = (img @ jnp.asarray(rowM)).reshape(H, L, W).transpose(1, 0, 2)
+    return jnp.einsum("lij,ljx->lix", jnp.asarray(colM), rows,
+                      preferred_element_type=jnp.float32)
+
+
+def _blur_matmul(img, sigma: float):
+    """Single-sigma banded-matmul blur (pre-blur of the pyramid base)."""
+    if sigma < 1e-4:
+        return img
+    return _blur_multi(img, (float(sigma),))[0]
+
+
 def _upsample2(img):
     """Bilinear 2x upsample (for first_octave = -1)."""
     h, w = img.shape
     return jax.image.resize(img, (2 * h, 2 * w), method="bilinear")
 
 
-def build_octave(img, opt: SiftExtractionOptions):
-    """One octave: returns (gauss [S+3, H, W], dog [S+2, H, W], next_base)."""
+def build_octave(img, opt: SiftExtractionOptions, impl: str = "matmul"):
+    """One octave: returns (gauss [S+3, H, W], dog [S+2, H, W], next_base).
+
+    impl="matmul" (default): all levels blurred directly from the base
+    in two banded matmuls (see _blur_multi). impl="conv": the original
+    incremental conv chain (kept for A/B validation)."""
     s_levels = opt.octave_resolution
     k = 2.0 ** (1.0 / s_levels)
-    gauss = [img]
-    sigma_prev = opt.sigma0
-    for s in range(1, s_levels + 3):
-        sigma_total = opt.sigma0 * (k ** s)
-        sigma_delta = math.sqrt(max(sigma_total ** 2 - sigma_prev ** 2, 1e-8))
-        gauss.append(_blur(gauss[-1], sigma_delta))
-        sigma_prev = sigma_total
-    gauss = jnp.stack(gauss)
+    if impl == "matmul":
+        sig_dir = tuple(
+            math.sqrt(max((opt.sigma0 * k ** s) ** 2 - opt.sigma0 ** 2,
+                          0.0))
+            for s in range(1, s_levels + 3))
+        gauss = jnp.concatenate([img[None], _blur_multi(img, sig_dir)])
+    else:
+        levels = [img]
+        sigma_prev = opt.sigma0
+        for s in range(1, s_levels + 3):
+            sigma_total = opt.sigma0 * (k ** s)
+            sigma_delta = math.sqrt(max(sigma_total ** 2
+                                        - sigma_prev ** 2, 1e-8))
+            levels.append(_blur(levels[-1], sigma_delta))
+            sigma_prev = sigma_total
+        gauss = jnp.stack(levels)
     dog = gauss[1:] - gauss[:-1]
     # Next octave starts from the level with 2x base blur (index S).
     next_base = _downsample2(gauss[s_levels])
@@ -227,9 +302,26 @@ def _quadratic_refine(dog, lvl, yy, xx):
     hly = 0.25 * (at(1, 1, 0) - at(1, -1, 0) - at(-1, 1, 0) + at(-1, -1, 0))
     hlx = 0.25 * (at(1, 0, 1) - at(1, 0, -1) - at(-1, 0, 1) + at(-1, 0, -1))
     hyx = 0.25 * (at(0, 1, 1) - at(0, 1, -1) - at(0, -1, 1) + at(0, -1, -1))
-    Hm = jnp.array([[hll, hly, hlx], [hly, hyy, hyx], [hlx, hyx, hxx]])
-    # Solve H off = -g, guarded against singular Hessians.
-    off = jnp.linalg.solve(Hm + 1e-12 * jnp.eye(3, dtype=dog.dtype), -g)
+    # Solve H off = -g in closed form (symmetric 3x3 adjugate): the
+    # vmapped jnp.linalg.solve was ~137 ms of the 8-image batch (131k
+    # tiny LU factorizations; benchmarks/profile_sift_detect.py) — the
+    # adjugate is ~30 VPU flops per candidate.
+    a, b_, c_ = hll + 1e-12, hly, hlx
+    d_, e_ = hyy + 1e-12, hyx
+    f_ = hxx + 1e-12
+    A00 = d_ * f_ - e_ * e_
+    A01 = c_ * e_ - b_ * f_
+    A02 = b_ * e_ - c_ * d_
+    A11 = a * f_ - c_ * c_
+    A12 = b_ * c_ - a * e_
+    A22 = a * d_ - b_ * b_
+    det = a * A00 + b_ * A01 + c_ * A02
+    inv_det = jnp.where(jnp.abs(det) > 1e-30, 1.0 / det, 0.0)
+    off = -inv_det * jnp.stack([
+        A00 * g[0] + A01 * g[1] + A02 * g[2],
+        A01 * g[0] + A11 * g[1] + A12 * g[2],
+        A02 * g[0] + A12 * g[1] + A22 * g[2],
+    ])
     off = jnp.clip(off, -0.5, 0.5)
     refined = v + 0.5 * jnp.dot(g, off)
     return off, refined
@@ -639,7 +731,7 @@ def extract_sift(image, options: Optional[SiftExtractionOptions] = None
         base = img
         octave_scale0 = 1.0
         pre = math.sqrt(max(opt.sigma0 ** 2 - opt.init_sigma ** 2, 0.01))
-    base = _blur(base, pre)
+    base = _blur_matmul(base, pre)
 
     h, w = base.shape
     n_oct = min(opt.num_octaves,
@@ -720,6 +812,58 @@ def extract_sift(image, options: Optional[SiftExtractionOptions] = None
     resp = jnp.where(mask, vals, 0.0)
     return SiftFeatures(keypoints=keypoints, descriptors=desc, mask=mask,
                         response=resp)
+
+
+# ---------------------------------------------------------------------------
+# Batched bulk extraction (the CLI front-end device path)
+# ---------------------------------------------------------------------------
+
+_BATCH_CACHE: dict = {}
+
+
+def extract_sift_batch(images: np.ndarray,
+                       options: Optional[SiftExtractionOptions] = None,
+                       device=None):
+    """Bulk extraction of a [B, H, W] f32 image stack as ONE device
+    program: jit(vmap(extract_sift)) + on-device uint8 quantization, a
+    single device->host read per call.
+
+    This is the TPU replacement for the reference's producer/consumer
+    extraction thread pipeline (ref: feature/extraction.cc:112-177,
+    SiftGPU path sift.cc:853): the CLI `feature_extractor` groups
+    images by shape and streams fixed-size batches through this
+    function on the accelerator (host loop cost = one H2D + one D2H per
+    batch — the axon tunnel's per-sync tax amortizes over the batch).
+
+    Returns host numpy (keypoints [B, K, 4] f32, descriptors_u8
+    [B, K, 128] u8, mask [B, K] bool).
+    """
+    opt = options or SiftExtractionOptions()
+    images = np.asarray(images, np.float32)
+    if device is None:
+        device = jax.local_devices()[0]
+    key = (images.shape, opt, device)
+    fn = _BATCH_CACHE.get(key)
+    if fn is None:
+        def batch(imgs):
+            def one(im):
+                ft = extract_sift(im, opt)
+                return (ft.keypoints, descriptors_to_uint8(ft.descriptors),
+                        ft.mask)
+            return jax.vmap(one)(imgs)
+        # Execution device follows the committed input placement
+        # (jax.device_put below), so one jit serves any device.
+        fn = jax.jit(batch)
+        if len(_BATCH_CACHE) > 64:
+            _BATCH_CACHE.clear()
+        _BATCH_CACHE[key] = fn
+    # f32 throughout even in x64 processes (the CLI mapper runs x64 for
+    # host math; f64 is software-emulated on TPU and the f64 literals
+    # that jnp defaults create under x64 would silently promote the
+    # whole pipeline).
+    with jax.enable_x64(False):
+        kps, desc_u8, mask = fn(jax.device_put(images, device))
+    return np.asarray(kps), np.asarray(desc_u8), np.asarray(mask)
 
 
 def load_image_gray(path, max_size: Optional[int] = None) -> np.ndarray:

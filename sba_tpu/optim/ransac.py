@@ -92,6 +92,7 @@ def ransac(
     mask=None,                  # [N] valid-point mask
     refit_fn: Optional[Callable] = None,  # (weights [N], *data) -> model
     progressive: bool = False,
+    max_error=None,             # optional TRACED per-call threshold override
 ):
     """Batched (LO-)RANSAC. Returns RANSACReport.
 
@@ -107,6 +108,15 @@ def ransac(
     than the compiled program.
     """
     opt = options or RANSACOptions()
+    if max_error is not None and not isinstance(max_error, (int, float)):
+        # Traced threshold (batched callers with per-pair thresholds):
+        # run unjitted — the caller's surrounding jit/vmap compiles it.
+        return _ransac_impl(key, data, solve_fn, residual_fn, sample_size,
+                            opt, mask, refit_fn, progressive,
+                            max_error=max_error)
+    if isinstance(max_error, (int, float)):
+        import dataclasses
+        opt = dataclasses.replace(opt, max_error=float(max_error))
     fn = _ransac_jitted(solve_fn, residual_fn, refit_fn, sample_size, opt,
                         progressive, mask is not None, len(data))
     if mask is None:
@@ -146,10 +156,12 @@ _RANSAC_CACHE_REFS: list = []
 
 
 def _ransac_impl(key, data, solve_fn, residual_fn, sample_size, opt,
-                 mask, refit_fn, progressive):
+                 mask, refit_fn, progressive, max_error=None,
+                 num_trials=None):
     n = data[0].shape[0]
-    num_trials = num_required_trials(sample_size, opt)
-    thr2 = opt.max_error ** 2
+    if num_trials is None:
+        num_trials = num_required_trials(sample_size, opt)
+    thr2 = (opt.max_error if max_error is None else max_error) ** 2
     valid_mask = jnp.ones(n, bool) if mask is None else (mask > 0)
 
     samples = draw_samples(key, n, num_trials, sample_size, mask=mask,

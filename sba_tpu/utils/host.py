@@ -44,6 +44,22 @@ def host_cpu_device():
     return local[0] if local else None
 
 
+def accel_device():
+    """First non-CPU local device (the TPU chip under axon), or None.
+
+    The bulk front-end phases (feature extraction, descriptor matching,
+    batched pair verification) commit their inputs here so the heavy
+    matmul/gather programs run on the chip while the latency-bound host
+    loops (incremental mapper) stay on the CPU backend."""
+    try:
+        for d in jax.local_devices():
+            if d.platform != "cpu":
+                return d
+    except RuntimeError:
+        return None
+    return None
+
+
 @contextlib.contextmanager
 def on_host():
     """Scope jnp computation to the CPU backend (no-op if unavailable).
