@@ -357,7 +357,15 @@ def run_exhaustive_matcher(flags):
 
 
 def run_sequential_matcher(flags):
-    """Ref: exe/feature.cc:298."""
+    """Ref: exe/feature.cc:298. With `SequentialMatching.loop_detection`
+    every `loop_detection_period`-th image additionally queries a
+    vocab-tree visual index of ALL images and matches against the top
+    `loop_detection_num_images` retrievals — closing trajectory loops
+    that the overlap window cannot see (ref: feature/matching.h:63-85,
+    matching.cc SequentialFeatureMatcher::RunLoopDetection). If
+    `SequentialMatching.vocab_tree_path` is not given, a tree is built
+    from the run's own descriptors (TPU-native k-means; the reference
+    requires a pretrained tree file)."""
     from sba_tpu.features.pairing import sequential_pairs
     from sba_tpu.io.database import Database
 
@@ -367,8 +375,52 @@ def run_sequential_matcher(flags):
     overlap = int(flags.get("SequentialMatching.overlap", "10"))
     quad = flags.get("SequentialMatching.quadratic_overlap", "1") in (
         "1", "true", "True")
-    pairs = sequential_pairs(len(image_ids), overlap=overlap,
-                             quadratic_overlap=quad)
+    pairs = list(sequential_pairs(len(image_ids), overlap=overlap,
+                                  quadratic_overlap=quad))
+
+    loop = flags.get("SequentialMatching.loop_detection", "0") in (
+        "1", "true", "True")
+    if loop and len(image_ids) > 2:
+        from sba_tpu.retrieval.visual_index import VisualIndex
+        from sba_tpu.retrieval.vocab_tree import (build_vocab_tree,
+                                                  load_any_vocab_tree)
+
+        period = int(flags.get(
+            "SequentialMatching.loop_detection_period", "10"))
+        num_imgs = int(flags.get(
+            "SequentialMatching.loop_detection_num_images", "50"))
+        tree_path = flags.get("SequentialMatching.vocab_tree_path")
+        descs = {}
+        for iid in image_ids:
+            d = db.read_descriptors(iid).astype(np.float32)
+            descs[iid] = d / np.maximum(
+                np.linalg.norm(d, axis=-1, keepdims=True), 1e-9)
+        if tree_path:
+            tree = load_any_vocab_tree(tree_path)
+        else:
+            sample = np.concatenate(
+                [d[:256] for d in descs.values()])[:20000]
+            tree = build_vocab_tree(sample, branching=8, depth=2)
+        index = VisualIndex(tree)
+        for iid in image_ids:
+            index.add_image(iid, descs[iid])
+        index.prepare()
+        pos = {iid: k for k, iid in enumerate(image_ids)}
+        have = set(map(tuple, pairs))
+        n_loop = 0
+        for k, iid in enumerate(image_ids):
+            if k % max(period, 1) != 0:
+                continue
+            for jid, _score in index.query(descs[iid],
+                                           num_images=num_imgs):
+                if jid == iid:
+                    continue
+                a, b = sorted((pos[iid], pos[jid]))
+                if (a, b) not in have:
+                    have.add((a, b))
+                    pairs.append((a, b))
+                    n_loop += 1
+        print(f"loop detection added {n_loop} retrieved pairs")
     n = _match_and_verify(db, pairs, image_ids, flags)
     db.close()
     print(f"verified {n}/{len(pairs)} pairs")
@@ -498,6 +550,10 @@ def run_mapper(flags):
     opt = MapperControllerOptions()
     opt.mapper = apply_flags(opt.mapper, "Mapper", flags)
     opt.min_num_matches = int(flags.get("Mapper.min_num_matches", "15"))
+    opt.snapshot_path = flags.get("Mapper.snapshot_path") or None
+    opt.snapshot_images_freq = int(
+        flags.get("Mapper.snapshot_images_freq", "0"))
+    opt.live_viewer_path = flags.get("Mapper.live_viewer_path") or None
 
     db = Database(db_path)
     cache = DatabaseCache.create(db, min_num_matches=opt.min_num_matches)
@@ -1295,9 +1351,32 @@ def run_delaunay_mesher(flags):
 
 def run_model_viewer(flags):
     """Export a self-contained interactive HTML viewer (the GUI-capability
-    substitute for ref: src/ui Qt model viewer; see sba_tpu/viewer.py)."""
+    substitute for ref: src/ui Qt model viewer; see sba_tpu/viewer.py).
+
+    `--follow <dir>`: serve a live-mapping directory (written by
+    `mapper --Mapper.live_viewer_path <dir>`) over HTTP and watch the
+    reconstruction grow at /live.html — the headless counterpart of the
+    reference GUI's live display (ref: src/ui/main_window.h:61)."""
     from sba_tpu.models.reconstruction import Reconstruction
     from sba_tpu.viewer import export_html_viewer
+
+    follow = flags.get("follow")
+    if follow:
+        import functools
+        import http.server
+
+        from sba_tpu.viewer import export_live_viewer
+
+        os.makedirs(follow, exist_ok=True)
+        export_live_viewer(follow)
+        port = int(flags.get("port", "8011"))
+        handler = functools.partial(
+            http.server.SimpleHTTPRequestHandler, directory=follow)
+        print(f"serving {follow} at http://localhost:{port}/live.html "
+              f"(ctrl-c to stop)")
+        http.server.ThreadingHTTPServer(("", port), handler) \
+            .serve_forever()
+        return
 
     input_path, output_path = _require(flags, "input_path", "output_path")
     rec = Reconstruction.read(input_path)

@@ -11,3 +11,9 @@ from sba_tpu.estimators.essential_matrix import (
     sampson_error_e,
 )
 from sba_tpu.estimators.homography_matrix import homography_dlt, homography_transfer_error
+from sba_tpu.estimators.generalized_relative_pose import (
+    GeneralizedRelativePoseOptions,
+    estimate_generalized_relative_pose,
+    generalized_sampson_errors,
+    gr6p_solve,
+)

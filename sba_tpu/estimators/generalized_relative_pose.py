@@ -146,7 +146,7 @@ def _init_rotation(f1, f2):
 
 
 def gr6p_solve(cam_R1, cam_t1, xy1, cam_R2, cam_t2, xy2, seed=0,
-               max_iterations=50):
+               max_iterations=50, fast=False):
     """Solve the GR6P problem for >= 6 (use 8) correspondences.
 
     cam_R*/cam_t*: camera-from-rig extrinsics per correspondence in each
@@ -175,10 +175,19 @@ def gr6p_solve(cam_R1, cam_t1, xy1, cam_R2, cam_t2, xy2, seed=0,
         starts.extend(_rotmat_to_cayley(Rc) for Rc in E_init)
     except np.linalg.LinAlgError:
         pass
-    for trial in range(3):
-        amp = 0.3 if trial < 2 else 0.6
-        starts.append(init + rng.uniform(-amp, amp, 3))
+    # `fast` (RANSAC inner trials): 2 starts (Kabsch + best essential),
+    # fewer L-BFGS iterations, looser early exit — contaminated samples
+    # are not worth polishing, and the LO refit re-solves on all
+    # inliers with the full start set. ~6x cheaper per trial.
+    if fast:
+        starts = starts[:2]
+        max_iterations = min(max_iterations, 25)
+    else:
+        for trial in range(3):
+            amp = 0.3 if trial < 2 else 0.6
+            starts.append(init + rng.uniform(-amp, amp, 3))
 
+    exit_cost = 1e-11 if fast else 1e-14
     best = init
     best_cost = np.inf
     for cay0 in starts:
@@ -189,7 +198,7 @@ def gr6p_solve(cam_R1, cam_t1, xy1, cam_R2, cam_t2, xy2, seed=0,
                      "ftol": 1e-18})
         if res.fun < best_cost:
             best, best_cost = res.x, res.fun
-        if best_cost < 1e-14:
+        if best_cost < exit_cost:
             break
 
     R = _cayley_to_rotmat(best)
@@ -274,7 +283,7 @@ def estimate_generalized_relative_pose(
         try:
             models = gr6p_solve(cam_R1[idx], cam_t1[idx], xy1[idx],
                                 cam_R2[idx], cam_t2[idx], xy2[idx],
-                                seed=int(rng.integers(2**31)))
+                                seed=int(rng.integers(2**31)), fast=True)
         except np.linalg.LinAlgError:
             continue
         for R, t in models:
@@ -291,6 +300,13 @@ def estimate_generalized_relative_pose(
                     need = int(np.ceil(np.log(max(1.0 - opt.confidence,
                                                   1e-12)) / denom))
                     max_trials = min(max_trials, max(trial, need))
+        # High-support early exit: past 85% support further sampling
+        # is vanishingly unlikely to find a better model and the LO
+        # refit polishes on all inliers anyway (the 8-point adaptive
+        # bound above stays ~100 trials even at 70% inliers — the
+        # nonlinear per-trial solve makes that a minute of wall time).
+        if best.num_inliers >= 0.85 * K:
+            break
     if best.num_inliers >= opt.min_num_inliers:
         # Local optimization: re-solve on ALL inliers (the solver
         # accepts arbitrary K >= 8) and keep if support improves —

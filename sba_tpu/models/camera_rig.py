@@ -100,6 +100,44 @@ class CameraRig:
                     np.mean(np.stack(rel_t[cid]), axis=0))
 
 
+def estimate_snapshot_relative_pose(rig: "CameraRig", cameras,
+                                    obs1, obs2, options=None, seed=0):
+    """Rig-to-rig relative pose between two snapshots via GR6P RANSAC
+    (ref: src/estimators/generalized_relative_pose.h:55 — the reference
+    leaves GR6PEstimator unwired; here it initializes rig trajectories).
+
+    obs1/obs2: per-correspondence lists of (camera_id, xy_pixels) in
+    snapshot 1 and 2 — matched features, each seen by (possibly
+    different) rig cameras. `cameras`: camera_id -> (fx, fy, cx, cy)
+    for pixel->normalized conversion. Returns the
+    GeneralizedRelativePoseReport (rig1 -> rig2 transform + inliers).
+
+    Measured solve time (3-camera rig, 40 correspondences, 30%
+    outliers, host CPU): ~10-30 s — the 8-point adaptive bound keeps
+    ~100 nonlinear trials alive at 70% inliers; cleaner inputs exit at
+    the 85%-support break after a few trials
+    (tests/test_generalized_relative_pose.py::
+    test_rig_snapshot_wiring_and_timing records the number)."""
+    from sba_tpu.estimators.generalized_relative_pose import \
+        estimate_generalized_relative_pose
+    from sba_tpu.geometry.quaternions import np_quat_to_rotmat
+
+    def unpack(obs):
+        cam_R, cam_t, xy = [], [], []
+        for camera_id, xy_px in obs:
+            q, t = rig.cams_from_rig[camera_id]
+            fx, fy, cx, cy = cameras[camera_id]
+            cam_R.append(np_quat_to_rotmat(np.asarray(q)))
+            cam_t.append(np.asarray(t))
+            xy.append([(xy_px[0] - cx) / fx, (xy_px[1] - cy) / fy])
+        return np.stack(cam_R), np.stack(cam_t), np.asarray(xy)
+
+    R1, t1, xy1 = unpack(obs1)
+    R2, t2, xy2 = unpack(obs2)
+    return estimate_generalized_relative_pose(
+        R1, t1, xy1, R2, t2, xy2, options=options, seed=seed)
+
+
 def compose_rig_poses(snap_qvec, snap_tvec, cam_qvec, cam_tvec):
     """Batched composition: image pose = cam_from_rig o rig_pose.
 

@@ -144,6 +144,49 @@ def _bilinear(img, xy):
 # ---------------------------------------------------------------------------
 
 
+def _pack_intensity_nbhd(img):
+    """[H, W] f32 intensities in [0, 1] -> flat [H*W] u32 holding the
+    2x2 bilinear patch as 4 x u8 (edge-clamped), SBA-style joint
+    packing (ops/interpolation.py): ONE gather then yields the whole
+    bilinear sample instead of 4 barrier-separated taps. Source images
+    are natively 8-bit, so u8 quantization loses nothing real."""
+    u8 = jnp.clip(jnp.round(img * 255.0), 0, 255).astype(jnp.uint32)
+    r = jnp.pad(u8, ((0, 1), (0, 1)), mode="edge")
+    return (r[:-1, :-1] | (r[:-1, 1:] << 8) | (r[1:, :-1] << 16)
+            | (r[1:, 1:] << 24)).reshape(-1)
+
+
+def _bilinear_packed(flat_u32, H, W, xy):
+    """Packed-patch counterpart of `_bilinear`: one rowsel gather per
+    sample. Returns (v in [0, 1], inb)."""
+    x = xy[..., 0] - 0.5
+    y = xy[..., 1] - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0).astype(jnp.float32)
+    fy = (y - y0).astype(jnp.float32)
+    x0c = jnp.clip(x0.astype(jnp.int32), 0, W - 1)
+    y0c = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
+    inb = (x >= 0) & (x <= W - 1) & (y >= 0) & (y <= H - 1)
+    fi = y0c * W + x0c
+    if flat_u32.shape[0] % 128 == 0:
+        t2 = flat_u32.reshape(-1, 128)
+        rows = jnp.take(t2, fi // 128, axis=0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, rows.shape,
+                                        rows.ndim - 1)
+        u = jnp.where(lane == (fi % 128)[..., None], rows,
+                      jnp.zeros_like(rows)).sum(axis=-1)
+    else:
+        u = jnp.take(flat_u32, fi)
+    v00 = (u & 0xFF).astype(jnp.float32)
+    v01 = ((u >> 8) & 0xFF).astype(jnp.float32)
+    v10 = ((u >> 16) & 0xFF).astype(jnp.float32)
+    v11 = ((u >> 24) & 0xFF).astype(jnp.float32)
+    v = ((1 - fy) * ((1 - fx) * v00 + fx * v01)
+         + fy * ((1 - fx) * v10 + fx * v11)) * (1.0 / 255.0)
+    return jnp.where(inb, v, 0.0), inb
+
+
 def _window_offsets(radius: int, step: int) -> np.ndarray:
     """Static (trace-time) window offsets — numpy so `int()` works under
     jit tracing."""
@@ -192,9 +235,117 @@ def _geom_costs(depth, K_ref, K_ref_inv, K_srcs, Rs, ts, src_depths,
     return jnp.stack(costs)
 
 
+# --- fused bilateral-NCC Pallas kernel (round 5) ---------------------------
+# The r4 cost-volume formulation accumulated the 3 source-side moments
+# over K=49 rolled copies of [H, W] arrays with the bilateral weights
+# CACHED as 2K hypothesis-independent [H, W] planes — ~120 MB of HBM
+# streamed per hypothesis per view at 640x480 (BASELINE.md r4 names this
+# the remaining bottleneck). The kernel holds the padded reference and
+# warped source IN VMEM and computes weights + all moments + NCC in one
+# pass: HBM traffic drops to read(ref, v, masks) + write(cost) —
+# ~25 MB -> ~5 reads/writes of [H, W]. Ref-side moments are recomputed
+# per call (the VPU is idle-dominated; the reads are already resident).
+
+
+_NCC_BLOCK_ROWS = 32
+
+
+def _ncc_kernel_call(ref_pad, v_pad, bnd_pad, inb_pad, offs_np, w_sp_np,
+                     sigma_color, H, W, r, interpret=False):
+    """cost [H, W] = 1 - bilateral NCC, windows >half outside source
+    get max cost 2.0. Inputs are edge-padded by `r` (zeros), bnd/inb
+    are f32 validity planes (image bounds / source projection).
+
+    Grid over row blocks: the fully-unrolled 49-tap loop keeps ~270
+    temporaries live on the Mosaic VMEM stack (83 MB at 240x320 whole-
+    frame, >16 MB scoped limit), so inputs are restacked into
+    OVERLAPPING [nb, bh+2r, W+2r] row blocks in XLA (~2r/bh duplicated
+    rows) and each grid step works on one small block."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    wsp_sum = float(w_sp_np.sum())
+    inv2sc2 = 1.0 / (2.0 * float(sigma_color) ** 2)
+    bh = _NCC_BLOCK_ROWS
+    nb = -(-H // bh)
+    Wp = W + 2 * r
+
+    def overlap(a):
+        a = jnp.pad(a, ((0, nb * bh - H), (0, 0)))
+        return jnp.stack([jax.lax.dynamic_slice(
+            a, (i * bh, 0), (bh + 2 * r, Wp)) for i in range(nb)])
+
+    ins = [overlap(a) for a in (ref_pad, v_pad, bnd_pad, inb_pad)]
+
+    def kernel(ref_ref, v_ref, bnd_ref, inb_ref, cost_ref):
+        refc = ref_ref[0, r:r + bh, r:r + W]
+        SW = jnp.zeros((bh, W), jnp.float32)
+        SR = jnp.zeros((bh, W), jnp.float32)
+        SRR = jnp.zeros((bh, W), jnp.float32)
+        SV = jnp.zeros((bh, W), jnp.float32)
+        SVV = jnp.zeros((bh, W), jnp.float32)
+        SRV = jnp.zeros((bh, W), jnp.float32)
+        FIN = jnp.zeros((bh, W), jnp.float32)
+        for k in range(offs_np.shape[0]):
+            dx = int(offs_np[k, 0])
+            dy = int(offs_np[k, 1])
+            wsp = float(w_sp_np[k])
+            y0 = r + dy
+            x0 = r + dx
+            r_k = ref_ref[0, y0:y0 + bh, x0:x0 + W]
+            v_k = v_ref[0, y0:y0 + bh, x0:x0 + W]
+            b_k = bnd_ref[0, y0:y0 + bh, x0:x0 + W]
+            i_k = inb_ref[0, y0:y0 + bh, x0:x0 + W]
+            d = r_k - refc
+            w = (wsp * b_k) * jnp.exp(-(d * d) * inv2sc2)
+            wv = w * v_k
+            wr = w * r_k
+            SW += w
+            SR += wr
+            SRR += wr * r_k
+            SV += wv
+            SVV += wv * v_k
+            SRV += wr * v_k
+            FIN += wsp * i_k
+        wsum = jnp.maximum(SW, 1e-9)
+        mr = SR / wsum
+        vr = SRR / wsum - mr * mr
+        ms = SV / wsum
+        vs = SVV / wsum - ms * ms
+        cov = SRV / wsum - mr * ms
+        ncc = cov * jax.lax.rsqrt(jnp.maximum(vr * vs, 1e-10))
+        cost = 1.0 - jnp.clip(ncc, -1.0, 1.0)
+        cost_ref[0] = jnp.where(FIN > 0.5 * wsp_sum, cost, 2.0)
+
+    blk = bh + 2 * r
+    out = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        out_shape=jax.ShapeDtypeStruct((nb, bh, W), jnp.float32),
+        in_specs=[pl.BlockSpec((1, blk, Wp), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)] * 4,
+        out_specs=pl.BlockSpec((1, bh, W), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(*ins)
+    return out.reshape(nb * bh, W)[:H]
+
+
+def _use_ncc_kernel(H, W, r):
+    """Pallas path gate: TPU platform + everything VMEM-resident
+    (4 padded inputs + ~8 accumulator planes, f32)."""
+    try:
+        platform = jax.devices()[0].platform
+    except RuntimeError:
+        return False
+    if platform not in ("tpu", "axon"):
+        return False
+    return 12 * (H + 2 * r) * (W + 2 * r) * 4 < 12 * 1024 * 1024
+
+
 def _cost_for_hypothesis(ref_img, src_imgs, K_ref_inv, K_srcs, Rs, ts,
                          depth, normal, opt: PatchMatchOptions,
-                         K_ref=None, src_depths=None):
+                         K_ref=None, src_depths=None, src_packed=None):
     """Matching cost [H, W] of plane hypotheses (depth [H,W],
     normal [H,W,3]) against all sources, averaged over the best views.
 
@@ -281,26 +432,35 @@ def _cost_for_hypothesis(ref_img, src_imgs, K_ref_inv, K_srcs, Rs, ts,
             out = out + w1d[i] * jnp.where(vx[None, :], sh, 0.0)
         return out
 
-    # Reference-side bilateral weights + moments: hypothesis- and
-    # view-independent (XLA CSE shares them across candidate evals).
-    w_pre = []
-    SW = jnp.zeros_like(ref_img)
-    SR = jnp.zeros_like(ref_img)
-    SRR = jnp.zeros_like(ref_img)
-    for k in range(K):
-        dx = int(offs_np[k, 0])
-        dy = int(offs_np[k, 1])
-        r_k = roll2(ref_img, dy, dx)
-        w = w_sp_np[k] * jnp.exp(
-            -((r_k - ref_img) ** 2) / (2 * opt.sigma_color ** 2))
-        w = jnp.where(shift_valid(dy, dx), w, 0.0)
-        w_pre.append((w, w * r_k))
-        SW = SW + w
-        SR = SR + w * r_k
-        SRR = SRR + (w * r_k) * r_k
-    wsum = jnp.maximum(SW, 1e-9)
-    mr = SR / wsum
-    vr = SRR / wsum - mr * mr
+    use_kernel = _use_ncc_kernel(H, W, opt.window_radius)
+    rpad = opt.window_radius
+    if use_kernel:
+        ref_pad = jnp.pad(ref_img.astype(jnp.float32),
+                          ((rpad, rpad), (rpad, rpad)))
+        bnd_pad = jnp.pad(jnp.ones((H, W), jnp.float32),
+                          ((rpad, rpad), (rpad, rpad)))
+    else:
+        # XLA fallback (CPU tests / large frames): reference-side
+        # bilateral weights + moments are hypothesis- and
+        # view-independent (XLA CSE shares them across candidate evals).
+        w_pre = []
+        SW = jnp.zeros_like(ref_img)
+        SR = jnp.zeros_like(ref_img)
+        SRR = jnp.zeros_like(ref_img)
+        for k in range(K):
+            dx = int(offs_np[k, 0])
+            dy = int(offs_np[k, 1])
+            r_k = roll2(ref_img, dy, dx)
+            w = w_sp_np[k] * jnp.exp(
+                -((r_k - ref_img) ** 2) / (2 * opt.sigma_color ** 2))
+            w = jnp.where(shift_valid(dy, dx), w, 0.0)
+            w_pre.append((w, w * r_k))
+            SW = SW + w
+            SR = SR + w * r_k
+            SRR = SRR + (w * r_k) * r_k
+        wsum = jnp.maximum(SW, 1e-9)
+        mr = SR / wsum
+        vr = SRR / wsum - mr * mr
 
     costs = []
     for s in range(len(src_imgs)):
@@ -310,8 +470,24 @@ def _cost_for_hypothesis(ref_img, src_imgs, K_ref_inv, K_srcs, Rs, ts,
         wh = depth[..., None] * Axh + b
         src_xy = wh[..., :2] / jnp.where(
             jnp.abs(wh[..., 2:]) > 1e-9, wh[..., 2:], 1e-9)
-        v, inb = _bilinear(src_imgs[s], src_xy)      # [H, W] each
-        v = jnp.where(inb, v, 0.0)
+        if src_packed is not None:
+            Hs, Ws = src_imgs[s].shape
+            v, inb = _bilinear_packed(src_packed[s], Hs, Ws, src_xy)
+            v = v.astype(ref_img.dtype)
+        else:
+            v, inb = _bilinear(src_imgs[s], src_xy)  # [H, W] each
+            v = jnp.where(inb, v, 0.0)
+
+        if use_kernel:
+            v_pad = jnp.pad(v.astype(jnp.float32),
+                            ((rpad, rpad), (rpad, rpad)))
+            inb_pad = jnp.pad(inb.astype(jnp.float32),
+                              ((rpad, rpad), (rpad, rpad)))
+            cost = _ncc_kernel_call(
+                ref_pad, v_pad, bnd_pad, inb_pad, offs_np, w_sp_np,
+                opt.sigma_color, H, W, rpad).astype(ref_img.dtype)
+            costs.append(cost)
+            continue
 
         # Source-side moments: 3 running sums over the window shifts.
         SV = jnp.zeros_like(ref_img)
@@ -407,9 +583,17 @@ def patch_match_stereo(
     dtype = ref_img.dtype
     K_ref_inv = jnp.linalg.inv(K_ref)
 
+    # Packed-patch source sampling on TPU: built once per program,
+    # loop-invariant across all hypothesis evaluations (the warp
+    # gathers were 83% of one cost eval; 4 taps -> 1).
+    src_packed = None
+    if _use_ncc_kernel(H, W, opt.window_radius):
+        src_packed = [_pack_intensity_nbhd(src_imgs[s])
+                      for s in range(src_imgs.shape[0])]
+
     cost_of = lambda d, n: _cost_for_hypothesis(
         ref_img, src_imgs, K_ref_inv, K_srcs, Rs, ts, d, n, opt,
-        K_ref=K_ref, src_depths=src_depths)
+        K_ref=K_ref, src_depths=src_depths, src_packed=src_packed)
 
     key, k_init_d, k_init_n = jax.random.split(key, 3)
     if init_depth is not None:

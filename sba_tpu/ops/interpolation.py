@@ -28,6 +28,40 @@ def nearest_sample2d(map2d, xy, fill=0.0):
     return jnp.where(inb, v, fill)
 
 
+def bilinear_flat(flat_map, H, W, base, x, y, fill=0.0):
+    """Bilinear sampling from a FLAT [N*H*W] map stack at offset `base`
+    (exact unpacked values — the f64 parity path; per-map gathers under
+    vmap materialize [Q, H, W] arrays, so all SBA sampling indexes the
+    flat stack globally)."""
+    x0c, y0c, fxe, fye, inb = _bilinear_setup_xy(H, W, x, y)
+    x1c = jnp.clip(x0c + 1, 0, W - 1)
+    y1c = jnp.clip(y0c + 1, 0, H - 1)
+    v00 = jnp.take(flat_map, base + y0c * W + x0c)
+    v01 = jnp.take(flat_map, base + y0c * W + x1c)
+    v10 = jnp.take(flat_map, base + y1c * W + x0c)
+    v11 = jnp.take(flat_map, base + y1c * W + x1c)
+    v = ((1 - fye) * ((1 - fxe) * v00 + fxe * v01)
+         + fye * ((1 - fxe) * v10 + fxe * v11))
+    return jnp.where(inb, v, fill)
+
+
+def bilinear_label_agreement_flat_raw(flat_map, H, W, base, x, y, label,
+                                      fill=0.0):
+    """Unpacked-flat counterpart of `bilinear_label_agreement`."""
+    x0c, y0c, fxe, fye, inb = _bilinear_setup_xy(H, W, x, y)
+    x1c = jnp.clip(x0c + 1, 0, W - 1)
+    y1c = jnp.clip(y0c + 1, 0, H - 1)
+    a00 = (jnp.take(flat_map, base + y0c * W + x0c) == label)
+    a01 = (jnp.take(flat_map, base + y0c * W + x1c) == label)
+    a10 = (jnp.take(flat_map, base + y1c * W + x0c) == label)
+    a11 = (jnp.take(flat_map, base + y1c * W + x1c) == label)
+    p = ((1 - fye) * ((1 - fxe) * a00.astype(x.dtype)
+                      + fxe * a01.astype(x.dtype))
+         + fye * ((1 - fxe) * a10.astype(x.dtype)
+                  + fxe * a11.astype(x.dtype)))
+    return jnp.where(inb, p, fill)
+
+
 def bilinear_sample2d(map2d, xy, fill=0.0):
     """Differentiable bilinear sampling. map2d [H, W], xy [..., 2] -> [...].
     Out-of-bounds (outside the valid interpolation square) -> fill."""

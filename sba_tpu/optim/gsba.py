@@ -102,6 +102,11 @@ class GSBAOptions:
     # only know their slice length).
     axis_name: Optional[str] = None
     spmd_num_images: int = 0
+    # STATIC global landmark-observation count under SPMD (the weight
+    # normalization landmark_error_weight / total_num_2d_features,
+    # ref .cc:729-794, must divide by the GLOBAL O while each shard
+    # holds only its images' observations).
+    spmd_num_obs: int = 0
 
 
 class GSBASummary(NamedTuple):
@@ -283,7 +288,7 @@ def _all_residuals(problem: GSBAProblem, opt: GSBAOptions, delta, hard=False):
     geo_w = jnp.repeat(_geo_img_weight(problem, opt), K)
     parts = [(geo_r.reshape(-1), geo_w)]
     if opt.landmark_error_weight > 0 and problem.obs_xy.shape[0] > 0:
-        w = opt.landmark_error_weight / max(problem.obs_xy.shape[0], 1)
+        w = opt.landmark_error_weight / max(_n_obs_global(problem, opt), 1)
         rl = _landmark_residuals(q, t, pts, problem).reshape(-1)
         parts.append((rl, jnp.full(rl.shape, w, rl.dtype)))
     res = jnp.concatenate([p[0] for p in parts])
@@ -324,11 +329,18 @@ def _geo_weighted_local(problem: GSBAProblem, opt: GSBAOptions, dlocal):
     return res * jnp.sqrt(w)
 
 
+def _n_obs_global(problem: GSBAProblem, opt: GSBAOptions) -> int:
+    """Global landmark-observation count (each SPMD shard holds only
+    its images' observations; padding rows carry obs_mask = 0)."""
+    return (opt.spmd_num_obs if opt.axis_name
+            else problem.obs_xy.shape[0])
+
+
 def _land_weighted(problem: GSBAProblem, opt: GSBAOptions, delta):
     """IRLS-weighted landmark residuals [2*O] at params (+) delta."""
     q, t, _, _, pts = _apply_deltas(problem, opt, delta)
     res = _landmark_residuals(q, t, pts, problem).reshape(-1)
-    w_scale = opt.landmark_error_weight / max(problem.obs_xy.shape[0], 1)
+    w_scale = opt.landmark_error_weight / max(_n_obs_global(problem, opt), 1)
     w = w_scale * loss_weight(opt.loss, res * res, opt.loss_scale)
     return res * jnp.sqrt(w)
 
@@ -359,11 +371,6 @@ def _gsba_solve(problem: GSBAProblem, opt: GSBAOptions):
     P = problem.points.shape[0]
     kdim = 8 if opt.cylinder_parametrization == "default" else 7
     use_landmarks = opt.landmark_error_weight > 0 and problem.obs_xy.shape[0] > 0
-    if opt.axis_name is not None and use_landmarks:
-        raise NotImplementedError(
-            "SPMD GSBA shards images; the landmark term's observations "
-            "reference image indices and is not sharded yet — run it "
-            "single-device or with landmark_error_weight=0")
 
     def body(state):
         it, prob, lam, nu, cost, done, trace = state

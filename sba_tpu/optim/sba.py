@@ -58,10 +58,12 @@ from sba_tpu.geometry.quaternions import (
 )
 from sba_tpu.ops.interpolation import (
     JOINT_MAX_LABELS,
+    bilinear_flat,
     bilinear_joint_flat,
     bilinear_joint_grad,
     bilinear_label_agreement,
     bilinear_label_agreement_flat,
+    bilinear_label_agreement_flat_raw,
     bilinear_label_agreement_grad,
     bilinear_sample2d,
     bilinear_depth_u8_flat,
@@ -233,14 +235,15 @@ def _warp_pair_lanes(q_src, t_src, q_dst, t_dst, cam_src, cam_dst,
 
 
 def _pair_residual_soft(q_src, t_src, q_dst, t_dst, cam_src, cam_dst,
-                        depth_dst, sem_dst, pix_xy, src_depth, src_label,
-                        opt: SBAOptions, depth_packed=None,
+                        flat_depth, flat_sem, HW, pix_xy, src_depth,
+                        src_label, opt: SBAOptions, depth_packed=None,
                         label_packed=None, base=None, depth_lo=None,
                         depth_hi=None, joint_packed=None, src_code=None):
-    """Differentiable residual field for one pair: [S]. With packed
-    maps, depth_packed/label_packed are the FLAT [N*H*W] stacks and
-    `base` the destination map's offset (pd * H * W)."""
-    H, W = depth_dst.shape
+    """Differentiable residual field for one pair: [S]. All map inputs
+    are FLAT [N*H*W] stacks indexed at offset `base` (= pd * H * W):
+    per-pair map gathers under vmap materialize [Q, H, W] arrays
+    (11 GB at 100 images / 640x480)."""
+    H, W = HW
     # Full-lane component layout ([S] x/y/z arrays, not [S,2]) — see
     # _warp_pair_lanes.
     x2, y2, z2 = _warp_pair_lanes(q_src, t_src, q_dst, t_dst, cam_src,
@@ -268,8 +271,8 @@ def _pair_residual_soft(q_src, t_src, q_dst, t_dst, cam_src, cam_dst,
         depth2 = bilinear_depth_u8_flat(depth_packed, H, W, base, x2, y2,
                                         depth_lo, depth_hi, fill=-1e6)
     else:
-        depth2 = bilinear_sample2d(depth_dst, jnp.stack([x2, y2], -1),
-                                   fill=-1e6)
+        depth2 = bilinear_flat(flat_depth, H, W, base, x2, y2,
+                               fill=-1e6)
     derr = jnp.abs(depth2 - z2)
     gd = jax.nn.sigmoid((opt.depth_error_threshold - derr)
                         / (opt.tau_depth * opt.depth_error_threshold))
@@ -281,8 +284,8 @@ def _pair_residual_soft(q_src, t_src, q_dst, t_dst, cam_src, cam_dst,
                                               x2c, y2c, src_label,
                                               fill=0.0)
     else:
-        agree = bilinear_label_agreement(sem_dst, jnp.stack([x2, y2], -1),
-                                         src_label, fill=0.0)
+        agree = bilinear_label_agreement_flat_raw(
+            flat_sem, H, W, base, x2, y2, src_label, fill=0.0)
     valid_src = (src_depth > 0).astype(x2.dtype)  # ref .cc:809 skip
     # Soft objective design: r = valid_src * (1 - gate * agreement).
     # The reference's hard residual zeroes gated-away pixels; a smooth
@@ -297,19 +300,25 @@ def _pair_residual_soft(q_src, t_src, q_dst, t_dst, cam_src, cam_dst,
 
 
 def _pair_residual_hard(q_src, t_src, q_dst, t_dst, cam_src, cam_dst,
-                        depth_dst, sem_dst, pix_xy, src_depth, src_label, opt: SBAOptions):
-    """Exact reference semantics: returns (residual [S], status [S] int32)."""
-    H, W = depth_dst.shape
+                        flat_depth, flat_sem, HW, base, pix_xy,
+                        src_depth, src_label, opt: SBAOptions):
+    """Exact reference semantics: returns (residual [S], status [S]
+    int32). `flat_depth`/`flat_sem` are the FLAT [N*H*W] map stacks and
+    `base` the destination map offset — per-pair `depth_maps[pd]`
+    gathers under vmap materialize a [Q, H, W] array (11 GB at the
+    100-image production shape), so the hard path indexes globally like
+    the packed soft path does."""
+    H, W = HW
     x2, y2, z2 = _warp_pair_lanes(q_src, t_src, q_dst, t_dst, cam_src,
                                   cam_dst, pix_xy[:, 0], pix_xy[:, 1],
                                   src_depth)
     xi = jnp.round(x2).astype(jnp.int32)
     yi = jnp.round(y2).astype(jnp.int32)
     inb = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
-    flat = (jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1))
-    depth2 = jnp.where(inb, jnp.take(depth_dst.reshape(-1), flat), 0.0)
+    flat = base + (jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1))
+    depth2 = jnp.where(inb, jnp.take(flat_depth, flat), 0.0)
     depth_ok = jnp.abs(depth2 - z2) <= opt.depth_error_threshold
-    label2 = jnp.take(sem_dst.reshape(-1), flat)
+    label2 = jnp.take(flat_sem, flat)
     mismatch = inb & (label2 != src_label)
     valid_src = src_depth > 0
 
@@ -507,18 +516,22 @@ def _use_analytic(problem: SBAProblem, opt: SBAOptions) -> bool:
 # ---------------------------------------------------------------------------
 
 def _all_residuals(qvecs, tvecs, problem: SBAProblem, opt: SBAOptions, soft: bool):
+    HW = problem.depth_maps.shape[-2:]
+    flat_depth = problem.depth_maps.reshape(-1)
+    flat_sem = problem.semantic_maps.reshape(-1)
+
     def one(ps, pd):
+        base = pd * HW[0] * HW[1]
         args = (qvecs[ps], tvecs[ps], qvecs[pd], tvecs[pd],
                 problem.cam_params[ps], problem.cam_params[pd],
-                problem.depth_maps[pd], problem.semantic_maps[pd],
+                flat_depth, flat_sem, HW,
                 problem.pix_xy, problem.src_depth[ps], problem.src_label[ps])
         if soft:
             return _pair_residual_soft(
                 *args, opt,
                 depth_packed=problem.depth_packed,
                 label_packed=problem.label_packed,
-                base=pd * problem.depth_maps.shape[-1]
-                * problem.depth_maps.shape[-2],
+                base=base,
                 depth_lo=None if problem.depth_range is None
                 else problem.depth_range[pd, 0],
                 depth_hi=None if problem.depth_range is None
@@ -526,7 +539,7 @@ def _all_residuals(qvecs, tvecs, problem: SBAProblem, opt: SBAOptions, soft: boo
                 joint_packed=problem.joint_packed,
                 src_code=None if problem.src_code is None
                 else problem.src_code[ps])
-        return _pair_residual_hard(*args, opt)[0]
+        return _pair_residual_hard(*args[:9], base, *args[9:], opt)[0]
 
     r = jax.vmap(one)(problem.pair_src, problem.pair_dst)  # [Q, S]
     return r * problem.pair_mask[:, None]
@@ -535,12 +548,15 @@ def _all_residuals(qvecs, tvecs, problem: SBAProblem, opt: SBAOptions, soft: boo
 def evaluate_hard(problem: SBAProblem, opt: Optional[SBAOptions] = None):
     """Reference-parity evaluation: robust cost + status counts."""
     opt = opt or SBAOptions()
+    HW = problem.depth_maps.shape[-2:]
+    flat_depth = problem.depth_maps.reshape(-1)
+    flat_sem = problem.semantic_maps.reshape(-1)
 
     def one(ps, pd):
         return _pair_residual_hard(
             problem.qvecs[ps], problem.tvecs[ps], problem.qvecs[pd], problem.tvecs[pd],
             problem.cam_params[ps], problem.cam_params[pd],
-            problem.depth_maps[pd], problem.semantic_maps[pd],
+            flat_depth, flat_sem, HW, pd * HW[0] * HW[1],
             problem.pix_xy, problem.src_depth[ps], problem.src_label[ps], opt)
 
     r, status = jax.vmap(one)(problem.pair_src, problem.pair_dst)
@@ -583,22 +599,26 @@ def _pair_jacobians(problem: SBAProblem, opt: SBAOptions,
         pair_mask = problem.pair_mask
     qvecs, tvecs = problem.qvecs, problem.tvecs
 
+    HW = problem.depth_maps.shape[-2:]
+    flat_depth = problem.depth_maps.reshape(-1)
+    flat_sem = problem.semantic_maps.reshape(-1)
+
     def pair_fn(d_src, d_dst, ps, pd):
         q_s = quat_retract(qvecs[ps], d_src[:3])
         t_s = tvecs[ps] + d_src[3:]
         q_d = quat_retract(qvecs[pd], d_dst[:3])
         t_d = tvecs[pd] + d_dst[3:]
+        base = pd * HW[0] * HW[1]
         args = (q_s, t_s, q_d, t_d,
                 problem.cam_params[ps], problem.cam_params[pd],
-                problem.depth_maps[pd], problem.semantic_maps[pd],
+                flat_depth, flat_sem, HW,
                 problem.pix_xy, problem.src_depth[ps], problem.src_label[ps])
         if opt.mode == "soft":
             return _pair_residual_soft(
                 *args, opt,
                 depth_packed=problem.depth_packed,
                 label_packed=problem.label_packed,
-                base=pd * problem.depth_maps.shape[-1]
-                * problem.depth_maps.shape[-2],
+                base=base,
                 depth_lo=None if problem.depth_range is None
                 else problem.depth_range[pd, 0],
                 depth_hi=None if problem.depth_range is None
@@ -606,7 +626,7 @@ def _pair_jacobians(problem: SBAProblem, opt: SBAOptions,
                 joint_packed=problem.joint_packed,
                 src_code=None if problem.src_code is None
                 else problem.src_code[ps])
-        return _pair_residual_hard(*args, opt)[0]
+        return _pair_residual_hard(*args[:9], base, *args[9:], opt)[0]
 
     z6 = jnp.zeros(6, problem.tvecs.dtype)
 

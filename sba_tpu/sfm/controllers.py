@@ -58,6 +58,11 @@ class MapperControllerOptions:
     ba_global_max_refinement_change: float = 0.0005
     snapshot_path: Optional[str] = None
     snapshot_images_freq: int = 0
+    # Live visualization (the reference GUI shows the model growing
+    # during mapping, ref: src/ui/main_window.h:61): when set, every
+    # registration writes `state.json` (+ `live.html` once) into this
+    # directory; serve it with `model_viewer --follow <dir>`.
+    live_viewer_path: Optional[str] = None
     mapper: IncrementalMapperOptions = field(
         default_factory=IncrementalMapperOptions)
     triangulator: TriangulatorOptions = field(
@@ -146,6 +151,9 @@ def reconstruct_incremental(
                     if opt.snapshot_path and opt.snapshot_images_freq and \
                             num_reg % opt.snapshot_images_freq == 0:
                         _write_snapshot(rec, opt.snapshot_path, num_reg)
+                    if opt.live_viewer_path:
+                        _write_live_state(rec, opt.live_viewer_path,
+                                          num_reg)
                     if not notify("registered", model=model_idx,
                                   image_id=image_id, images=num_reg,
                                   points=num_pts):
@@ -233,6 +241,17 @@ def _write_snapshot(rec: Reconstruction, snapshot_path: str, num_reg: int):
     path = os.path.join(snapshot_path, f"snapshot_{num_reg:06d}")
     os.makedirs(path, exist_ok=True)
     rec.write(path)
+
+
+def _write_live_state(rec: Reconstruction, live_path: str, revision: int):
+    import os
+
+    from sba_tpu.viewer import export_live_viewer, export_viewer_state
+
+    os.makedirs(live_path, exist_ok=True)
+    if not os.path.exists(os.path.join(live_path, "live.html")):
+        export_live_viewer(live_path)
+    export_viewer_state(rec, live_path, revision)
 
 
 def adjust_bundle(reconstruction: Reconstruction,

@@ -29,17 +29,17 @@ r: orbit movie &nbsp; click: pick camera/point<br>
 <span id="pick"></span></div>
 <canvas id="c"></canvas>
 <script>
-const PTS = {points_json};
-const COL = {colors_json};
-const IDS = {point_ids_json};
-const CAMS = {cameras_json};
-const CAM_NAMES = {camera_names_json};
+let PTS = {points_json};
+let COL = {colors_json};
+let IDS = {point_ids_json};
+let CAMS = {cameras_json};
+let CAM_NAMES = {camera_names_json};
 const canvas = document.getElementById('c');
 const ctx = canvas.getContext('2d');
 let yaw = 0.5, pitch = -0.4, dist = {initial_dist}, panX = 0, panY = 0;
 let spinning = {animate_json};
 const PS = {point_size};
-const center = {center_json};
+let center = {center_json};
 function resize() {{
   canvas.width = innerWidth; canvas.height = innerHeight; draw();
 }}
@@ -149,25 +149,14 @@ function draw() {{
 }}
 resize();
 if (spinning) orbit();
-</script></body></html>
+{live_script}</script></body></html>
 """
 
 
-def export_html_viewer(reconstruction, path: str,
-                       max_points: int = 50_000,
-                       frustum_scale: float = 0.3,
-                       title: str = "sba_tpu reconstruction",
-                       point_size: float = 3.0,
-                       background: str = "#111",
-                       color_mode: str = "rgb",
-                       animate: bool = False):
-    """Write a single-file interactive viewer for a reconstruction.
-
-    Render options mirror the reference GUI's render-options dialog
-    (ref: src/ui render options — point size, background, coloring) and
-    `animate` starts the orbit fly-through (movie-grabber capability:
-    press 'r' in the viewer to toggle; record with any screen recorder).
-    color_mode: rgb (track colors) | height (z colormap) | uniform."""
+def _viewer_payload(reconstruction, max_points=50_000, frustum_scale=0.3,
+                    color_mode="rgb"):
+    """Point/camera payload shared by the static export, the live
+    (auto-refreshing) viewer state, and tests."""
     from sba_tpu.sfm.incremental_triangulator import _projection_center, \
         _rotmat
 
@@ -218,22 +207,109 @@ def export_html_viewer(reconstruction, path: str,
     else:
         center = np.zeros(3)
         spread = 10.0
+    return dict(
+        points=np.round(pts, 4).tolist(), colors=cols, point_ids=pids,
+        cameras=cams, camera_names=cam_names,
+        center=[round(float(v), 4) for v in center],
+        initial_dist=round(spread, 3))
 
+
+def export_html_viewer(reconstruction, path: str,
+                       max_points: int = 50_000,
+                       frustum_scale: float = 0.3,
+                       title: str = "sba_tpu reconstruction",
+                       point_size: float = 3.0,
+                       background: str = "#111",
+                       color_mode: str = "rgb",
+                       animate: bool = False):
+    """Write a single-file interactive viewer for a reconstruction.
+
+    Render options mirror the reference GUI's render-options dialog
+    (ref: src/ui render options — point size, background, coloring) and
+    `animate` starts the orbit fly-through (movie-grabber capability:
+    press 'r' in the viewer to toggle; record with any screen recorder).
+    color_mode: rgb (track colors) | height (z colormap) | uniform."""
+    pay = _viewer_payload(reconstruction, max_points, frustum_scale,
+                          color_mode)
     html = _TEMPLATE.format(
         title=title,
-        num_points=len(pts),
-        num_cameras=len(cams),
-        points_json=json.dumps(np.round(pts, 4).tolist()),
-        colors_json=json.dumps(cols),
-        point_ids_json=json.dumps(pids),
-        cameras_json=json.dumps(cams),
-        camera_names_json=json.dumps(cam_names),
-        center_json=json.dumps([round(float(v), 4) for v in center]),
-        initial_dist=round(spread, 3),
+        num_points=len(pay["points"]),
+        num_cameras=len(pay["cameras"]),
+        points_json=json.dumps(pay["points"]),
+        colors_json=json.dumps(pay["colors"]),
+        point_ids_json=json.dumps(pay["point_ids"]),
+        cameras_json=json.dumps(pay["cameras"]),
+        camera_names_json=json.dumps(pay["camera_names"]),
+        center_json=json.dumps(pay["center"]),
+        initial_dist=pay["initial_dist"],
         point_size=point_size,
         background=background,
         animate_json="true" if animate else "false",
+        live_script="",
     )
+    with open(path, "w") as f:
+        f.write(html)
+    return path
+
+
+_LIVE_SCRIPT = """
+let livePrev = -1;
+async function poll() {
+  try {
+    const r = await fetch('state.json?t=' + Date.now());
+    const s = await r.json();
+    if (s.revision !== livePrev) {
+      livePrev = s.revision;
+      PTS = s.points; COL = s.colors; IDS = s.point_ids;
+      CAMS = s.cameras; CAM_NAMES = s.camera_names; center = s.center;
+      document.getElementById('hud').childNodes[0].textContent =
+        'live mapping - ' + PTS.length + ' points, ' + CAMS.length +
+        ' cameras (rev ' + s.revision + ')';
+      draw();
+    }
+  } catch (e) {}
+  setTimeout(poll, 1000);
+}
+poll();
+"""
+
+
+def export_viewer_state(reconstruction, dir_path: str, revision: int,
+                        max_points: int = 50_000):
+    """Write `state.json` for the live viewer (one call per mapper
+    snapshot; the page polls and re-renders on revision change).
+    The counterpart of the reference GUI's live display of the model
+    growing during mapping (ref: src/ui/main_window.h:61
+    RenderNow/RenderSelectedReconstruction)."""
+    import os
+
+    pay = _viewer_payload(reconstruction, max_points=max_points)
+    pay["revision"] = int(revision)
+    pay["num_registered"] = int(
+        sum(1 for i in reconstruction.images
+            if reconstruction.is_registered(i)))
+    tmp = os.path.join(dir_path, ".state.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(pay, f)
+    os.replace(tmp, os.path.join(dir_path, "state.json"))
+
+
+def export_live_viewer(dir_path: str):
+    """Write `live.html` into `dir_path`: the standard viewer page with
+    a 1 Hz poll of `state.json` (written per snapshot by the mapper).
+    Serve the directory (`model_viewer --follow <dir>`) and open
+    live.html to watch the reconstruction grow."""
+    import os
+
+    html = _TEMPLATE.format(
+        title="live mapping", num_points=0, num_cameras=0,
+        points_json="[]", colors_json="[]", point_ids_json="[]",
+        cameras_json="[]", camera_names_json="[]",
+        center_json="[0,0,0]", initial_dist=10.0, point_size=3.0,
+        background="#111", animate_json="false",
+        live_script=_LIVE_SCRIPT,
+    )
+    path = os.path.join(dir_path, "live.html")
     with open(path, "w") as f:
         f.write(html)
     return path

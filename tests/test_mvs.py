@@ -365,3 +365,87 @@ def test_patch_match_depth_rmse_vs_rendered_gt():
     p80 = float(np.quantile(err, 0.8))
     assert med < 0.01 * med_depth, f"median {med:.4f} @ depth {med_depth:.2f}"
     assert p80 < 0.03 * med_depth, f"p80 {p80:.4f} @ depth {med_depth:.2f}"
+
+
+def test_ncc_kernel_matches_xla_path():
+    """The fused bilateral-NCC Pallas kernel (interpret mode on CPU)
+    must reproduce the XLA shift-roll formulation exactly (same
+    weights, same bounds handling, same >half-outside gate)."""
+    import jax.numpy as jnp
+
+    from sba_tpu.mvs.patch_match import (PatchMatchOptions, _bilinear,
+                                         _cost_for_hypothesis,
+                                         _ncc_kernel_call,
+                                         _window_offsets)
+
+    rng = np.random.default_rng(3)
+    H, W = 40, 64
+    opt = PatchMatchOptions(window_radius=3, sigma_color=0.2,
+                            sigma_spatial=3.0, geom_consistency=False)
+    ref = rng.random((H, W)).astype(np.float32)
+    v = rng.random((H, W)).astype(np.float32)
+    inb = np.ones((H, W), bool)
+    inb[:, :5] = False  # partially-visible windows exercise the gate
+    v = np.where(inb, v, 0.0)
+
+    offs = _window_offsets(opt.window_radius, opt.window_step)
+    w_sp = np.exp(-(offs[:, 0] ** 2 + offs[:, 1] ** 2)
+                  / (2 * opt.sigma_spatial ** 2))
+    r = opt.window_radius
+    pad = lambda a: jnp.pad(jnp.asarray(a, jnp.float32),
+                            ((r, r), (r, r)))
+    cost_kernel = np.asarray(_ncc_kernel_call(
+        pad(ref), pad(v), pad(np.ones((H, W))), pad(inb.astype(np.float32)),
+        offs, w_sp, opt.sigma_color, H, W, r, interpret=True))
+
+    # XLA path: reuse the module's own fallback formulation.
+    def xla_cost():
+        iy = np.arange(H)
+        ix = np.arange(W)
+        SW = np.zeros((H, W)); SR = np.zeros((H, W)); SRR = np.zeros((H, W))
+        SV = np.zeros((H, W)); SVV = np.zeros((H, W)); SRV = np.zeros((H, W))
+        FIN = np.zeros((H, W))
+        for k in range(len(offs)):
+            dx, dy = int(offs[k, 0]), int(offs[k, 1])
+            r_k = np.roll(np.roll(ref, -dy, 0), -dx, 1)
+            v_k = np.roll(np.roll(v, -dy, 0), -dx, 1)
+            i_k = np.roll(np.roll(inb.astype(np.float64), -dy, 0), -dx, 1)
+            vy = (iy + dy >= 0) & (iy + dy < H)
+            vx = (ix + dx >= 0) & (ix + dx < W)
+            valid = vy[:, None] & vx[None, :]
+            w = np.where(valid, w_sp[k] * np.exp(
+                -((r_k - ref) ** 2) / (2 * opt.sigma_color ** 2)), 0.0)
+            i_k = np.where(valid, i_k, 0.0)
+            SW += w; SR += w * r_k; SRR += w * r_k * r_k
+            SV += w * v_k; SVV += w * v_k * v_k; SRV += w * r_k * v_k
+            FIN += w_sp[k] * i_k
+        wsum = np.maximum(SW, 1e-9)
+        mr = SR / wsum; vr = SRR / wsum - mr * mr
+        ms = SV / wsum; vs = SVV / wsum - ms * ms
+        cov = SRV / wsum - mr * ms
+        ncc = np.clip(cov / np.sqrt(np.maximum(vr * vs, 1e-10)), -1, 1)
+        return np.where(FIN > 0.5 * w_sp.sum(), 1.0 - ncc, 2.0)
+
+    np.testing.assert_allclose(cost_kernel, xla_cost(), atol=2e-4)
+
+
+def test_bilinear_packed_matches_exact():
+    """The packed 2x2-u8 source sampler (TPU hot path) matches the
+    4-tap exact sampler to u8 quantization (<= 1/255 per corner)."""
+    import jax.numpy as jnp
+
+    from sba_tpu.mvs.patch_match import (_bilinear, _bilinear_packed,
+                                         _pack_intensity_nbhd)
+
+    rng = np.random.default_rng(5)
+    H, W = 48, 128  # W multiple of 128 exercises the rowsel path
+    img = jnp.asarray((rng.integers(0, 256, (H, W)) / 255.0)
+                      .astype(np.float32))  # native-u8 content: lossless
+    xy = jnp.asarray(rng.uniform(-3, [W + 3, H + 3], (5000, 2))
+                     .astype(np.float32))
+    v_ex, inb_ex = _bilinear(img, xy)
+    v_pk, inb_pk = _bilinear_packed(_pack_intensity_nbhd(img), H, W, xy)
+    np.testing.assert_array_equal(np.asarray(inb_ex), np.asarray(inb_pk))
+    m = np.asarray(inb_ex)
+    np.testing.assert_allclose(np.asarray(v_pk)[m], np.asarray(v_ex)[m],
+                               atol=1e-5)
