@@ -408,6 +408,58 @@ def refine_essential_sampson(E, n1, n2, w, num_iterations: int = 8):
     return E_out / jnp.maximum(jnp.linalg.norm(E_out), 1e-12)
 
 
+def estimate_two_view_geometry_multiple(
+    xy1, xy2,
+    cam1_fxycxy=None, cam2_fxycxy=None,
+    image_size1=None, image_size2=None,
+    options: Optional[TwoViewGeometryOptions] = None,
+    seed: int = 0,
+    max_models: int = 8,
+):
+    """Recursive multi-model two-view estimation
+    (ref: two_view_geometry.h:158-166 EstimateMultiple, .cc:128):
+    estimate, remove the inliers, re-estimate on the remainder, until
+    too few correspondences survive or a model fails. Returns a list
+    of TwoViewGeometryResult; each result's inlier_mask indexes the
+    ORIGINAL correspondence array. When more than one model is found,
+    every returned result's config is MULTIPLE (the reference's
+    marker for scenes with several rigid motions / watermark overlays;
+    the per-model geometry is preserved in E/F/H/qvec/tvec)."""
+    opt = options or TwoViewGeometryOptions()
+    xy1 = np.asarray(xy1)
+    xy2 = np.asarray(xy2)
+    n = len(xy1)
+    remaining = np.ones(n, bool)
+    results = []
+    for k in range(max_models):
+        if remaining.sum() < opt.min_num_inliers:
+            break
+        # Pad to the pow2 bucket so the jitted RANSAC programs cache.
+        idx = np.nonzero(remaining)[0]
+        m = len(idx)
+        mpad = 1 << max(5, (m - 1).bit_length())
+        x1 = np.zeros((mpad, 2))
+        x2 = np.zeros((mpad, 2))
+        x1[:m] = xy1[idx]
+        x2[:m] = xy2[idx]
+        mask = np.zeros(mpad, bool)
+        mask[:m] = True
+        tv = estimate_two_view_geometry(
+            x1, x2, cam1_fxycxy, cam2_fxycxy, image_size1, image_size2,
+            options=opt, seed=seed + k, mask=mask)
+        if (tv.config == int(TwoViewConfig.DEGENERATE)
+                or tv.num_inliers < opt.min_num_inliers):
+            break
+        full_mask = np.zeros(n, bool)
+        full_mask[idx[np.nonzero(tv.inlier_mask[:m])[0]]] = True
+        results.append(tv._replace(inlier_mask=full_mask))
+        remaining &= ~full_mask
+    if len(results) > 1:
+        results = [r._replace(config=int(TwoViewConfig.MULTIPLE))
+                   for r in results]
+    return results
+
+
 # ---------------------------------------------------------------------------
 # Batched verification (round 5): the CLI matcher's device path
 # ---------------------------------------------------------------------------

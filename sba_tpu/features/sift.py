@@ -78,6 +78,14 @@ class SiftExtractionOptions:
     # analogue and 4x cheaper on the gather-issue-bound TPU path) or
     # "bilinear" (4 taps, each binned with its bilinear weight).
     grad_sampling: str = "nearest"
+    # Affine-covariant shape estimation (ref: src/feature/sift.h:76-78
+    # `estimate_affine_shape`, implemented via VLFeat covdet,
+    # sift.cc:582): Baumberg second-moment-matrix adaptation batched
+    # over all keypoints; orientation/descriptor windows then sample
+    # through the per-keypoint affine frame, and keypoints carry the
+    # 6-param affine form (feature/types.h:43-83).
+    estimate_affine_shape: bool = False
+    affine_shape_iters: int = 6
     sigma0: float = 1.6              # base blur of octave 0 level 0
     init_sigma: float = 0.5          # assumed blur of the input image
 
@@ -96,6 +104,11 @@ class SiftFeatures(NamedTuple):
     descriptors: jnp.ndarray
     mask: jnp.ndarray
     response: jnp.ndarray
+    # estimate_affine_shape only: [K, 4] (a11, a12, a21, a22) of the
+    # full affine frame scale * S @ R(orientation), ORIGINAL-image
+    # pixels — together with keypoints[:, :2] this is COLMAP's 6-param
+    # affine keypoint (ref: feature/types.h:43-83). None otherwise.
+    affine: Optional[jnp.ndarray] = None
 
     @property
     def num_features(self):
@@ -425,6 +438,94 @@ def _bilinear_gather_ma(flat, ys, xs, base, H, W):
 _N_ORI_BINS = 36
 
 
+# ---------------------------------------------------------------------------
+# Affine shape adaptation (estimate_affine_shape)
+# ---------------------------------------------------------------------------
+
+
+def _spd2_inv_sqrt(a, b, c):
+    """Inverse square root of SPD 2x2 [[a, b], [b, c]], closed form
+    (sqrt via M^(1/2) = (M + sqrt(det) I) / sqrt(tr + 2 sqrt(det)),
+    then the 2x2 adjugate inverse), normalized to det = 1."""
+    det = jnp.maximum(a * c - b * b, 1e-20)
+    sd = jnp.sqrt(det)
+    s = jnp.sqrt(jnp.maximum(a + c + 2.0 * sd, 1e-20))
+    # sqrt(M)
+    ra = (a + sd) / s
+    rb = b / s
+    rc = (c + sd) / s
+    rdet = jnp.maximum(ra * rc - rb * rb, 1e-20)
+    ia = rc / rdet
+    ib = -rb / rdet
+    ic = ra / rdet
+    # normalize to det(W) = 1 so the adaptation preserves area
+    idet = jnp.sqrt(jnp.maximum(ia * ic - ib * ib, 1e-20))
+    n = jnp.sqrt(idet)
+    return ia / n, ib / n, ic / n
+
+
+def _affine_adapt(flat, kx, ky, ksigma, base, kh, kw, iters: int,
+                  sampling: str):
+    """Baumberg iteration: adapt each keypoint's measurement region so
+    the gradient second-moment matrix in the region becomes isotropic
+    (the affine-covariant shape VLFeat covdet computes serially,
+    lib/VLFeat/covdet.c). Returns the 2x2 shape S [K, 2, 2] with
+    det S = 1 (x_image = center + sigma * S @ x_normalized) and a
+    convergence estimate (anisotropy ratio of the LAST moment matrix).
+    """
+    P = 16
+    lin = jnp.linspace(-1.0, 1.0, P)
+    oy, ox = jnp.meshgrid(lin, lin, indexing="ij")
+    oy = oy.reshape(-1)
+    ox = ox.reshape(-1)
+    w_g = jnp.exp(-(ox * ox + oy * oy) / (2 * 0.66 ** 2))  # gaussian
+
+    def one(kxi, kyi, sig, b, ph, pw):
+        sa = jnp.ones(())     # S = [[sa, sb], [sb, sc]], symmetric
+        sb = jnp.zeros(())
+        sc = jnp.ones(())
+        rad = 3.0 * sig
+        aniso = jnp.ones(())
+        for _ in range(iters):
+            dx = rad * (sa * ox + sb * oy)
+            dy = rad * (sb * ox + sc * oy)
+            wm, ang = _gather_ma(flat, kyi + dy, kxi + dx, b, ph, pw,
+                                 sampling)
+            gx = (wm * jnp.cos(ang)).sum(0)
+            gy = (wm * jnp.sin(ang)).sum(0)
+            ixx = jnp.sum(w_g * gx * gx)
+            ixy = jnp.sum(w_g * gx * gy)
+            iyy = jnp.sum(w_g * gy * gy)
+            # Second-moment matrix IN THE NORMALIZED FRAME: gradients
+            # are image-frame, the normalized-frame gradient is S^T g
+            # (chain rule through x_img = c + rad * S x_norm), so
+            # mu_n = S^T mu_img S.
+            mxx = sa * (sa * ixx + sb * ixy) + sb * (sa * ixy + sb * iyy)
+            mxy = sa * (sb * ixx + sc * ixy) + sb * (sb * ixy + sc * iyy)
+            myy = sb * (sb * ixx + sc * ixy) + sc * (sb * ixy + sc * iyy)
+            tr = mxx + myy + 1e-20
+            det = jnp.maximum(mxx * myy - mxy * mxy, 1e-24)
+            # anisotropy = ratio of eigenvalues (1 = isotropic)
+            disc = jnp.sqrt(jnp.maximum(tr * tr - 4 * det, 0.0))
+            aniso = (tr + disc) / jnp.maximum(tr - disc, 1e-20)
+            wa, wb, wc = _spd2_inv_sqrt(mxx / tr, mxy / tr, myy / tr)
+            # S <- S @ W (both symmetric; product symmetrized — the
+            # rotation ambiguity of the shape is fixed by keeping S
+            # symmetric, as covdet does)
+            na = sa * wa + sb * wb
+            nb2 = sa * wb + sb * wc
+            nb1 = sb * wa + sc * wb
+            nc = sb * wb + sc * wc
+            nb = 0.5 * (nb1 + nb2)
+            d = jnp.sqrt(jnp.maximum(na * nc - nb * nb, 1e-20))
+            sa, sb, sc = na / jnp.sqrt(d), nb / jnp.sqrt(d), \
+                nc / jnp.sqrt(d)
+        S = jnp.stack([jnp.stack([sa, sb]), jnp.stack([sb, sc])])
+        return S, aniso
+
+    return jax.vmap(one)(kx, ky, ksigma, base, kh, kw)
+
+
 def _nearest_gather_ma(flat, ys, xs, base, H, W):
     """Nearest-pixel (mag, ang) sampling from a flat `_pack_mag_ang`
     buffer — the 1-tap counterpart of `_bilinear_gather_ma` (same
@@ -454,7 +555,7 @@ def _gather_ma(flat, ys, xs, base, H, W, sampling):
 
 
 def _orientation_histograms(flat, kx, ky, ksigma, base, kh, kw,
-                            sampling="nearest"):
+                            sampling="nearest", shape=None):
     """36-bin gaussian-weighted orientation histograms for all keypoints.
     `flat` is a flat `_pack_mag_ang` buffer over every octave's level
     stack; `base` [K] = octave offset + level*H*W selects each
@@ -476,10 +577,16 @@ def _orientation_histograms(flat, kx, ky, ksigma, base, kh, kw,
     oy = oy.reshape(-1)
     ox = ox.reshape(-1)
 
-    def one(kxi, kyi, sig, b, ph, pw):
+    def one(kxi, kyi, sig, b, ph, pw, S2):
         rad = 3.0 * 1.5 * sig
-        ys = kyi + oy * rad
-        xs = kxi + ox * rad
+        if S2 is None:
+            dx = ox * rad
+            dy = oy * rad
+        else:  # affine measurement region (estimate_affine_shape)
+            dx = rad * (S2[0, 0] * ox + S2[0, 1] * oy)
+            dy = rad * (S2[1, 0] * ox + S2[1, 1] * oy)
+        ys = kyi + dy
+        xs = kxi + dx
         wm, a = _gather_ma(flat, ys, xs, b, ph, pw, sampling)  # [T, S]
         w = jnp.exp(-0.5 * ((oy * rad) ** 2 + (ox * rad) ** 2)
                     / (1.5 * sig + 1e-9) ** 2)
@@ -492,7 +599,14 @@ def _orientation_histograms(flat, kx, ky, ksigma, base, kh, kw,
         wm = (w[None] * wm)
         return wm * (1 - fb), b0i, wm * fb, b1i
 
-    w0, b0i, w1, b1i = jax.vmap(one)(kx, ky, ksigma, base, kh, kw)
+    if shape is None:
+        w0, b0i, w1, b1i = jax.vmap(
+            lambda a_, b_, c_, d_, e_, f_: one(a_, b_, c_, d_, e_, f_,
+                                               None))(
+            kx, ky, ksigma, base, kh, kw)
+    else:
+        w0, b0i, w1, b1i = jax.vmap(one)(kx, ky, ksigma, base, kh, kw,
+                                         shape)
     # Histogram via 36 masked reductions, NOT scatter-add: the vmapped
     # [K] x .at[bins].add scatter measured 1.56 s of the 1.93 s 8-image
     # 640x480 extraction (TPU scatters serialize); the compare-mask
@@ -537,7 +651,8 @@ _D_ORI = 8       # 8 orientation bins
 _D_GRID = 16     # 16x16 sample grid
 
 
-def _descriptors(flat, kx, ky, ksigma, korient, base, kh, kw, opt=None):
+def _descriptors(flat, kx, ky, ksigma, korient, base, kh, kw, opt=None,
+                 shape=None):
     """128-D SIFT descriptors for all keypoints (`flat` = flat
     `_pack_mag_ang` buffer over every octave, `base` [K] per-keypoint
     plane offsets, `kh`/`kw` [K] per-keypoint plane bounds).
@@ -557,13 +672,21 @@ def _descriptors(flat, kx, ky, ksigma, korient, base, kh, kw, opt=None):
     by = by.reshape(-1)
     bx = bx.reshape(-1)  # [256]
 
-    def one(kxi, kyi, sig, ori, b, ph, pw):
+    def one(kxi, kyi, sig, ori, b, ph, pw, S2=None):
         spb = 3.0 * sig  # pixels per spatial bin
         ca = jnp.cos(ori)
         sa = jnp.sin(ori)
-        # Rotate descriptor frame into image frame.
-        xs = kxi + (ca * bx - sa * by) * spb
-        ys = kyi + (sa * bx + ca * by) * spb
+        # Rotate descriptor frame into image frame (then through the
+        # affine shape when estimate_affine_shape produced one —
+        # gradient ANGLES keep the rotation-only correction, the
+        # standard covdet approximation for moderate anisotropy).
+        rx = ca * bx - sa * by
+        ry = sa * bx + ca * by
+        if S2 is not None:
+            rx, ry = (S2[0, 0] * rx + S2[0, 1] * ry,
+                      S2[1, 0] * rx + S2[1, 1] * ry)
+        xs = kxi + rx * spb
+        ys = kyi + ry * spb
         wm_t, a_t = _gather_ma(flat, ys, xs, b, ph, pw,
                                sampling)  # [T, 256]
         a_t = a_t - ori
@@ -607,6 +730,9 @@ def _descriptors(flat, kx, ky, ksigma, korient, base, kh, kw, opt=None):
 
         return jax.vmap(pooled)(kx, ky, ksigma, korient, base, kh, kw)
 
+    if shape is not None:
+        return jax.vmap(one)(kx, ky, ksigma, korient, base, kh, kw,
+                             shape)
     return jax.vmap(one)(kx, ky, ksigma, korient, base, kh, kw)
 
 
@@ -768,6 +894,13 @@ def extract_sift(image, options: Optional[SiftExtractionOptions] = None
     _, cidx = lax.top_k(cscore, k_eff)
     cat = {k: v[cidx] for k, v in cat.items()}
 
+    shapes = None
+    if opt.estimate_affine_shape:
+        shapes, _aniso = _affine_adapt(
+            flat_all, cat["fx"], cat["fy"], cat["sigma"], cat["base"],
+            cat["ph"], cat["pw"], opt.affine_shape_iters,
+            opt.grad_sampling)
+
     if opt.upright:
         orients = jnp.zeros((k_eff, 1), jnp.float32)
         ovalid = jnp.ones((k_eff, 1), bool)
@@ -775,7 +908,7 @@ def extract_sift(image, options: Optional[SiftExtractionOptions] = None
         hists = _orientation_histograms(flat_all, cat["fx"], cat["fy"],
                                         cat["sigma"], cat["base"],
                                         cat["ph"], cat["pw"],
-                                        opt.grad_sampling)
+                                        opt.grad_sampling, shape=shapes)
         orients, ovalid = _histogram_peaks(hists, opt.max_num_orientations)
 
     # Expand (candidate x orientation) -> rows and run the FINAL row
@@ -794,13 +927,29 @@ def extract_sift(image, options: Optional[SiftExtractionOptions] = None
     row = {k: rep(cat[k])[idx] for k in
            ("fx", "fy", "sigma", "base", "ph", "pw", "oscale")}
     ko = orients.reshape(-1)[idx]
+    row_shape = None
+    if shapes is not None:
+        row_shape = jnp.repeat(shapes[:, None], n_ori, 1) \
+            .reshape(-1, 2, 2)[idx]
     descs = _descriptors(flat_all, row["fx"], row["fy"], row["sigma"],
-                         ko, row["base"], row["ph"], row["pw"], opt)
+                         ko, row["base"], row["ph"], row["pw"], opt,
+                         shape=row_shape)
 
     # ORIGINAL image coordinates (+0.5 pixel-center, COLMAP convention).
     keypoints = jnp.stack([row["fx"] * row["oscale"] + 0.5,
                            row["fy"] * row["oscale"] + 0.5,
                            row["sigma"] * row["oscale"], ko], axis=-1)
+    affine = None
+    if row_shape is not None:
+        # Full affine frame scale * S @ R(ori) in original-image pixels
+        # (COLMAP 6-param keypoint, feature/types.h:43-83).
+        sc = row["sigma"] * row["oscale"]
+        ca = jnp.cos(ko)
+        sa = jnp.sin(ko)
+        R = jnp.stack([jnp.stack([ca, -sa], -1),
+                       jnp.stack([sa, ca], -1)], -2)     # [K, 2, 2]
+        A = sc[:, None, None] * jnp.einsum("kij,kjl->kil", row_shape, R)
+        affine = A.reshape(-1, 4)
     desc = _normalize_descriptors(descs, opt.normalization)
     mask = jnp.isfinite(vals)
     if k_eff < K:  # pad to the static budget
@@ -809,9 +958,11 @@ def extract_sift(image, options: Optional[SiftExtractionOptions] = None
         desc = jnp.pad(desc, ((0, pad), (0, 0)))
         mask = jnp.pad(mask, (0, pad))
         vals = jnp.pad(vals, (0, pad), constant_values=-jnp.inf)
+        if affine is not None:
+            affine = jnp.pad(affine, ((0, pad), (0, 0)))
     resp = jnp.where(mask, vals, 0.0)
     return SiftFeatures(keypoints=keypoints, descriptors=desc, mask=mask,
-                        response=resp)
+                        response=resp, affine=affine)
 
 
 # ---------------------------------------------------------------------------
@@ -835,7 +986,8 @@ def extract_sift_batch(images: np.ndarray,
     function on the accelerator (host loop cost = one H2D + one D2H per
     batch — the axon tunnel's per-sync tax amortizes over the batch).
 
-    Returns host numpy (keypoints [B, K, 4] f32, descriptors_u8
+    Returns host numpy (keypoints [B, K, 4] f32 — or [B, K, 6] COLMAP
+    affine keypoints when opt.estimate_affine_shape — descriptors_u8
     [B, K, 128] u8, mask [B, K] bool).
     """
     opt = options or SiftExtractionOptions()
@@ -848,7 +1000,12 @@ def extract_sift_batch(images: np.ndarray,
         def batch(imgs):
             def one(im):
                 ft = extract_sift(im, opt)
-                return (ft.keypoints, descriptors_to_uint8(ft.descriptors),
+                kp = ft.keypoints
+                if ft.affine is not None:
+                    # COLMAP 6-param affine keypoint rows
+                    # (feature/types.h:43-83): x, y, a11, a12, a21, a22
+                    kp = jnp.concatenate([kp[:, :2], ft.affine], axis=1)
+                return (kp, descriptors_to_uint8(ft.descriptors),
                         ft.mask)
             return jax.vmap(one)(imgs)
         # Execution device follows the committed input placement

@@ -189,3 +189,50 @@ def test_dsp_sift_descriptors():
     sim /= (np.linalg.norm(d1, axis=1)[:, None]
             * np.linalg.norm(d2, axis=1)[None, :] + 1e-12)
     assert np.median(sim.max(axis=1)) > 0.95
+
+
+def test_affine_shape_recovers_anisotropic_stretch():
+    """estimate_affine_shape (ref: src/feature/sift.h:76-78, VLFeat
+    covdet): an isotropic texture stretched 2x along x must yield
+    affine shapes elongated along x with axis ratio ~2 (the
+    second-moment matrix of the stretched image is the inverse-square
+    of the stretch; Baumberg adaptation whitens it), while the same
+    texture unstretched yields near-isotropic shapes."""
+    import jax.numpy as jnp
+
+    from sba_tpu.features.sift import SiftExtractionOptions, extract_sift
+
+    rng = np.random.default_rng(0)
+    base = rng.random((128, 128))
+    # smooth the noise so gradients are well-sampled
+    for _ in range(2):
+        base = (base + np.roll(base, 1, 0) + np.roll(base, 1, 1)
+                + np.roll(base, -1, 0) + np.roll(base, -1, 1)) / 5.0
+    from scipy.ndimage import zoom
+    stretched = zoom(base, (1.0, 2.0), order=3)[:, :256]  # 2x along x
+
+    opt = SiftExtractionOptions(max_num_features=64,
+                                estimate_affine_shape=True,
+                                num_octaves=2)
+
+    def shape_ratios(img):
+        ft = extract_sift(jnp.asarray(img, jnp.float32), opt)
+        m = np.asarray(ft.mask)
+        A = np.asarray(ft.affine)[m].reshape(-1, 2, 2)
+        ratios = []
+        axup = []
+        for a in A:
+            u, s, vt = np.linalg.svd(a)
+            ratios.append(s[0] / max(s[1], 1e-9))
+            # major axis direction in image frame
+            axup.append(abs(u[0, 0]))  # |x-component of major axis|
+        return np.asarray(ratios), np.asarray(axup)
+
+    r_iso, _ = shape_ratios(base.astype(np.float32))
+    r_st, ax_st = shape_ratios(stretched.astype(np.float32))
+    assert np.median(r_iso) < 1.4, np.median(r_iso)
+    assert np.median(r_st) > 1.42, np.median(r_st)
+    assert np.median(r_st) > np.median(r_iso) + 0.2, \
+        (np.median(r_iso), np.median(r_st))
+    # stretched shapes elongate along x
+    assert np.median(ax_st[r_st > 1.4]) > 0.85

@@ -187,3 +187,49 @@ def test_pure_random_degenerate():
         options=TwoViewGeometryOptions(max_error=1.0, detect_watermark=False))
     assert res.config == int(TwoViewConfig.DEGENERATE) \
         or res.num_inliers < 30
+
+
+def test_estimate_multiple_two_rigid_motions():
+    """EstimateMultiple (ref: two_view_geometry.h:158-166): a pair
+    whose correspondences mix TWO rigid motions yields two models, each
+    marked MULTIPLE, with disjoint inlier sets covering both motions."""
+    from sba_tpu.estimators.two_view_geometry import (
+        TwoViewConfig, TwoViewGeometryOptions,
+        estimate_two_view_geometry_multiple)
+
+    rng = np.random.default_rng(3)
+    f, cx, cy = 400.0, 320.0, 240.0
+    n_per = 60
+
+    def motion(R, t, seed):
+        r2 = np.random.default_rng(seed)
+        pts = np.stack([r2.uniform(-2, 2, n_per), r2.uniform(-1.5, 1.5, n_per),
+                        r2.uniform(4, 8, n_per)], 1)
+        p1 = pts
+        p2 = pts @ R.T + t
+        a1 = f * p1[:, :2] / p1[:, 2:] + [cx, cy]
+        a2 = f * p2[:, :2] / p2[:, 2:] + [cx, cy]
+        return a1, a2
+
+    def rotz(a):
+        c, s = np.cos(a), np.sin(a)
+        return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
+
+    a1, a2 = motion(rotz(0.05), np.array([0.8, 0.0, 0.1]), 1)
+    b1, b2 = motion(rotz(-0.25), np.array([-0.3, 0.9, -0.4]), 2)
+    xy1 = np.concatenate([a1, b1]) + rng.normal(0, 0.2, (2 * n_per, 2))
+    xy2 = np.concatenate([a2, b2]) + rng.normal(0, 0.2, (2 * n_per, 2))
+
+    res = estimate_two_view_geometry_multiple(
+        xy1, xy2, (f, f, cx, cy), (f, f, cx, cy), (640, 480), (640, 480),
+        options=TwoViewGeometryOptions(detect_watermark=False))
+    assert len(res) >= 2, f"found {len(res)} models"
+    assert all(r.config == int(TwoViewConfig.MULTIPLE) for r in res)
+    m0 = res[0].inlier_mask
+    m1 = res[1].inlier_mask
+    assert not (m0 & m1).any(), "inlier sets must be disjoint"
+    # Each model dominated by one motion's correspondences.
+    a_share0 = m0[:n_per].sum() / max(m0.sum(), 1)
+    a_share1 = m1[:n_per].sum() / max(m1.sum(), 1)
+    assert (a_share0 > 0.8 and a_share1 < 0.2) \
+        or (a_share0 < 0.2 and a_share1 > 0.8), (a_share0, a_share1)
