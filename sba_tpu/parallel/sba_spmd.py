@@ -18,6 +18,24 @@ src/optim/semantic_bundle_adjustment.cc, single-node Ceres with
 OpenMP threading only) a multi-chip scaling story the reference never
 had. Correctness: 8-device CPU-mesh parity test vs the single-device
 path (tests/test_distributed_sba.py).
+
+WHERE MAP REPLICATION BREAKS (measured 2026-08-22, v5e): the
+replicated per-image device footprint at 640x480 is 3.7 MB/image
+(joint-packed u32 map 1.2 MB + f32 depth/semantic stacks for the
+hard-mode evaluation 2.5 MB; src tables are negligible). On a 16 GB
+HBM chip that caps REPLICATED maps at ~4,000 images — the BASELINE
+1k-image config fits with 12 GB to spare (measured single-chip:
+100 img / 9.9k pairs / 30M samples at 2.62 LM it/s, 200 img / 40k
+pairs at 0.66 it/s; time scales linearly in pair count at
+~12.5 ns/sample in the pair-chunked regime). Past the cap, the
+sharded-map design is DST-GROUPED pair sharding: partition the
+ordered-pair list by DESTINATION image (the gathers only ever touch
+the destination's maps) so each device stores only its destination
+subset of joint_packed, while the small [N, S] source tables
+(24 KB/image) stay replicated — the same psum-of-normal-equations
+communication pattern, zero cross-device gathers. Not implemented:
+the largest driver config (1k images) sits comfortably inside the
+replication cap.
 """
 
 from __future__ import annotations
