@@ -279,14 +279,20 @@ def _match_and_verify(db, pairs_idx, image_ids, flags):
         cam = cams[images[iid]["camera_id"]]
         return (cam["width"], cam["height"])
 
+    import time as _time
+    prof = os.environ.get("SBA_TPU_PROF")
+    t_match = t_verify = t_host = 0.0
+
     num_verified = 0
     pairs_list = list(pairs_idx)
     for b0 in range(0, len(pairs_list), Bp):
         batch = pairs_list[b0:b0 + Bp]
+        _t0 = _time.perf_counter()
         pidx = np.array(batch + [batch[-1]] * (Bp - len(batch)), np.int32)
         m_dev, _n_dev = match_pairs_batched(
             stack_dev, nvalid_dev, jax.device_put(pidx, device), mopt)
         m_all = np.asarray(m_dev)
+        t_match += _time.perf_counter() - _t0
 
         # Host: match rows -> index pairs; queue non-empty for verification.
         verify = []
@@ -322,11 +328,14 @@ def _match_and_verify(db, pairs_idx, image_ids, flags):
             c2[j] = fxycxy(i2)
             sz1.append(imsize(i1))
             sz2.append(imsize(i2))
+        _t0 = _time.perf_counter()
         with jax.default_device(device):
             tvs = estimate_two_view_geometry_batch(
                 xy1, xy2, vmask, c1, c2, sz1, sz2, options=vopt,
                 seed=b0,
                 dtype=jnp.float32 if device.platform != "cpu" else None)
+        t_verify += _time.perf_counter() - _t0
+        _t0 = _time.perf_counter()
         for (a, b, m), tv in zip(verify, tvs):
             i1, i2 = image_ids[a], image_ids[b]
             inl = m[tv.inlier_mask[: len(m)]] if tv.num_inliers else m[:0]
@@ -337,7 +346,11 @@ def _match_and_verify(db, pairs_idx, image_ids, flags):
                 num_verified += 1
             print(f"  pair ({images[i1]['name']}, {images[i2]['name']}): "
                   f"{len(m)} matches, {tv.num_inliers} inliers")
+        t_host += _time.perf_counter() - _t0
     db.commit()
+    if prof:
+        print(f"[prof] match {t_match:.1f}s verify {t_verify:.1f}s "
+              f"host/db {t_host:.1f}s")
     return num_verified
 
 

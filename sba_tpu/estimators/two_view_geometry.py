@@ -465,16 +465,63 @@ def estimate_two_view_geometry_multiple(
 # ---------------------------------------------------------------------------
 
 _TVG_BATCH_CACHE: dict = {}
+_TVG_EVAL_CACHE: dict = {}
+
+# RANSAC correspondence cap for the batched verifier: minimal-solver
+# sampling and support ranking run on an evenly-strided subsample of at
+# most this many correspondences (support from 512 points ranks models
+# as reliably as from 2048), then the WINNING models' inlier masks and
+# counts are re-evaluated on the FULL set in one cheap batched pass —
+# the DB masks and the configuration decision see every match, exactly
+# like the reference. 4-8x less verification compute at dense-match
+# pairs.
+_TVG_RANSAC_CAP = 512
 
 
-def _tvg_batch_fn(N: int, opt: TwoViewGeometryOptions, dtype,
+def _tvg_eval_fn(N: int, opt: TwoViewGeometryOptions, dtype):
+    """Jitted full-set evaluation of the three winning models: returns
+    per-pair (F mask/count, H mask/count, E mask/count) over ALL N
+    correspondences."""
+    key_ = (N, opt, dtype)
+    hit = _TVG_EVAL_CACHE.get(key_)
+    if hit is not None:
+        return hit
+
+    def one(xy1, xy2, mask, c1, c2, Fm, Hm, Em):
+        thr2 = opt.max_error ** 2
+        rF = sampson_error_f(Fm, xy1, xy2)
+        mF = (rF <= thr2) & mask
+        rH = homography_transfer_error(Hm, xy1, xy2)
+        mH = (rH <= thr2) & mask
+        n1 = jnp.stack([(xy1[:, 0] - c1[2]) / c1[0],
+                        (xy1[:, 1] - c1[3]) / c1[1]], axis=-1)
+        n2 = jnp.stack([(xy2[:, 0] - c2[2]) / c2[0],
+                        (xy2[:, 1] - c2[3]) / c2[1]], axis=-1)
+        fmean = (c1[0] + c1[1] + c2[0] + c2[1]) / 4.0
+        rE = sampson_error_e(Em, n1, n2)
+        mE = (rE <= (opt.max_error / fmean) ** 2) & mask
+        return (mF, jnp.sum(mF), mH, jnp.sum(mH), mE, jnp.sum(mE),
+                n1, n2)
+
+    fn = jax.jit(lambda *a: jax.vmap(one)(*a))
+    if len(_TVG_EVAL_CACHE) > 32:
+        _TVG_EVAL_CACHE.clear()
+    _TVG_EVAL_CACHE[key_] = fn
+    return fn
+
+
+def _tvg_model_fn(kind: str, N: int, opt: TwoViewGeometryOptions, dtype,
                   trials: int):
-    """Jitted device program running the three RANSACs (`trials` each)
-    for a BATCH of pairs: vmap over (key, xy1 [N,2], xy2, mask [N],
-    fxycxy1 [4], fxycxy2 [4]). The per-pair E threshold (max_error /
-    mean focal, ref two_view_geometry.cc:262-265) rides the
-    traced-threshold path of optim.ransac."""
-    key_ = (N, opt, dtype, trials)
+    """Jitted device program running ONE model family's RANSAC
+    (`trials` each) for a batch of pairs: vmap over (key, xy1 [N,2],
+    xy2, mask [N], fxycxy1 [4], fxycxy2 [4]). Per-model programs let
+    the adaptive escalation re-run ONLY the family that needs more
+    trials — H's inlier ratio is inherently low on 3D scenes (4-point
+    bound ~850 trials at 30% inliers), and a joint program would drag
+    E and F to the 4096-trial round on every pair. The per-pair E
+    threshold (max_error / mean focal, ref two_view_geometry.cc:
+    262-265) rides the traced-threshold path of optim.ransac."""
+    key_ = (kind, N, opt, dtype, trials)
     hit = _TVG_BATCH_CACHE.get(key_)
     if hit is not None:
         return hit
@@ -485,32 +532,32 @@ def _tvg_batch_fn(N: int, opt: TwoViewGeometryOptions, dtype,
         confidence=opt.confidence, max_num_trials=opt.max_num_trials)
 
     def one(key, xy1, xy2, mask, c1, c2):
-        kE, kF, kH = jax.random.split(key, 3)
-        repF = _ransac_impl(kF, (xy1, xy2), fundamental_7pt,
-                            sampson_error_f, 7, ropt, mask,
-                            _weighted_f_refit, False,
-                            num_trials=trials)
-        repH = _ransac_impl(kH, (xy1, xy2), _h_solve,
-                            homography_transfer_error, 4, ropt, mask,
-                            None, False, num_trials=trials)
-        n1 = jnp.stack([(xy1[:, 0] - c1[2]) / c1[0],
-                        (xy1[:, 1] - c1[3]) / c1[1]], axis=-1)
-        n2 = jnp.stack([(xy2[:, 0] - c2[2]) / c2[0],
-                        (xy2[:, 1] - c2[3]) / c2[1]], axis=-1)
-        fmean = (c1[0] + c1[1] + c2[0] + c2[1]) / 4.0
-        repE = _ransac_impl(kE, (n1, n2), essential_5pt,
-                            sampson_error_e, 5, ropt, mask,
-                            _weighted_e_refit, False,
-                            max_error=opt.max_error / fmean,
-                            num_trials=trials)
-        return (repF.model, repF.inlier_mask, repF.num_inliers,
-                repH.model, repH.inlier_mask, repH.num_inliers,
-                repE.model, repE.inlier_mask, repE.num_inliers,
-                n1, n2)
+        if kind == "F":
+            rep = _ransac_impl(key, (xy1, xy2), fundamental_7pt,
+                               sampson_error_f, 7, ropt, mask,
+                               _weighted_f_refit, False,
+                               num_trials=trials)
+        elif kind == "H":
+            rep = _ransac_impl(key, (xy1, xy2), _h_solve,
+                               homography_transfer_error, 4, ropt, mask,
+                               None, False, num_trials=trials)
+        else:  # E
+            n1 = jnp.stack([(xy1[:, 0] - c1[2]) / c1[0],
+                            (xy1[:, 1] - c1[3]) / c1[1]], axis=-1)
+            n2 = jnp.stack([(xy2[:, 0] - c2[2]) / c2[0],
+                            (xy2[:, 1] - c2[3]) / c2[1]], axis=-1)
+            fmean = (c1[0] + c1[1] + c2[0] + c2[1]) / 4.0
+            rep = _ransac_impl(key, (n1, n2), essential_5pt,
+                               sampson_error_e, 5, ropt, mask,
+                               _weighted_e_refit, False,
+                               max_error=opt.max_error / fmean,
+                               num_trials=trials)
+            return (rep.model, rep.inlier_mask, rep.num_inliers, n1, n2)
+        return rep.model, rep.inlier_mask, rep.num_inliers
 
     fn = jax.jit(lambda keys, xy1, xy2, masks, c1, c2:
                  jax.vmap(one)(keys, xy1, xy2, masks, c1, c2))
-    if len(_TVG_BATCH_CACHE) > 32:
+    if len(_TVG_BATCH_CACHE) > 64:
         _TVG_BATCH_CACHE.clear()
     _TVG_BATCH_CACHE[key_] = fn
     return fn
@@ -546,23 +593,46 @@ def estimate_two_view_geometry_batch(
     the process runs x64 for the host-side mapper math."""
     opt = options or TwoViewGeometryOptions()
     masks_np = np.asarray(masks)
-    Bp, N = masks_np.shape
+    Bp, N_full = masks_np.shape
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     keys = jax.random.split(jax.random.PRNGKey(seed), Bp)
-    xy1j = jnp.asarray(xy1, dtype)
-    xy2j = jnp.asarray(xy2, dtype)
-    mj = jnp.asarray(masks)
+    xy1_full = np.asarray(xy1)
+    xy2_full = np.asarray(xy2)
+
+    # Correspondence cap (see _TVG_RANSAC_CAP): evenly-strided subsample
+    # of each pair's valid prefix for the RANSAC stage.
+    if N_full > _TVG_RANSAC_CAP:
+        cap = _TVG_RANSAC_CAP
+        sub_idx = np.zeros((Bp, cap), np.int64)
+        sub_mask = np.zeros((Bp, cap), bool)
+        for i in range(Bp):
+            m = int(masks_np[i].sum())
+            k = min(m, cap)
+            if k:
+                sub_idx[i, :k] = (np.arange(k) * max(m, 1)) // max(k, 1)
+                sub_mask[i, :k] = True
+        r = np.arange(Bp)[:, None]
+        xy1_r = xy1_full[r, sub_idx]
+        xy2_r = xy2_full[r, sub_idx]
+        masks_r = sub_mask
+        N = cap
+    else:
+        xy1_r, xy2_r, masks_r, N = xy1_full, xy2_full, masks_np, N_full
+
+    xy1j = jnp.asarray(xy1_r, dtype)
+    xy2j = jnp.asarray(xy2_r, dtype)
+    mj = jnp.asarray(masks_r)
     c1j = jnp.asarray(cams1_fxycxy, dtype)
     c2j = jnp.asarray(cams2_fxycxy, dtype)
-    nvalid = masks_np.sum(axis=1)
+    nvalid = masks_r.sum(axis=1)
 
     # Adaptive trial escalation — the batched equivalent of the
     # reference's adaptive termination (ref: ransac.h:143-182): run
     # everything at a small trial budget, then re-run ONLY the pairs
-    # whose observed inlier ratios say more trials are needed. Clean
-    # pairs (the common case) resolve in round 1 at ~1/16 the compute
-    # of the static worst-case budget.
+    # AND MODEL FAMILIES whose observed inlier ratios say more trials
+    # are needed. Clean pairs (the common case) resolve in round 1 at
+    # a fraction of the static worst-case budget.
     rounds = []
     t = 256
     while t < opt.max_num_trials:
@@ -570,42 +640,58 @@ def estimate_two_view_geometry_batch(
         t *= 4
     rounds.append(opt.max_num_trials)
 
-    res = [None] * Bp
-    active = np.arange(Bp)
-    for trials in rounds:
-        fn = _tvg_batch_fn(N, opt, dtype, trials)
-        # Device sub-batching: the E support matrix alone is
-        # trials*10models*N floats PER PAIR, so launches are capped to
-        # stay well inside HBM (one D2H per launch).
-        sub = max(1, min(len(active),
-                         int(2.5e9 / max(trials * 10 * N * 4, 1))))
-        for s0 in range(0, len(active), sub):
-            sel = active[s0:s0 + sub]
-            if len(sel) < sub:  # pad tail launch to the compiled shape
-                sel = np.r_[sel, np.full(sub - len(sel), sel[-1])]
-            with jax.enable_x64(dtype == jnp.float64):
-                o = fn(keys[sel], xy1j[sel], xy2j[sel], mj[sel],
-                       c1j[sel], c2j[sel])
-            o = [np.asarray(a) for a in o]
-            for j, p in enumerate(sel):
-                if res[p] is None or trials > res[p][0]:
-                    res[p] = (trials, [a[j] for a in o])
-        if trials >= opt.max_num_trials:
-            break
-        still = []
-        for p in active:
-            _, (fm, fmk, nf, hm, hmk, nh, em, emk, ne, _n1, _n2) = res[p]
-            need = max(
-                _trials_needed(int(nf), int(nvalid[p]), 7, opt.confidence),
-                _trials_needed(int(nh), int(nvalid[p]), 4, opt.confidence),
-                _trials_needed(int(ne), int(nvalid[p]), 5, opt.confidence))
-            if need > trials:
-                still.append(p)
-        active = np.asarray(still, int)
-        if len(active) == 0:
-            break
-    (Fm, Fmask, nFs, Hm, Hmask, nHs, Em, Emask, nEs, n1s, n2s) = \
-        [np.stack([res[p][1][i] for p in range(Bp)]) for i in range(11)]
+    kind_cfg = {"F": (7, 3), "H": (4, 1), "E": (5, 10)}
+    res = {k: [None] * Bp for k in kind_cfg}
+    for kind, (ssz, nmodels) in kind_cfg.items():
+        active = np.arange(Bp)
+        for trials in rounds:
+            fn = _tvg_model_fn(kind, N, opt, dtype, trials)
+            # Device sub-batching: the support matrix is
+            # trials*models*N floats PER PAIR; cap launches inside HBM.
+            sub = max(1, min(len(active),
+                             int(2.5e9 / max(trials * nmodels * N * 4,
+                                             1))))
+            for s0 in range(0, len(active), sub):
+                sel = active[s0:s0 + sub]
+                if len(sel) < sub:  # pad tail to the compiled shape
+                    sel = np.r_[sel, np.full(sub - len(sel), sel[-1])]
+                with jax.enable_x64(dtype == jnp.float64):
+                    o = fn(keys[sel], xy1j[sel], xy2j[sel], mj[sel],
+                           c1j[sel], c2j[sel])
+                o = [np.asarray(a) for a in o]
+                for j, p in enumerate(sel):
+                    if res[kind][p] is None or trials > res[kind][p][0]:
+                        res[kind][p] = (trials, [a[j] for a in o])
+            if trials >= opt.max_num_trials:
+                break
+            still = [p for p in active
+                     if _trials_needed(int(res[kind][p][1][2]),
+                                       int(nvalid[p]), ssz,
+                                       opt.confidence) > trials]
+            active = np.asarray(still, int)
+            if len(active) == 0:
+                break
+    Fm, Fmask, nFs = [np.stack([res["F"][p][1][i] for p in range(Bp)])
+                      for i in range(3)]
+    Hm, Hmask, nHs = [np.stack([res["H"][p][1][i] for p in range(Bp)])
+                      for i in range(3)]
+    Em, Emask, nEs, n1s, n2s = [
+        np.stack([res["E"][p][1][i] for p in range(Bp)])
+        for i in range(5)]
+
+    if N_full > _TVG_RANSAC_CAP:
+        # Re-evaluate the winning models' inlier masks and counts over
+        # ALL correspondences (one cheap batched pass) so the DB masks
+        # and the configuration decision see every match.
+        fe = _tvg_eval_fn(N_full, opt, dtype)
+        with jax.enable_x64(dtype == jnp.float64):
+            ev = fe(jnp.asarray(xy1_full, dtype),
+                    jnp.asarray(xy2_full, dtype), jnp.asarray(masks_np),
+                    c1j, c2j, jnp.asarray(Fm, dtype),
+                    jnp.asarray(Hm, dtype), jnp.asarray(Em, dtype))
+        (Fmask, nFs, Hmask, nHs, Emask, nEs, n1s, n2s) = \
+            [np.asarray(a) for a in ev]
+
     xy1 = np.asarray(xy1)
     xy2 = np.asarray(xy2)
     results = []
@@ -617,7 +703,7 @@ def estimate_two_view_geometry_batch(
                 results.append(TwoViewGeometryResult(
                     int(TwoViewConfig.DEGENERATE), np.eye(3), np.eye(3),
                     np.eye(3), np.array([1.0, 0, 0, 0]), np.zeros(3),
-                    np.zeros(N, bool), 0))
+                    np.zeros(N_full, bool), 0))
                 continue
             results.append(_finalize(
                 opt, True,
